@@ -1,0 +1,84 @@
+"""Format conversions (CSR ⇄ CSC ⇄ COO).
+
+The reference's generic layer lets one algorithm iterate any format via
+CPOs (include/spblas/backend/view_customizations.hpp); on TPU the analogue
+is cheap canonicalization: ops that want row iteration call ``to_csr`` and
+pay one stable sort at most.  All conversions are jittable (shape-static).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from spblas_tpu import types as _t
+from spblas_tpu.backend import engine
+from spblas_tpu.formats.csr import CSR
+from spblas_tpu.formats.csc import CSC
+from spblas_tpu.formats.coo import COO
+
+
+def to_csr(a) -> CSR:
+    if isinstance(a, CSR):
+        return a
+    if isinstance(a, COO):
+        return a.to_csr()
+    if isinstance(a, CSC):
+        return csc_to_csr(a)
+    raise TypeError(f"cannot convert {type(a).__name__} to CSR")
+
+
+def to_csc(a) -> CSC:
+    if isinstance(a, CSC):
+        return a
+    if isinstance(a, CSR):
+        return csr_to_csc(a)
+    if isinstance(a, COO):
+        return csr_to_csc(a.to_csr())
+    raise TypeError(f"cannot convert {type(a).__name__} to CSC")
+
+
+def to_coo(a) -> COO:
+    if isinstance(a, COO):
+        return a
+    if isinstance(a, CSR):
+        return COO(values=a.values, rowind=a.row_ids(), colind=a.colind,
+                   nnz=a.nnz, shape=a.shape)
+    if isinstance(a, CSC):
+        # column-major entry order → re-sort row-major
+        rows = a.rowind
+        cols = a.col_ids()
+        m, n = a.shape
+        mask = a.entry_mask()
+        rows_s, cols_s, vals_s = engine.lexsort_coo(
+            jnp.where(mask, rows, m).astype(_t.index_dtype),
+            jnp.where(mask, cols, 0).astype(_t.index_dtype),
+            jnp.where(mask, a.values, 0))
+        rows_s = jnp.where(jnp.arange(a.capacity) < a.nnz, rows_s, 0)
+        return COO(values=vals_s, rowind=rows_s.astype(_t.index_dtype),
+                   colind=jnp.where(jnp.arange(a.capacity) < a.nnz,
+                                    cols_s, 0).astype(_t.index_dtype),
+                   nnz=a.nnz, shape=(m, n))
+    raise TypeError(f"cannot convert {type(a).__name__} to COO")
+
+
+def csc_to_csr(a: CSC) -> CSR:
+    """Materialized CSC→CSR: one stable sort by (row, col)."""
+    return to_coo(a).to_csr()
+
+
+def csr_to_csc(a: CSR) -> CSC:
+    """Materialized CSR→CSC: sort entries by (col, row)."""
+    m, n = a.shape
+    mask = a.entry_mask()
+    cols = jnp.where(mask, a.colind, n).astype(_t.index_dtype)
+    rows = jnp.where(mask, a.row_ids(), 0).astype(_t.index_dtype)
+    vals = jnp.where(mask, a.values, 0)
+    cols_s, rows_s, vals_s = engine.lexsort_coo(cols, rows, vals)
+    live = jnp.arange(a.capacity, dtype=jnp.int32) < a.nnz
+    counts = engine.row_counts(cols_s, live, n)
+    colptr = engine.rowptr_from_counts(counts, n)
+    return CSC(values=jnp.where(live, vals_s, 0),
+               colptr=colptr,
+               rowind=jnp.where(live, rows_s, 0).astype(_t.index_dtype),
+               nnz=a.nnz, shape=(m, n))

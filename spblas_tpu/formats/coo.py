@@ -1,0 +1,117 @@
+"""COO container — coordinate-format triples, sorted row-major.
+
+The reference only generates COO as a staging format
+(include/spblas/backend/generate.hpp:49-89); here it is a first-class
+container because row-major-sorted COO is the natural intermediate for the
+sort-based SpGEMM/SpADD/transpose engines (SURVEY.md §7 step 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spblas_tpu import types as _t
+from spblas_tpu.formats.csr import CSR, _pad_to
+from spblas_tpu.formats.csc import CSC
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class COO:
+    """Coordinate matrix with padded static capacity.
+
+    Invariant: live entries are sorted by (row, col); padded entries have
+    values == 0 and rowind == colind == 0 — but note a padded (0, 0) entry
+    with value 0 is numerically harmless everywhere.
+    """
+
+    values: jax.Array
+    rowind: jax.Array
+    colind: jax.Array
+    nnz: jax.Array
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def from_arrays(cls, values, rowind, colind, shape, nnz=None,
+                    capacity=None) -> "COO":
+        values = jnp.asarray(values)
+        rowind = jnp.asarray(rowind, dtype=_t.index_dtype)
+        colind = jnp.asarray(colind, dtype=_t.index_dtype)
+        if nnz is None:
+            nnz = int(values.shape[0])
+        nnz_i = int(nnz)
+        if capacity is None:
+            capacity = max(_t.quantize_capacity(nnz_i), int(values.shape[0]))
+        capacity = int(capacity)
+        return cls(values=_pad_to(values, capacity),
+                   rowind=_pad_to(rowind, capacity),
+                   colind=_pad_to(colind, capacity),
+                   nnz=jnp.asarray(nnz_i, dtype=jnp.int32),
+                   shape=(int(shape[0]), int(shape[1])))
+
+    @property
+    def capacity(self) -> int:
+        return int(self.values.shape[0])
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def entry_mask(self) -> jax.Array:
+        return jnp.arange(self.capacity, dtype=jnp.int32) < self.nnz
+
+    def todense(self) -> jax.Array:
+        m, n = self.shape
+        out = jnp.zeros((m, n), dtype=self.dtype)
+        mask = self.entry_mask()
+        vals = jnp.where(mask, self.values, 0)
+        rows = jnp.where(mask, self.rowind, m)  # dropped when padded
+        return out.at[rows, self.colind].add(vals, mode="drop")
+
+    def to_csr(self) -> CSR:
+        """Row-major-sorted COO → CSR (same entry order, build rowptr)."""
+        m, _ = self.shape
+        mask = self.entry_mask()
+        rows = jnp.where(mask, self.rowind, m)
+        counts = jnp.zeros((m,), dtype=_t.offset_dtype).at[rows].add(
+            1, mode="drop")
+        rowptr = jnp.concatenate(
+            [jnp.zeros((1,), dtype=_t.offset_dtype),
+             jnp.cumsum(counts).astype(_t.offset_dtype)])
+        return CSR(values=self.values, rowptr=rowptr, colind=self.colind,
+                   nnz=self.nnz, shape=self.shape)
+
+    def validate(self) -> None:
+        m, n = self.shape
+        nnz = int(self.nnz)
+        rowind = np.asarray(self.rowind)[:nnz]
+        colind = np.asarray(self.colind)[:nnz]
+        if nnz:
+            if rowind.min() < 0 or rowind.max() >= m:
+                raise ValueError("rowind out of range")
+            if colind.min() < 0 or colind.max() >= n:
+                raise ValueError("colind out of range")
+            key = rowind.astype(np.int64) * n + colind
+            if np.any(np.diff(key) < 0):
+                raise ValueError("COO entries not sorted row-major")
+
+    def __repr__(self):
+        return (f"COO(shape={self.shape}, capacity={self.capacity}, "
+                f"dtype={self.dtype})")
+
+
+def csr_to_coo(a: CSR) -> COO:
+    return COO(values=a.values, rowind=a.row_ids(), colind=a.colind,
+               nnz=a.nnz, shape=a.shape)
+
+
+def csc_to_coo(a: CSC) -> COO:
+    """CSC → COO sorted *column*-major; callers needing row-major must
+    re-sort (see ops.transpose)."""
+    return COO(values=a.values, rowind=a.rowind, colind=a.col_ids(),
+               nnz=a.nnz, shape=a.shape)

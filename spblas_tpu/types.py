@@ -1,0 +1,62 @@
+"""Global type configuration for spblas_tpu.
+
+TPU-first equivalents of the reference's ``spblas::index_t`` / ``offset_t``
+globals (reference: include/spblas/detail/types.hpp:28-31).  The vendor
+backends in the reference all narrow indices to 32 bits
+(vendor/rocsparse/types.hpp:11-12, vendor/cusparse/types.hpp:12-13); we follow
+that precedent because int32 is the native TPU index width.
+
+Unlike the reference (compile-time ``#define`` forest), configuration here is
+a small runtime dataclass — see SURVEY.md §5.6.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+# Default index / offset dtype (CSR colind, rowptr).  int32 everywhere —
+# watch 2^31 nnz limits on very large matrices (SURVEY.md §7 hard parts).
+index_dtype = jnp.int32
+offset_dtype = jnp.int32
+
+# Default real scalar dtype.
+real_dtype = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Runtime knobs for kernels and plans.
+
+    The reference's only runtime knobs are execution-policy objects
+    (vendor/onemkl_sycl/detail/execution_policy.hpp:10-48); device placement
+    in JAX is implicit via sharding, so this holds tiling knobs only.
+    """
+
+    # Pallas row-block height for ELL/SELL plans (sublane multiple).
+    row_block: int = 8
+    # Lane width; last-dim tiles are always 128 on TPU.
+    lane: int = 128
+    # MXU tile edge for BSR block kernels.
+    mxu_tile: int = 128
+    # Quantize capacities to powers of two to limit recompilation
+    # (SURVEY.md §7: dynamic nnz vs static shapes).
+    capacity_quantum: bool = True
+
+
+DEFAULT_CONFIG = Config()
+
+
+def quantize_capacity(nnz: int, cfg: Config = DEFAULT_CONFIG) -> int:
+    """Round a requested capacity up to a power-of-two bucket.
+
+    Keeps the set of distinct compiled shapes small when matrices with
+    nearby nnz flow through the same jitted op.
+    """
+    nnz = int(nnz)
+    if nnz <= 0:
+        return 1
+    if not cfg.capacity_quantum:
+        return nnz
+    return 1 << (nnz - 1).bit_length()

@@ -1,0 +1,159 @@
+"""Seeded random matrix generators — the test/example fixture layer.
+
+Mirrors the reference's generators (include/spblas/backend/generate.hpp:48-196)
+in *distribution*, not bit pattern: unique random (row, col) entries, sorted
+row-major, values U[0, 100), seeded.  ``generate_csr`` deliberately shuffles
+colind *within rows* (generate.hpp:107-120) so no algorithm may assume sorted
+rows — that property is preserved here because it shook out real bugs in the
+reference's test suite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spblas_tpu.formats.csr import CSR
+from spblas_tpu.formats.csc import CSC
+from spblas_tpu.formats.coo import COO
+
+
+def _coo_arrays(m, n, nnz, seed=0, dtype=np.float32, complex_=False):
+    if nnz > m * n:
+        raise ValueError("nnz exceeds m*n")
+    rng = np.random.default_rng(seed)
+    # unique entries, mirroring the reference's rejection loop
+    # (generate.hpp:63-74), vectorised: sample flat indices w/o replacement.
+    flat = rng.choice(m * n, size=nnz, replace=False)
+    rows = (flat // n).astype(np.int64)
+    cols = (flat % n).astype(np.int64)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    if complex_:
+        vals = (rng.uniform(0, 100, nnz) + 1j * rng.uniform(0, 100, nnz)
+                ).astype(dtype)
+    else:
+        vals = rng.uniform(0, 100, nnz).astype(dtype)
+    return vals, rows, cols
+
+
+def generate_coo(m, n, nnz, seed=0, dtype=np.float32, complex_=False,
+                 capacity=None) -> COO:
+    vals, rows, cols = _coo_arrays(m, n, nnz, seed, dtype, complex_)
+    return COO.from_arrays(vals, rows, cols, (m, n), nnz=nnz,
+                           capacity=capacity)
+
+
+def _rows_to_rowptr(rows, m):
+    rowptr = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(rowptr[1:], rows, 1)
+    return np.cumsum(rowptr)
+
+
+def generate_csr_sorted(m, n, nnz, seed=0, dtype=np.float32, complex_=False,
+                        capacity=None) -> CSR:
+    """CSR with sorted column indices within rows (generate.hpp:92-105)."""
+    vals, rows, cols = _coo_arrays(m, n, nnz, seed, dtype, complex_)
+    return CSR.from_arrays(vals, _rows_to_rowptr(rows, m), cols, (m, n),
+                           nnz=nnz, capacity=capacity)
+
+
+def generate_csr(m, n, nnz, seed=0, dtype=np.float32, complex_=False,
+                 capacity=None) -> CSR:
+    """CSR with *shuffled* colind within each row (generate.hpp:107-120)."""
+    vals, rows, cols = _coo_arrays(m, n, nnz, seed, dtype, complex_)
+    rowptr = _rows_to_rowptr(rows, m)
+    rng = np.random.default_rng(seed)
+    for r in range(m):
+        lo, hi = rowptr[r], rowptr[r + 1]
+        if hi - lo > 1:
+            perm = rng.permutation(hi - lo)
+            cols[lo:hi] = cols[lo:hi][perm]
+            vals[lo:hi] = vals[lo:hi][perm]
+    return CSR.from_arrays(vals, rowptr, cols, (m, n), nnz=nnz,
+                           capacity=capacity)
+
+
+def generate_csc_sorted(m, n, nnz, seed=0, dtype=np.float32, complex_=False,
+                        capacity=None) -> CSC:
+    """CSC of an m x n matrix = CSR of the n x m transpose
+    (generate.hpp:122-129)."""
+    t = generate_csr_sorted(n, m, nnz, seed, dtype, complex_, capacity)
+    return CSC(values=t.values, colptr=t.rowptr, rowind=t.colind,
+               nnz=t.nnz, shape=(m, n))
+
+
+def generate_csc(m, n, nnz, seed=0, dtype=np.float32, complex_=False,
+                 capacity=None) -> CSC:
+    t = generate_csr(n, m, nnz, seed, dtype, complex_, capacity)
+    return CSC(values=t.values, colptr=t.rowptr, rowind=t.colind,
+               nnz=t.nnz, shape=(m, n))
+
+
+def generate_dense(m, n, seed=0, dtype=np.float32, complex_=False):
+    """Dense U[0, 100) matrix (generate.hpp:170-182)."""
+    rng = np.random.default_rng(seed)
+    if complex_:
+        return (rng.uniform(0, 100, (m, n))
+                + 1j * rng.uniform(0, 100, (m, n))).astype(dtype)
+    return rng.uniform(0, 100, (m, n)).astype(dtype)
+
+
+def generate_gaussian(m, n, seed=0, dtype=np.float32):
+    """Dense N(0, 1) matrix (generate.hpp:184-196)."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(0, 1, (m, n)).astype(dtype)
+
+
+def generate_vector(n, seed=0, dtype=np.float32, complex_=False):
+    return generate_dense(1, n, seed, dtype, complex_)[0]
+
+
+def generate_banded_csr(m, n, bandwidth, seed=0, dtype=np.float32,
+                        capacity=None) -> CSR:
+    """Synthetic banded matrix for the headline SpMV benchmark
+    (BASELINE.json configs[0]: 10k x 10k banded)."""
+    rng = np.random.default_rng(seed)
+    rows_l, cols_l = [], []
+    half = bandwidth // 2
+    for r in range(m):
+        lo = max(0, r - half)
+        hi = min(n, r + half + 1)
+        rows_l.append(np.full(hi - lo, r, dtype=np.int64))
+        cols_l.append(np.arange(lo, hi, dtype=np.int64))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    vals = rng.uniform(-1, 1, len(rows)).astype(dtype)
+    return CSR.from_arrays(vals, _rows_to_rowptr(rows, m), cols, (m, n),
+                           nnz=len(rows), capacity=capacity)
+
+
+def generate_triangular_csr(m, seed=0, lower=True, unit_diag=False,
+                            density=0.05, dtype=np.float32,
+                            capacity=None) -> CSR:
+    """Well-conditioned random triangular factor for SpTRSV tests —
+    mirrors the construction in the reference's triangular_solve_test
+    (dominant diagonal so substitution is stable)."""
+    rng = np.random.default_rng(seed)
+    rows_l, cols_l, vals_l = [], [], []
+    for r in range(m):
+        lo, hi = (0, r) if lower else (r + 1, m)
+        span = hi - lo
+        k = min(span, rng.binomial(span, density)) if span > 0 else 0
+        if k > 0:
+            cs = np.sort(rng.choice(np.arange(lo, hi), size=k,
+                                    replace=False))
+            rows_l.append(np.full(k, r, dtype=np.int64))
+            cols_l.append(cs)
+            vals_l.append(rng.uniform(-1, 1, k).astype(dtype))
+        if not unit_diag:
+            rows_l.append(np.array([r], dtype=np.int64))
+            cols_l.append(np.array([r], dtype=np.int64))
+            # dominant diagonal keeps the solve well-conditioned
+            vals_l.append(np.array([m + rng.uniform(1, 2)], dtype=dtype))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    vals = np.concatenate(vals_l)
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    return CSR.from_arrays(vals, _rows_to_rowptr(rows, m), cols, (m, m),
+                           nnz=len(rows), capacity=capacity)

@@ -1,0 +1,94 @@
+"""Container round-trips, padding invariants, conversions, lazy transpose.
+
+Coverage model follows the reference's view/format tests
+(test/gtest/mdspan_overlays.cpp, spgemm_csr_csc.cpp format plumbing).
+"""
+
+import numpy as np
+import pytest
+
+import spblas_tpu as sp
+from spblas_tpu.utils import generate as gen
+from tests.util import DIMS, assert_close, dense_from_csr, dense_from_csc
+
+
+@pytest.mark.parametrize("m,n,nnz", DIMS)
+def test_csr_roundtrip(m, n, nnz):
+    a = gen.generate_csr(m, n, nnz, seed=1)
+    a.validate()
+    dense = dense_from_csr(a)
+    assert_close(np.asarray(a.todense()), dense)
+    b = sp.CSR.from_dense(dense)
+    b.validate()
+    assert_close(np.asarray(b.todense()), dense)
+
+
+@pytest.mark.parametrize("m,n,nnz", DIMS)
+def test_csc_roundtrip(m, n, nnz):
+    a = gen.generate_csc(m, n, nnz, seed=2)
+    a.validate()
+    dense = dense_from_csc(a)
+    assert_close(np.asarray(a.todense()), dense)
+
+
+def test_coo_roundtrip():
+    a = gen.generate_coo(50, 60, 300, seed=3)
+    a.validate()
+    csr = a.to_csr()
+    csr.validate()
+    assert_close(np.asarray(csr.todense()), np.asarray(a.todense()))
+
+
+@pytest.mark.parametrize("m,n,nnz", DIMS)
+def test_conversions(m, n, nnz):
+    a = gen.generate_csr(m, n, nnz, seed=4)
+    dense = dense_from_csr(a)
+    csc = sp.to_csc(a)
+    csc.validate()
+    assert_close(np.asarray(csc.todense()), dense)
+    back = sp.to_csr(csc)
+    back.validate()
+    assert_close(np.asarray(back.todense()), dense)
+    coo = sp.to_coo(csc)
+    coo.validate()
+    assert_close(np.asarray(coo.todense()), dense)
+
+
+def test_transposed_view_zero_cost():
+    """transposed(CSR) reinterprets as CSC over the same arrays
+    (algorithms/transposed.hpp:7-22 semantics)."""
+    a = gen.generate_csr(30, 50, 200, seed=5)
+    at = sp.transposed(a)
+    assert isinstance(at, sp.CSC)
+    assert at.shape == (50, 30)
+    assert at.values is a.values  # no copy
+    assert_close(np.asarray(at.todense()), dense_from_csr(a).T)
+    # double transpose round-trips
+    att = sp.transposed(at)
+    assert isinstance(att, sp.CSR)
+    assert_close(np.asarray(att.todense()), dense_from_csr(a))
+
+
+def test_bsr_roundtrip():
+    rng = np.random.default_rng(0)
+    dense = rng.normal(size=(64, 96)).astype(np.float32)
+    dense[rng.random((64, 96)) < 0.5] = 0
+    a = sp.BSR.from_dense(dense, block_shape=(16, 16))
+    assert_close(np.asarray(a.todense()), dense)
+
+
+def test_capacity_padding_and_update():
+    a = gen.generate_csr(10, 10, 30, seed=6, capacity=64)
+    assert a.capacity == 64
+    a.validate()
+    # functional update() rebinding (csr_view.hpp:36-49 analogue)
+    b = a.update(values=np.asarray(a.values) * 2)
+    assert_close(np.asarray(b.todense()), 2 * dense_from_csr(a))
+
+
+def test_validate_catches_corruption():
+    a = gen.generate_csr(10, 10, 30, seed=7)
+    bad = sp.CSR(values=a.values, rowptr=a.rowptr,
+                 colind=a.colind.at[0].set(99), nnz=a.nnz, shape=a.shape)
+    with pytest.raises(ValueError):
+        bad.validate()

@@ -1,0 +1,76 @@
+"""Optimized-plan kernels: ELL and DIA SpMV/SpMM vs the generic path,
+and plan selection through matrix_opt."""
+
+import numpy as np
+
+import spblas_tpu as sp
+from spblas_tpu.kernels import dia, ell, plans
+from spblas_tpu.utils import generate as gen
+from tests.util import assert_close, dense_from_csr
+
+
+def test_ell_plan_spmv():
+    a = gen.generate_csr(100, 80, 800, seed=0)
+    x = gen.generate_vector(80, seed=1)
+    plan = ell.build_ell_plan(a)
+    y = ell.ell_spmv(plan, x)
+    assert_close(np.asarray(y), dense_from_csr(a) @ x)
+
+
+def test_ell_plan_spmm():
+    a = gen.generate_csr(60, 50, 500, seed=2)
+    b = gen.generate_dense(50, 16, seed=3)
+    plan = ell.build_ell_plan(a)
+    c = ell.ell_spmm(plan, b)
+    assert_close(np.asarray(c), dense_from_csr(a) @ b, abs_floor=1e-3)
+
+
+def test_ell_refresh_values():
+    a = gen.generate_csr(40, 40, 300, seed=4)
+    x = gen.generate_vector(40, seed=5)
+    plan = ell.build_ell_plan(a)
+    a2 = a.update(values=np.asarray(a.values) * 3)
+    plan2 = plan.refresh_values(a2.values)
+    assert_close(np.asarray(ell.ell_spmv(plan2, x)),
+                 3 * (dense_from_csr(a) @ x))
+
+
+def test_dia_plan_banded():
+    a = gen.generate_banded_csr(200, 200, bandwidth=9, seed=6)
+    x = gen.generate_vector(200, seed=7)
+    assert dia.dia_fill_fraction(a) > 0.9
+    plan = dia.build_dia_plan(a)
+    y = dia.dia_spmv(plan, x)
+    assert_close(np.asarray(y), dense_from_csr(a) @ x, abs_floor=1e-4)
+    b = gen.generate_dense(200, 8, seed=8)
+    c = dia.dia_spmm(plan, b)
+    assert_close(np.asarray(c), dense_from_csr(a) @ b, abs_floor=1e-2)
+
+
+def test_dia_rectangular():
+    a = gen.generate_banded_csr(50, 70, bandwidth=5, seed=9)
+    x = gen.generate_vector(70, seed=10)
+    plan = dia.build_dia_plan(a)
+    assert_close(np.asarray(dia.dia_spmv(plan, x)), dense_from_csr(a) @ x,
+                 abs_floor=1e-4)
+
+
+def test_plan_chooser():
+    banded = gen.generate_banded_csr(128, 128, bandwidth=7, seed=11)
+    kind, _ = plans.build_matvec_plan(banded)
+    assert kind == "dia"
+    scattered = gen.generate_csr(100, 100, 400, seed=12)
+    kind, _ = plans.build_matvec_plan(scattered)
+    assert kind == "ell"
+
+
+def test_matrix_opt_uses_plan():
+    a = gen.generate_banded_csr(64, 64, bandwidth=5, seed=13)
+    x = gen.generate_vector(64, seed=14)
+    opt = sp.matrix_opt(a)
+    y = sp.multiply(opt, x)
+    assert_close(np.asarray(y), dense_from_csr(a) @ x, abs_floor=1e-4)
+    assert "matvec" in opt._plans  # cached after first use
+    b = gen.generate_dense(64, 8, seed=15)
+    c = sp.multiply(opt, b)
+    assert_close(np.asarray(c), dense_from_csr(a) @ b, abs_floor=1e-2)

@@ -1,0 +1,84 @@
+"""SpTRSV tests — mirrors test/gtest/triangular_solve_test.cpp:
+lower/upper triangle, explicit/implicit-unit diagonal, plus the
+level-schedule inspector-executor split (new TPU capability)."""
+
+import numpy as np
+import pytest
+
+import spblas_tpu as sp
+from spblas_tpu.utils import generate as gen
+from tests.util import assert_close, dense_from_csr
+
+
+def _np_trsv(dense, b, lower, unit):
+    m = dense.shape[0]
+    x = np.zeros(m, dtype=np.result_type(dense.dtype, b.dtype))
+    order = range(m) if lower else range(m - 1, -1, -1)
+    for i in order:
+        deps = range(i) if lower else range(i + 1, m)
+        dot = sum(dense[i, k] * x[k] for k in deps)
+        diag = 1.0 if unit else dense[i, i]
+        x[i] = (b[i] - dot) / diag
+    return x
+
+
+@pytest.mark.parametrize("lower", [True, False])
+@pytest.mark.parametrize("unit", [True, False])
+def test_trsv(lower, unit):
+    m = 120
+    a = gen.generate_triangular_csr(m, seed=0, lower=lower, unit_diag=unit,
+                                    density=0.08)
+    b = gen.generate_vector(m, seed=1)
+    uplo = "lower" if lower else "upper"
+    diag = "unit" if unit else "explicit"
+    x = sp.triangular_solve(a, b, uplo=uplo, diag=diag)
+    expected = _np_trsv(dense_from_csr(a), b, lower, unit)
+    assert_close(np.asarray(x), expected, factor=1024, abs_floor=1e-4)
+
+
+def test_trsv_inspect_reuse():
+    """Level schedule amortized across numeric re-runs (the optimize_trsv
+    capability, vendor/onemkl_sycl/triangular_solve_impl.hpp:69-70)."""
+    m = 80
+    a = gen.generate_triangular_csr(m, seed=2, lower=True, density=0.1)
+    info = sp.triangular_solve_inspect(a, uplo="lower", diag="explicit")
+    assert info.plan.num_levels >= 1
+    dense = dense_from_csr(a)
+    for seed in (3, 4):
+        b = gen.generate_vector(m, seed=seed)
+        x = sp.triangular_solve(a, b, uplo="lower", info=info)
+        assert_close(np.asarray(x), _np_trsv(dense, b, True, False),
+                     factor=1024, abs_floor=1e-4)
+
+
+def test_trsv_scaled():
+    m = 60
+    a = gen.generate_triangular_csr(m, seed=5, lower=True, density=0.1)
+    b = gen.generate_vector(m, seed=6)
+    x = sp.triangular_solve(sp.scaled(2.0, a), b, uplo="lower")
+    expected = _np_trsv(2.0 * dense_from_csr(a), b, True, False)
+    assert_close(np.asarray(x), expected, factor=1024, abs_floor=1e-4)
+
+
+def test_trsv_levels_parallelism():
+    """A diagonal matrix solves in one level; a dense-band chain in many."""
+    m = 32
+    diag_only = gen.generate_triangular_csr(m, seed=7, lower=True,
+                                            density=0.0)
+    info = sp.triangular_solve_inspect(diag_only, uplo="lower")
+    assert info.plan.num_levels == 1
+
+
+def test_trsv_missing_diag_raises():
+    a = gen.generate_triangular_csr(10, seed=8, lower=True, unit_diag=True)
+    with pytest.raises(ValueError):
+        sp.triangular_solve_inspect(a, uplo="lower", diag="explicit")
+
+
+def test_trsv_bad_args():
+    a = gen.generate_triangular_csr(10, seed=9, lower=True)
+    b = gen.generate_vector(10, seed=10)
+    with pytest.raises(ValueError):
+        sp.triangular_solve(a, b, uplo="diagonal")
+    with pytest.raises(ValueError):
+        sp.triangular_solve(a, b, diag="fancy")
