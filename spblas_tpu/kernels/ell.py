@@ -53,26 +53,19 @@ class EllPlan:
 
 
 def build_ell_plan(a: CSR, row_pad: int = 8) -> EllPlan:
-    """Host-side plan construction (inspect phase — one-time cost)."""
+    """Host-side plan construction (inspect phase — one-time cost).
+
+    Geometry comes from the native inspector runtime
+    (spblas_tpu.native.ell_geometry, C++ with a numpy fallback)."""
+    from spblas_tpu import native
+
     m, n = a.shape
-    rowptr = np.asarray(a.rowptr)
-    colind = np.asarray(a.colind)
     values = np.asarray(a.values)
     nnz = int(a.nnz)
-    lengths = np.minimum(rowptr[1:], nnz) - np.minimum(rowptr[:-1], nnz)
-    w = max(int(lengths.max()) if m else 0, 1)
     m_pad = -(-m // row_pad) * row_pad
-    ell_vals = np.zeros((m_pad, w), dtype=values.dtype)
-    ell_cols = np.zeros((m_pad, w), dtype=np.int32)
-    gather = np.zeros((m_pad, w), dtype=np.int32)
-    valid = np.zeros((m_pad, w), dtype=bool)
-    for i in range(m):
-        lo = rowptr[i]
-        k = lengths[i]
-        ell_vals[i, :k] = values[lo:lo + k]
-        ell_cols[i, :k] = colind[lo:lo + k]
-        gather[i, :k] = np.arange(lo, lo + k)
-        valid[i, :k] = True
+    gather, ell_cols, valid, w = native.ell_geometry(
+        m, m_pad, nnz, np.asarray(a.rowptr), np.asarray(a.colind))
+    ell_vals = np.where(valid, values[gather], 0)
     return EllPlan(values=jnp.asarray(ell_vals), cols=jnp.asarray(ell_cols),
                    gather_idx=jnp.asarray(gather), valid=jnp.asarray(valid),
                    shape=(m, n))

@@ -60,54 +60,57 @@ def triangular_solve_inspect(a_view, uplo: str = "lower",
         raise ValueError(f"triangular_solve requires square A, got {a.shape}")
     lower = _check_uplo(uplo)
     unit = _check_diag(diag)
-    rowptr = np.asarray(a.rowptr)
+    rowptr = np.asarray(a.rowptr).astype(np.int64)
     colind = np.asarray(a.colind)
     nnz = int(a.nnz)
 
-    # per-row off-diagonal deps + diagonal entry position
-    levels = np.zeros(m, dtype=np.int64)
-    row_entries = []      # (row) -> np.array of entry indices (off-diag)
-    diag_pos = np.full(m, -1, dtype=np.int64)
-    order = range(m) if lower else range(m - 1, -1, -1)
-    for i in order:
-        lo, hi = rowptr[i], min(rowptr[i + 1], nnz)
-        cols_i = colind[lo:hi]
-        eidx = np.arange(lo, hi)
-        if lower:
-            off = eidx[cols_i < i]
-        else:
-            off = eidx[cols_i > i]
-        d = eidx[cols_i == i]
-        if d.size:
-            diag_pos[i] = d[0]
-        elif not unit:
-            raise ValueError(
-                f"explicit-diagonal solve but row {i} has no diagonal entry")
-        row_entries.append((i, off))
-        deps = colind[off]
-        levels[i] = 1 + levels[deps].max() if off.size else 0
-    row_entries = dict(row_entries)
+    # level-set analysis in the native inspector runtime (C++ via ctypes,
+    # numpy fallback) — the work vendors bury in optimize_trsv
+    from spblas_tpu import native
+    levels, diag_pos, num_levels = native.level_schedule(
+        m, nnz, rowptr, colind, lower, unit)
 
-    num_levels = int(levels.max()) + 1 if m else 0
-    lev_rows = [np.nonzero(levels == lv)[0] for lv in range(num_levels)]
-    r_pad = max((len(r) for r in lev_rows), default=1)
-    w_pad = max((len(row_entries[i]) for i in range(m)), default=0)
-    w_pad = max(w_pad, 1)
+    # vectorized padded-schedule assembly from (levels, diag_pos)
+    lo = np.minimum(rowptr[:-1], nnz)
+    hi = np.minimum(rowptr[1:], nnz)
+    row_of = np.repeat(np.arange(m), hi - lo)          # per live entry
+    eidx_all = np.concatenate(
+        [np.arange(a, b) for a, b in zip(lo, hi)]) if m else \
+        np.zeros(0, np.int64)
+    cols_all = colind[eidx_all] if nnz else np.zeros(0, colind.dtype)
+    off = (cols_all < row_of) if lower else (cols_all > row_of)
+    # rank of each off-diag entry within its row
+    c = np.cumsum(off)
+    base = np.concatenate([[0], c])[
+        np.concatenate([[0], np.cumsum(hi - lo)])[:-1]]
+    rank = (c - 1) - np.repeat(base, hi - lo)
+    off_counts = np.zeros(m, np.int64)
+    np.add.at(off_counts, row_of[off], 1)
+    w_pad = max(int(off_counts.max()) if m else 0, 1)
+    # position of each row within its level
+    counts = np.bincount(levels, minlength=max(num_levels, 1)) if m else \
+        np.zeros(1, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    order = np.argsort(levels, kind="stable")
+    j_of = np.empty(m, np.int64)
+    j_of[order] = np.arange(m) - np.repeat(starts, counts)
+    r_pad = max(int(counts.max()) if m else 0, 1)
+    num_levels = max(num_levels, 1)
 
     rows_arr = np.full((num_levels, r_pad), m, dtype=np.int32)
     eidx_arr = np.zeros((num_levels, r_pad, w_pad), dtype=np.int32)
     evalid_arr = np.zeros((num_levels, r_pad, w_pad), dtype=bool)
     cols_arr = np.zeros((num_levels, r_pad, w_pad), dtype=np.int32)
     dpos_arr = np.full((num_levels, r_pad), -1, dtype=np.int32)
-    for lv, rows in enumerate(lev_rows):
-        for j, i in enumerate(rows):
-            rows_arr[lv, j] = i
-            off = row_entries[i]
-            k = len(off)
-            eidx_arr[lv, j, :k] = off
-            evalid_arr[lv, j, :k] = True
-            cols_arr[lv, j, :k] = colind[off]
-            dpos_arr[lv, j] = diag_pos[i]
+    if m:
+        rows_arr[levels, j_of] = np.arange(m, dtype=np.int32)
+        dpos_arr[levels, j_of] = diag_pos.astype(np.int32)
+        lv_e = levels[row_of[off]]
+        j_e = j_of[row_of[off]]
+        r_e = rank[off]
+        eidx_arr[lv_e, j_e, r_e] = eidx_all[off].astype(np.int32)
+        evalid_arr[lv_e, j_e, r_e] = True
+        cols_arr[lv_e, j_e, r_e] = cols_all[off].astype(np.int32)
 
     plan = TrsvPlan(rows=jnp.asarray(rows_arr),
                     entry_idx=jnp.asarray(eidx_arr),

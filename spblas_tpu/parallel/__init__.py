@@ -1,0 +1,30 @@
+"""Distribution layer: row-partitioned sparse ops over a device mesh.
+
+The reference has no distribution of any kind (SURVEY.md §2.6); this layer
+is specified by BASELINE.json's north star — row-partitioned distributed
+SpMV/SpMM/SpGEMM with shard_map-scoped XLA collectives over ICI.
+"""
+
+from spblas_tpu.parallel.mesh import (
+    ROW_AXIS, make_row_mesh, ring_perm, row_sharding, replicated,
+)
+from spblas_tpu.parallel.dist_csr import (
+    DistCSR, partition_csr, partition_vector, gather_result, to_local_csr,
+)
+from spblas_tpu.parallel.rowblock import (
+    RowBlockCSR, partition_rowblock, assemble_csr,
+)
+from spblas_tpu.parallel.spmv import dist_spmv, dist_spmm
+from spblas_tpu.parallel.spgemm import (
+    DistSpgemmPlan, dist_spgemm, dist_spgemm_compute, dist_spgemm_numeric,
+)
+
+__all__ = [
+    "ROW_AXIS", "make_row_mesh", "ring_perm", "row_sharding", "replicated",
+    "DistCSR", "partition_csr", "partition_vector", "gather_result",
+    "to_local_csr",
+    "RowBlockCSR", "partition_rowblock", "assemble_csr",
+    "dist_spmv", "dist_spmm",
+    "DistSpgemmPlan", "dist_spgemm", "dist_spgemm_compute",
+    "dist_spgemm_numeric",
+]

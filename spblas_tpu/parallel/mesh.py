@@ -1,0 +1,58 @@
+"""Device-mesh helpers — the communication substrate layer.
+
+The reference has no distribution layer of any kind (SURVEY.md §2.6: zero
+MPI/NCCL/Gloo occurrences; vendor queues are single-device).  Distribution
+here is a new first-class TPU-native layer: a 1-D ``jax.sharding.Mesh``
+over a row axis, ``shard_map``-scoped XLA collectives (``ppermute`` ring
+halo pipelines, ``all_gather`` fallback, ``psum``), compiled onto ICI.
+
+Multi-host bootstrap is ``jax.distributed.initialize()`` (call it once per
+process before :func:`make_row_mesh` on real pods); single-process tests
+fake an 8-device mesh via ``--xla_force_host_platform_device_count``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ROW_AXIS = "rows"
+
+
+def make_row_mesh(num_devices: Optional[int] = None,
+                  devices: Optional[Sequence] = None,
+                  axis_name: str = ROW_AXIS) -> Mesh:
+    """1-D mesh over the row-partition axis.
+
+    On a real slice, ``jax.make_mesh`` lets XLA pick an ICI-contiguous
+    device order so the ppermute ring in the SpMV pipeline rides
+    neighbor links.
+    """
+    if devices is not None:
+        return Mesh(np.asarray(devices), (axis_name,))
+    if num_devices is None:
+        num_devices = jax.device_count()
+    # Auto axis type: this layer does manual SPMD via shard_map, not the
+    # explicit-sharding tracing mode that jax.make_mesh defaults to.
+    return jax.make_mesh((num_devices,), (axis_name,),
+                         axis_types=(jax.sharding.AxisType.Auto,))
+
+
+def row_sharding(mesh: Mesh, ndim: int = 1,
+                 axis_name: str = ROW_AXIS) -> NamedSharding:
+    """Shard the leading axis over the mesh row axis, replicate the rest."""
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def ring_perm(p: int, shift: int = 1):
+    """Permutation pairs (src, dst) rotating blocks by ``shift`` device
+    positions: after the permute, device d holds what device d+shift held.
+    XLA lowers this to neighbor ICI transfers."""
+    return [(i, (i - shift) % p) for i in range(p)]

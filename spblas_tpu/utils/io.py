@@ -1,0 +1,58 @@
+"""Matrix IO: Matrix Market / SuiteSparse loading.
+
+The reference has no IO layer (its fixtures are seeded generators); the
+benchmark targets (BASELINE.json: SuiteSparse matrices) need one.  The
+parse runs in the native host runtime (spblas_tpu.native.mm_read, C++),
+with duplicate coalescing via the COO container's canonical build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spblas_tpu import native
+from spblas_tpu.formats.csr import CSR
+from spblas_tpu.formats.coo import COO
+
+
+def load_matrix_market(path: str, dtype=np.float32) -> CSR:
+    """Read a Matrix Market coordinate file into a CSR.
+
+    Symmetric/skew storage is expanded, duplicates are summed (the
+    Matrix Market convention), rows arrive sorted by (row, col).
+    """
+    rows, cols, vals, (m, n) = native.mm_read(path)
+    rows, cols, vals, rowptr = native.coo_to_csr(m, rows, cols, vals)
+    # coalesce duplicates (summing) on the sorted stream
+    if len(rows):
+        key_head = np.concatenate(
+            [[True], (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])])
+        group = np.cumsum(key_head) - 1
+        out_vals = np.zeros(group[-1] + 1, dtype=np.float64)
+        np.add.at(out_vals, group, vals)
+        u_rows = rows[key_head]
+        u_cols = cols[key_head]
+        rowptr = np.zeros(m + 1, dtype=np.int64)
+        np.add.at(rowptr[1:], u_rows, 1)
+        rowptr = np.cumsum(rowptr)
+    else:
+        out_vals = vals
+        u_cols = cols
+    return CSR.from_arrays(out_vals.astype(dtype), rowptr, u_cols, (m, n),
+                           nnz=len(out_vals))
+
+
+def save_matrix_market(path: str, a) -> None:
+    """Write a CSR/COO to Matrix Market coordinate general format."""
+    from spblas_tpu.formats.convert import to_coo
+    coo = to_coo(a)
+    nnz = int(coo.nnz)
+    rows = np.asarray(coo.rowind)[:nnz]
+    cols = np.asarray(coo.colind)[:nnz]
+    vals = np.asarray(coo.values)[:nnz]
+    m, n = coo.shape
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{m} {n} {nnz}\n")
+        for i, j, v in zip(rows, cols, vals):
+            f.write(f"{i + 1} {j + 1} {v:.17g}\n")

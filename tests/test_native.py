@@ -1,0 +1,130 @@
+"""Native host-runtime tests: C++ inspectors vs numpy oracles, and
+Matrix Market IO round-trips."""
+
+import numpy as np
+import pytest
+
+from spblas_tpu import native
+from spblas_tpu.utils.generate import generate_csr
+from spblas_tpu.utils.io import load_matrix_market, save_matrix_market
+
+
+def _np_csr(m, n, nnz, seed):
+    a = generate_csr(m, n, nnz, seed=seed)
+    return (np.asarray(a.rowptr).astype(np.int64),
+            np.asarray(a.colind), np.asarray(a.values), int(a.nnz), a)
+
+
+def test_native_lib_builds():
+    assert native.get_lib() is not None, "C++ host runtime failed to build"
+
+
+@pytest.mark.parametrize("m,n,nnz", [(50, 40, 300), (200, 200, 2000)])
+def test_ell_geometry_parity(m, n, nnz):
+    rowptr, colind, values, k, _ = _np_csr(m, n, nnz, seed=3)
+    gather, cols, valid, w = native.ell_geometry(m, m, k, rowptr, colind)
+    lengths = np.diff(np.minimum(rowptr, k))
+    assert w == lengths.max()
+    assert valid.sum() == k
+    # every live slot points at its row's own entries, in order
+    for i in range(m):
+        lo = rowptr[i]
+        L = lengths[i]
+        np.testing.assert_array_equal(gather[i, :L], np.arange(lo, lo + L))
+        np.testing.assert_array_equal(cols[i, :L], colind[lo:lo + L])
+        assert not valid[i, L:].any()
+
+
+def test_transpose_plan_parity():
+    m, n, nnz = 60, 45, 500
+    rowptr, colind, values, k, a = _np_csr(m, n, nnz, seed=4)
+    t_rowptr, perm, t_colind = native.transpose_plan(m, n, k, rowptr,
+                                                     colind)
+    dense = np.asarray(a.todense())
+    t_vals = values[perm]
+    out = np.zeros((n, m), dtype=values.dtype)
+    rows_t = np.repeat(np.arange(n), np.diff(t_rowptr))
+    np.add.at(out, (rows_t, t_colind), t_vals)
+    np.testing.assert_allclose(out, dense.T, rtol=1e-6)
+
+
+def test_spgemm_symbolic_parity():
+    m = k = n = 50
+    ar, ac, _, ka, a = _np_csr(m, k, 400, seed=5)
+    br, bc, _, kb, b = _np_csr(k, n, 400, seed=6)
+    c_rowptr, total = native.spgemm_symbolic(m, n, ka, kb, ar, ac, br, bc)
+    dense_c = (np.asarray(a.todense()) != 0).astype(np.int64) @ \
+        (np.asarray(b.todense()) != 0).astype(np.int64)
+    expected_counts = (dense_c != 0).sum(axis=1)
+    np.testing.assert_array_equal(np.diff(c_rowptr), expected_counts)
+    assert total == expected_counts.sum()
+
+
+def test_level_schedule_chain():
+    # bidiagonal lower: row i depends on i-1 → m levels
+    m = 20
+    rowptr = np.concatenate([[0], np.arange(1, m + 1) * 2 - 1]).astype(
+        np.int64)
+    cols = []
+    for i in range(m):
+        cols.extend([i - 1, i] if i else [0])
+    colind = np.asarray(cols, np.int32)
+    levels, diag, nl = native.level_schedule(
+        m, int(rowptr[-1]), rowptr, colind, True, False)
+    assert nl == m
+    np.testing.assert_array_equal(levels, np.arange(m))
+
+
+def test_level_schedule_diagonal_only():
+    m = 16
+    rowptr = np.arange(m + 1, dtype=np.int64)
+    colind = np.arange(m, dtype=np.int32)
+    levels, diag, nl = native.level_schedule(m, m, rowptr, colind, True,
+                                             False)
+    assert nl == 1
+    assert (levels == 0).all()
+    np.testing.assert_array_equal(diag, np.arange(m))
+
+
+def test_level_schedule_missing_diag_raises():
+    m = 3
+    rowptr = np.array([0, 1, 2, 3], np.int64)
+    colind = np.array([0, 0, 2], np.int32)  # row 1 has no diagonal
+    with pytest.raises(ValueError):
+        native.level_schedule(m, 3, rowptr, colind, True, False)
+    levels, diag, nl = native.level_schedule(m, 3, rowptr, colind, True,
+                                             True)
+    assert diag[1] == -1
+
+
+def test_matrix_market_roundtrip(tmp_path):
+    a = generate_csr(30, 20, 150, seed=7)
+    p = str(tmp_path / "a.mtx")
+    save_matrix_market(p, a)
+    b = load_matrix_market(p)
+    np.testing.assert_allclose(np.asarray(b.todense()),
+                               np.asarray(a.todense()), rtol=1e-6)
+
+
+def test_matrix_market_symmetric(tmp_path):
+    p = str(tmp_path / "s.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real symmetric\n")
+        f.write("3 3 4\n1 1 2.0\n2 1 -1.0\n3 2 0.5\n3 3 4.0\n")
+    a = load_matrix_market(p)
+    dense = np.asarray(a.todense())
+    expected = np.array([[2.0, -1.0, 0.0],
+                         [-1.0, 0.0, 0.5],
+                         [0.0, 0.5, 4.0]], dtype=np.float32)
+    np.testing.assert_allclose(dense, expected)
+
+
+def test_matrix_market_pattern_and_dups(tmp_path):
+    p = str(tmp_path / "p.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n")
+        f.write("2 2 3\n1 1\n1 1\n2 2\n")
+    a = load_matrix_market(p)
+    dense = np.asarray(a.todense())
+    np.testing.assert_allclose(dense, np.array([[2.0, 0], [0, 1.0]],
+                                               dtype=np.float32))
