@@ -39,6 +39,16 @@ class DiaPlan:
         return int(self.diags.shape[0])
 
 
+def _host_row_ids(a: CSR, nnz: int) -> np.ndarray:
+    """Per-entry row ids computed in numpy only — plan builders run on
+    host and must not emit jnp ops (they may be called under an outer
+    jit trace where any jnp op on the captured arrays becomes a tracer)."""
+    rowptr = np.asarray(a.rowptr).astype(np.int64)
+    lo = np.minimum(rowptr[:-1], nnz)
+    hi = np.minimum(rowptr[1:], nnz)
+    return np.repeat(np.arange(a.shape[0]), hi - lo)
+
+
 def dia_fill_fraction(a: CSR) -> float:
     """Fraction of DIA storage that would hold true nonzeros — the plan
     chooser's banded-ness test."""
@@ -47,7 +57,7 @@ def dia_fill_fraction(a: CSR) -> float:
     if nnz == 0:
         return 0.0
     colind = np.asarray(a.colind)[:nnz]
-    rows = np.asarray(a.row_ids())[:nnz]
+    rows = _host_row_ids(a, nnz)
     offs = np.unique(colind.astype(np.int64) - rows)
     return nnz / float(len(offs) * m)
 
@@ -56,7 +66,7 @@ def build_dia_plan(a: CSR) -> DiaPlan:
     m, n = a.shape
     nnz = int(a.nnz)
     colind = np.asarray(a.colind)[:nnz]
-    rows = np.asarray(a.row_ids())[:nnz]
+    rows = _host_row_ids(a, nnz)
     values = np.asarray(a.values)[:nnz]
     offs_arr = colind.astype(np.int64) - rows
     offsets = np.unique(offs_arr)
@@ -69,43 +79,35 @@ def build_dia_plan(a: CSR) -> DiaPlan:
 
 @jax.jit
 def dia_spmv(plan: DiaPlan, x: jax.Array) -> jax.Array:
-    """y[i] = sum_k diags[k, i] * x[i + offsets[k]] — shift-mul-accumulate.
+    """y[i] = sum_k diags[k, i] * x[i + offsets[k]].
 
-    Offsets are static, so each term is a statically-sliced multiply that
-    XLA fuses into a single vectorized pass (no gather, no scatter).
+    x is zero-padded once so every diagonal's term is a full-length
+    static slice multiply — a pure shift-mul-accumulate chain that XLA
+    fuses into a single vectorized pass (no gather, no scatter, no
+    variable-span update slices).  diags[k, i] is 0 wherever i + off
+    falls outside the matrix, so padding contributes nothing.
     """
     m, n = plan.shape
+    pad_lo = max(-min(plan.offsets, default=0), 0)
+    pad_hi = max(max(plan.offsets, default=0) + m - n, 0)
+    xp = jnp.pad(x, (pad_lo, pad_hi))
     y = jnp.zeros((m,), dtype=jnp.result_type(plan.diags.dtype, x.dtype))
     for k, off in enumerate(plan.offsets):
-        d = plan.diags[k]
-        if off >= 0:
-            span = min(m, n - off)
-            if span <= 0:
-                continue
-            y = y.at[:span].add(d[:span] * x[off:off + span])
-        else:
-            span = min(m + off, n)
-            if span <= 0:
-                continue
-            y = y.at[-off:-off + span].add(d[-off:-off + span] * x[:span])
+        y = y + plan.diags[k] * jax.lax.slice(
+            xp, (pad_lo + off,), (pad_lo + off + m,))
     return y
 
 
 @jax.jit
 def dia_spmm(plan: DiaPlan, b: jax.Array) -> jax.Array:
     m, n = plan.shape
-    c = jnp.zeros((m, b.shape[1]),
+    pad_lo = max(-min(plan.offsets, default=0), 0)
+    pad_hi = max(max(plan.offsets, default=0) + m - n, 0)
+    bp = jnp.pad(b, ((pad_lo, pad_hi), (0, 0)))
+    kdim = b.shape[1]
+    c = jnp.zeros((m, kdim),
                   dtype=jnp.result_type(plan.diags.dtype, b.dtype))
     for k, off in enumerate(plan.offsets):
-        d = plan.diags[k][:, None]
-        if off >= 0:
-            span = min(m, n - off)
-            if span <= 0:
-                continue
-            c = c.at[:span].add(d[:span] * b[off:off + span])
-        else:
-            span = min(m + off, n)
-            if span <= 0:
-                continue
-            c = c.at[-off:-off + span].add(d[-off:-off + span] * b[:span])
+        c = c + plan.diags[k][:, None] * jax.lax.slice(
+            bp, (pad_lo + off, 0), (pad_lo + off + m, kdim))
     return c

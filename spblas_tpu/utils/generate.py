@@ -157,3 +157,24 @@ def generate_triangular_csr(m, seed=0, lower=True, unit_diag=False,
     rows, cols, vals = rows[order], cols[order], vals[order]
     return CSR.from_arrays(vals, _rows_to_rowptr(rows, m), cols, (m, m),
                            nnz=len(rows), capacity=capacity)
+
+
+def generate_dcsr(m, n, nnz, seed=0, dtype=np.float32):
+    """Hypersparse fixture: entries concentrated in few rows — mirrors the
+    reference's generate_dcsr (backend/generate.hpp:140-168)."""
+    from spblas_tpu.formats.dcsr import DCSR
+    rng = np.random.default_rng(seed)
+    num_rows = max(1, min(m, nnz // 4 + 1))
+    active = np.sort(rng.choice(m, size=num_rows, replace=False))
+    rows = rng.choice(active, size=nnz)
+    cols = rng.integers(0, n, size=nnz)
+    # unique (row, col)
+    key = rows.astype(np.int64) * n + cols
+    _, idx = np.unique(key, return_index=True)
+    rows, cols = rows[idx], cols[idx]
+    vals = rng.uniform(0, 100, len(rows)).astype(dtype)
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    csr = CSR.from_arrays(vals, _rows_to_rowptr(rows, m), cols, (m, n),
+                          nnz=len(rows))
+    return DCSR.from_csr(csr)

@@ -1,0 +1,72 @@
+"""Plan / info serialization — amortize inspection cost across runs.
+
+The reference's persistent state is in-memory only (operation_info_t
+handles, matrix_opt caches — SURVEY.md §5.4); here every plan is a
+registered-dataclass pytree of arrays + static metadata, so it round-trips
+through one ``.npz`` file: partition maps, level schedules, ELL geometry,
+SpGEMM gather maps can be computed once and reloaded by later jobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_jsonable(v):
+    if isinstance(v, tuple):
+        return {"__tuple__": [_to_jsonable(x) for x in v]}
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    return v
+
+
+def _from_jsonable(v):
+    if isinstance(v, dict) and "__tuple__" in v:
+        return tuple(_from_jsonable(x) for x in v["__tuple__"])
+    if isinstance(v, list):
+        return [_from_jsonable(x) for x in v]
+    return v
+
+
+def save_plan(path: str, plan) -> None:
+    """Persist any registered-dataclass plan (SpgemmPlan, TrsvPlan,
+    EllPlan, DiaPlan, DistSpgemmPlan, ...) to ``path`` (.npz)."""
+    cls = type(plan)
+    if not dataclasses.is_dataclass(plan):
+        raise TypeError(f"not a dataclass plan: {cls!r}")
+    arrays = {}
+    static = {}
+    for f in dataclasses.fields(cls):
+        v = getattr(plan, f.name)
+        if f.metadata.get("static"):
+            static[f.name] = _to_jsonable(v)
+        else:
+            arrays[f.name] = np.asarray(v)
+    np.savez(path,
+             __class__=np.str_(f"{cls.__module__}:{cls.__qualname__}"),
+             __static__=np.str_(json.dumps(static)),
+             **arrays)
+
+
+def load_plan(path: str):
+    """Reload a plan saved by :func:`save_plan`; arrays come back as
+    device arrays ready for the jitted execute phase."""
+    with np.load(path, allow_pickle=False) as z:
+        mod_name, _, qual = str(z["__class__"]).partition(":")
+        cls = importlib.import_module(mod_name)
+        for part in qual.split("."):
+            cls = getattr(cls, part)
+        static = {k: _from_jsonable(v)
+                  for k, v in json.loads(str(z["__static__"])).items()}
+        kwargs = dict(static)
+        for f in dataclasses.fields(cls):
+            if f.name in z.files:
+                kwargs[f.name] = jnp.asarray(z[f.name])
+        return cls(**kwargs)

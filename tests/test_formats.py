@@ -92,3 +92,31 @@ def test_validate_catches_corruption():
                  colind=a.colind.at[0].set(99), nnz=a.nnz, shape=a.shape)
     with pytest.raises(ValueError):
         bad.validate()
+
+
+def test_dcsr_roundtrip():
+    from spblas_tpu.formats.dcsr import DCSR
+    from spblas_tpu.utils.generate import generate_dcsr
+    import numpy as np
+    d = generate_dcsr(100, 50, 120, seed=0)
+    back = d.to_csr()
+    np.testing.assert_allclose(np.asarray(back.todense()),
+                               np.asarray(d.todense()))
+    # hypersparse: far fewer stored rows than m
+    assert int(d.nrows) < 100
+    # round-trip through CSR again
+    d2 = DCSR.from_csr(back)
+    np.testing.assert_allclose(np.asarray(d2.todense()),
+                               np.asarray(d.todense()))
+
+
+def test_dcsr_spmv_via_csr():
+    import numpy as np
+    import spblas_tpu as sp
+    from spblas_tpu.utils.generate import generate_dcsr, generate_vector
+    d = generate_dcsr(80, 60, 100, seed=1)
+    x = generate_vector(60, seed=2)
+    y = sp.multiply(d.to_csr(), x)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(d.todense()) @ np.asarray(x),
+                               rtol=1e-4)
