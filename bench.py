@@ -2,10 +2,11 @@
 
 The reference ships no numbers (BASELINE.md); targets come from
 BASELINE.json's roofline model: CSR f32/i32 SpMV moves ~12 B of matrix
-traffic per nonzero, so roofline nnz/s = HBM_BW / 12.  The headline metric
-mirrors configs[0] (banded 10k x 10k SpMV, examples/simple_spmv.cpp shape
-template): optimized-plan SpMV throughput as a fraction of that CSR
-roofline — the DIA plan moves ~4 B/nnz, so beating 1.0 is expected.
+traffic per nonzero, so roofline nnz/s = HBM_BW / 12.  The headline
+metric mirrors configs[0] (banded 10k x 10k SpMV,
+examples/simple_spmv.cpp shape template) through the optimized
+matrix_opt plan path — on TPU that is the banded-panel Pallas kernel
+(kernels/banded.py).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "nnz/s", "vs_baseline": N, ...}
@@ -20,118 +21,121 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# chip HBM bandwidth (GB/s) by device_kind prefix; CPU fallback nominal
-_HBM_GBPS = [
-    ("TPU v6 lite", 1640.0),
-    ("TPU v6", 3584.0),
-    ("TPU v5 lite", 819.0),
-    ("TPU v5p", 2765.0),
-    ("TPU v5", 2765.0),
-    ("TPU v4", 1228.0),
-    ("TPU v3", 900.0),
-]
-_CPU_GBPS = 100.0
+from spblas_tpu.utils.profiling import device_hbm_gbps
 
 
-def hbm_bandwidth_gbps() -> float:
-    kind = jax.devices()[0].device_kind
-    for prefix, bw in _HBM_GBPS:
-        if kind.startswith(prefix):
-            return bw
-    return _CPU_GBPS
-
-
-def banded_csr(m: int, half_bw: int, dtype=np.float32):
-    """10k-class banded matrix (configs[0] shape template)."""
-    from spblas_tpu import CSR
-    offs = np.arange(-half_bw, half_bw + 1)
-    rows_l, cols_l, vals_l = [], [], []
-    rng = np.random.default_rng(0)
-    for o in offs:
-        i0, i1 = max(0, -o), min(m, m - o)
-        i = np.arange(i0, i1)
-        rows_l.append(i)
-        cols_l.append(i + o)
-        vals_l.append(rng.uniform(0.1, 1.0, i1 - i0).astype(dtype))
-    rows = np.concatenate(rows_l)
-    cols = np.concatenate(cols_l)
-    vals = np.concatenate(vals_l)
-    order = np.lexsort((cols, rows))
-    rows, cols, vals = rows[order], cols[order], vals[order]
-    rowptr = np.zeros(m + 1, dtype=np.int64)
-    np.add.at(rowptr[1:], rows, 1)
-    rowptr = np.cumsum(rowptr)
-    return CSR.from_arrays(vals, rowptr, cols, (m, m), nnz=len(vals))
-
-
-def _time_chained(step, x0, iters: int) -> float:
-    """Wall time per application of `step`, amortized over a jitted chain
-    (defeats both dispatch overhead and cross-iteration CSE)."""
+def _time_chained(step, params, x0, iters: int, reps: int = 3) -> float:
+    """Best wall time per `step(params, x)` application over a jitted
+    chain.  `params` rides as a traced argument — closure constants get
+    embedded in the program and shipped to the (remote) compiler."""
 
     @jax.jit
-    def chain(x):
-        def body(_, v):
-            return step(v)
-        return jax.lax.fori_loop(0, iters, body, x)
+    def chain(params, x):
+        return jax.lax.fori_loop(0, iters, lambda _, v: step(params, v), x)
 
-    y = chain(x0)
-    jax.block_until_ready(y)          # compile + warm
-    reps, best = 3, float("inf")
+    jax.block_until_ready(chain(params, x0))
+    best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(x0))
+        jax.block_until_ready(chain(params, x0))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 
 
 def bench_spmv_banded(m=10_000, half_bw=50):
-    from spblas_tpu import matrix_opt, spmv
-    a = banded_csr(m, half_bw)
+    """Headline: banded SpMV via the optimized plan (configs[0])."""
+    from spblas_tpu.kernels import plans as _plans
+    from spblas_tpu.utils.generate import generate_banded_csr
+
+    a = generate_banded_csr(m, m, 2 * half_bw + 1, seed=0)
     nnz = int(a.nnz)
-    a_opt = matrix_opt(a)
-    x0 = jnp.ones((m,), dtype=jnp.float32) / m
+    kind, plan = _plans.build_matvec_plan(a)
+    scale = jnp.float32(2 * half_bw + 1)
 
-    def step(x):
-        y = spmv(a_opt, x)
-        # keep magnitudes bounded so a 100-deep chain can't overflow
-        return y / jnp.float32(half_bw * 2 + 1)
+    def step(plan, x):
+        return _plans.plan_spmv((kind, plan), x) / scale
 
-    sec = _time_chained(step, x0, iters=100)
-    return nnz / sec, nnz
+    sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
+                        iters=300)
+    return nnz / sec, nnz, kind
 
 
-def bench_spmv_csr_general(m=20_000, nnz=2_000_000):
-    """General (unstructured) CSR path: gather + segment-sum."""
+def bench_spmm_banded(m=10_000, half_bw=50, k=256):
+    from spblas_tpu.kernels import plans as _plans
+    from spblas_tpu.utils.generate import generate_banded_csr
+
+    a = generate_banded_csr(m, m, 2 * half_bw + 1, seed=0)
+    nnz = int(a.nnz)
+    kind, plan = _plans.build_matvec_plan(a)
+    scale = jnp.float32(2 * half_bw + 1)
+
+    def step(plan, b):
+        return _plans.plan_spmm((kind, plan), b) / scale
+
+    sec = _time_chained(step, plan, jnp.ones((m, k), jnp.float32),
+                        iters=100)
+    return 2 * nnz * k / sec, nnz
+
+
+def bench_spmv_general(m=2_000, nnz=100_000):
+    """Unstructured square matrix through the plan chooser (RCM can't
+    bandify a uniform-random pattern, so this lands on the ELL path —
+    honest cost of gather-bound generic sparsity on TPU)."""
+    from spblas_tpu.kernels import plans as _plans
     from spblas_tpu.utils.generate import generate_csr
-    from spblas_tpu import spmv
+
     a = generate_csr(m, m, nnz, seed=0)
-    x0 = jnp.ones((m,), dtype=jnp.float32)
+    kind, plan = _plans.build_matvec_plan(a)
+    scale = jnp.float32(nnz / m)
 
-    def step(x):
-        y = spmv(a, x)
-        return y / jnp.float32(nnz / m)
+    def step(plan, x):
+        return _plans.plan_spmv((kind, plan), x) / scale
 
-    sec = _time_chained(step, x0, iters=20)
-    return int(a.nnz) / sec
+    sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32), iters=10)
+    return int(a.nnz) / sec, kind
+
+
+def bench_spgemm(m=2_000, nnz=40_000):
+    """Two-phase SpGEMM C = A @ A: symbolic and numeric timed separately
+    (configs[2])."""
+    from spblas_tpu.ops.spgemm import spgemm_compute, spgemm_fill
+    from spblas_tpu.utils.generate import generate_csr
+
+    a = generate_csr(m, m, nnz, seed=0)
+    t0 = time.perf_counter()
+    info = spgemm_compute(a, a)
+    t_sym = time.perf_counter() - t0
+    c = spgemm_fill(info, a, a)
+    jax.block_until_ready(c.values)
+    t0 = time.perf_counter()
+    c = spgemm_fill(info, a, a)
+    jax.block_until_ready(c.values)
+    t_num = time.perf_counter() - t0
+    return t_sym, t_num, info.result_nnz
 
 
 def main():
-    bw = hbm_bandwidth_gbps()
+    bw = device_hbm_gbps()
     roofline_nnz_s = bw * 1e9 / 12.0   # CSR f32/i32 model (BASELINE.md)
 
-    nnz_s, nnz = bench_spmv_banded()
+    nnz_s, nnz, kind = bench_spmv_banded()
     details = {
         "device": jax.devices()[0].device_kind,
         "hbm_gbps": bw,
         "csr_roofline_nnz_s": roofline_nnz_s,
         "banded_nnz": nnz,
+        "banded_plan": kind,
     }
-    try:
-        details["spmv_csr_general_nnz_s"] = bench_spmv_csr_general()
-        details["csr_general_vs_roofline"] = (
-            details["spmv_csr_general_nnz_s"] / roofline_nnz_s)
-    except Exception as e:  # keep the headline line even if extras fail
-        details["spmv_csr_general_error"] = repr(e)
+    for name, fn in (
+        ("spmm_banded_k256_flops_s", lambda: bench_spmm_banded()[0]),
+        ("spmv_general_nnz_s", lambda: bench_spmv_general()[0]),
+        ("spgemm_2k", lambda: dict(zip(
+            ("symbolic_s", "numeric_s", "result_nnz"), bench_spgemm()))),
+    ):
+        try:
+            details[name] = fn()
+        except Exception as e:  # keep the headline even if extras fail
+            details[name + "_error"] = repr(e)
 
     print(json.dumps({
         "metric": "spmv_banded_10k_nnz_s",

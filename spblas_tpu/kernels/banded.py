@@ -1,0 +1,264 @@
+"""Banded-panel Pallas kernel: band SpMV/SpMM as dense MXU contractions.
+
+Why this exists (measured on TPU v5e): XLA's per-element gather/scatter
+runs ~0.13 G elem/s — three orders of magnitude under HBM roofline — so
+any gather-based SpMV formulation is dead on arrival.  For banded
+matrices the structure removes indices entirely: 128-row blocks of a
+band with half-width h touch only columns [i*128 - h, i*128 + 127 + h],
+so each block is a dense (128, W) panel (W = 128 + 2*ceil(h/64)*64,
+windows 64-aligned) and SpMV becomes a stream of (128, W) @ (W,) MXU
+contractions with x resident in VMEM.
+
+Traffic ≈ W/(2h+1) * 4 bytes per true nonzero (≈10 B/nnz at h=50),
+i.e. at or above the CSR 12 B/nnz roofline line that BASELINE.md tracks,
+with zero index loads.  The Pallas grid pipeline double-buffers panel
+loads automatically via the blocked input spec.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spblas_tpu.formats.csr import CSR
+
+_R = 128  # rows per panel
+_G = 8    # panels per grid program (amortizes per-program grid cost)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandPlan:
+    """panels (nblk * 128, W): row-block i's dense band window;
+    pad_l: left extent (64-aligned) such that panel column c maps to
+    global column i*128 + c - pad_l."""
+
+    panels: jax.Array
+    pad_l: int = dataclasses.field(metadata=dict(static=True))
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def width(self) -> int:
+        return int(self.panels.shape[1])
+
+    @property
+    def nblocks(self) -> int:
+        return int(self.panels.shape[0]) // _R
+
+
+def band_halfwidth(a: CSR) -> int:
+    """Max |col - row| over live entries (host-side, numpy only)."""
+    nnz = int(a.nnz)
+    if nnz == 0:
+        return 0
+    rowptr = np.asarray(a.rowptr).astype(np.int64)
+    lo = np.minimum(rowptr[:-1], nnz)
+    hi = np.minimum(rowptr[1:], nnz)
+    rows = np.repeat(np.arange(a.shape[0]), hi - lo)
+    cols = np.asarray(a.colind)[:nnz]
+    return int(np.abs(cols - rows).max())
+
+
+def build_band_plan(a: CSR) -> BandPlan:
+    """Host inspect: re-lay the band into dense 128-row panels.
+
+    nblk is padded to a multiple of 8 so the kernels can process 8
+    panels per grid program (amortizing the ~1.5 us/program grid cost
+    that would otherwise dominate this bandwidth-bound kernel)."""
+    m, n = a.shape
+    nnz = int(a.nnz)
+    h = band_halfwidth(a)
+    pad_l = -(-h // 64) * 64
+    w = _R + 2 * pad_l
+    nblk = -(-m // _R)
+    nblk = -(-nblk // _G) * _G
+    panels = np.zeros((nblk * _R, w), dtype=np.asarray(a.values).dtype)
+    rowptr = np.asarray(a.rowptr).astype(np.int64)
+    lo = np.minimum(rowptr[:-1], nnz)
+    hi = np.minimum(rowptr[1:], nnz)
+    rows = np.repeat(np.arange(m), hi - lo)
+    cols = np.asarray(a.colind)[:nnz]
+    vals = np.asarray(a.values)[:nnz]
+    # panel-local column: global col - (block_start - pad_l)
+    c_loc = cols - (rows // _R) * _R + pad_l
+    keep = (c_loc >= 0) & (c_loc < w)
+    if not keep.all():
+        raise ValueError("entry outside declared band window")
+    panels[rows, c_loc] = vals
+    return BandPlan(panels=jnp.asarray(panels), pad_l=pad_l, shape=(m, n))
+
+
+def _spmv_kernel(panel_ref, xp_ref, out_ref, *, w):
+    # one program handles _G consecutive panels.  The inner op is VPU
+    # elementwise + lane reduction, NOT a dot: an M=1 MXU matmul is
+    # latency-bound (~1.3 us per panel measured), while the VPU form is
+    # bandwidth-bound on the panel stream.
+    i = pl.program_id(0)
+    base = i * _G * _R
+    for s in range(_G):
+        xwin = xp_ref[0, pl.ds(base + s * _R, w)]       # (w,)
+        prod = panel_ref[pl.ds(s * _R, _R), :] * xwin[None, :]
+        out_ref[s, :] = jnp.sum(prod, axis=1)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def band_spmv(plan: BandPlan, x: jax.Array,
+              interpret: bool | None = None) -> jax.Array:
+    """y = A @ x over the panel layout; x zero-padded into VMEM."""
+    m, n = plan.shape
+    w = plan.width
+    nblk = plan.nblocks
+    if interpret is None:
+        interpret = not _on_tpu()
+    # pad so window [i*128, i*128 + w) is always in bounds
+    xp = jnp.pad(x, (plan.pad_l, nblk * _R + w - plan.pad_l - n))
+    y = pl.pallas_call(
+        functools.partial(_spmv_kernel, w=w),
+        out_shape=jax.ShapeDtypeStruct((nblk, _R), jnp.float32),
+        grid=(nblk // _G,),
+        in_specs=[
+            pl.BlockSpec((_G * _R, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # streamed panels
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # xp resident
+        ],
+        out_specs=pl.BlockSpec((_G, _R), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nblk * _R * w,
+            bytes_accessed=nblk * _R * w * 4 + xp.shape[0] * 4 + m * 4,
+            transcendentals=0,
+        ),
+    )(plan.panels, xp[None, :].astype(jnp.float32))
+    return y.reshape(nblk * _R)[:m].astype(
+        jnp.result_type(plan.panels.dtype, x.dtype))
+
+
+def _spmm_kernel(panel_ref, bp_ref, out_ref, *, w):
+    i = pl.program_id(0)
+    base = i * _G * _R
+    for s in range(_G):
+        bwin = bp_ref[pl.ds(base + s * _R, w), :]
+        out_ref[pl.ds(s * _R, _R), :] = jax.lax.dot_general(
+            panel_ref[pl.ds(s * _R, _R), :], bwin,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def band_spmm(plan: BandPlan, b: jax.Array,
+              interpret: bool | None = None) -> jax.Array:
+    """C = A @ B (dense B) over the panel layout.
+
+    B is padded and kept in VMEM whole — suitable while (n + w) * k * 4
+    fits (~10 MB); larger operands should tile B (future work).
+    """
+    m, n = plan.shape
+    w = plan.width
+    k = b.shape[1]
+    nblk = plan.nblocks
+    if interpret is None:
+        interpret = not _on_tpu()
+    bp = jnp.pad(b, ((plan.pad_l, nblk * _R + w - plan.pad_l - n), (0, 0)))
+    c = pl.pallas_call(
+        functools.partial(_spmm_kernel, w=w),
+        out_shape=jax.ShapeDtypeStruct((nblk * _R, k), jnp.float32),
+        grid=(nblk // _G,),
+        in_specs=[
+            pl.BlockSpec((_G * _R, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_G * _R, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(plan.panels, bp.astype(jnp.float32))
+    return c[:m].astype(jnp.result_type(plan.panels.dtype, b.dtype))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PermutedBandPlan:
+    """RCM-reordered band plan for general square matrices.
+
+    On TPU, per-element gather runs ~0.13 G elem/s, so generic sparsity
+    is restructured: the native RCM inspector (spblas_tpu.native.rcm)
+    finds a low-bandwidth symmetric ordering P, the permuted matrix
+    P·A·Pᵀ becomes dense band panels, and the two permutations are
+    applied by `lax.sort` (vectorized keyed sort — NOT gather):
+      x_p  = sort by rank  (rank[j] = new position of old j)
+      y    = sort by perm  (perm[i] = old position of new i)
+    """
+
+    band: BandPlan
+    perm: jax.Array   # (mp,) int32, padded with m..mp-1 identities
+    rank: jax.Array   # (mp,) int32 inverse
+
+    @property
+    def shape(self):
+        return self.band.shape
+
+
+def build_permuted_band_plan(a: CSR) -> PermutedBandPlan:
+    from spblas_tpu import native
+
+    m, n = a.shape
+    if m != n:
+        raise ValueError("permuted band plan requires a square matrix")
+    nnz = int(a.nnz)
+    rowptr = np.asarray(a.rowptr).astype(np.int64)
+    colind = np.asarray(a.colind)[:nnz]
+    perm, h = native.rcm(m, nnz, rowptr, colind)
+    rank = np.empty(m, np.int64)
+    rank[perm] = np.arange(m)
+    # permute the CSR on host (inspect-time cost)
+    lo = np.minimum(rowptr[:-1], nnz)
+    hi = np.minimum(rowptr[1:], nnz)
+    vals = np.asarray(a.values)[:nnz]
+    new_rows = rank[np.repeat(np.arange(m), hi - lo)]
+    new_cols = rank[colind]
+    order = np.lexsort((new_cols, new_rows))
+    p_rowptr = np.zeros(m + 1, np.int64)
+    np.add.at(p_rowptr[1:], new_rows, 1)
+    p_rowptr = np.cumsum(p_rowptr)
+    pa = CSR.from_arrays(vals[order], p_rowptr, new_cols[order], (m, m),
+                         nnz=nnz)
+    band = build_band_plan(pa)
+    mp = band.nblocks * _R
+    perm_p = np.concatenate([perm, np.arange(m, mp)])
+    rank_p = np.concatenate([rank, np.arange(m, mp)])
+    return PermutedBandPlan(band=band,
+                            perm=jnp.asarray(perm_p, jnp.int32),
+                            rank=jnp.asarray(rank_p, jnp.int32))
+
+
+def _permute_by_sort(keys: jax.Array, values: jax.Array) -> jax.Array:
+    """values reordered so output[keys[j]] = values[j] — a scatter/gather
+    expressed as a keyed sort (fast on TPU where gather isn't)."""
+    return jax.lax.sort((keys, values), num_keys=1)[1]
+
+
+def permuted_band_spmv(plan: PermutedBandPlan, x: jax.Array,
+                       interpret: bool | None = None) -> jax.Array:
+    m, n = plan.shape
+    mp = plan.perm.shape[0]
+    x_p = _permute_by_sort(plan.rank, jnp.pad(x, (0, mp - n)))
+    y_p = band_spmv(plan.band, x_p[:n], interpret=interpret)
+    y = _permute_by_sort(plan.perm,
+                         jnp.pad(y_p, (0, mp - y_p.shape[0])))
+    return y[:m]

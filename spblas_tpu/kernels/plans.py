@@ -2,10 +2,14 @@
 
 The reference's vendors hide structure exploitation behind opaque handle
 optimization (``optimize_gemv``/``optimize_gemm``,
-vendor/onemkl_sycl/detail/matrix_opt hooks); here the chooser is explicit:
+vendor/onemkl_sycl/detail/matrix_opt hooks); here the chooser is explicit
+and measured (on TPU v5e, XLA per-element gather runs ~0.13 G elem/s —
+see kernels/banded.py — so structure exploitation is not an optimization
+but the difference between roofline and uselessness):
 
-  banded (DIA fill fraction high)  → DIA plan: zero index traffic
-  general                          → ELL/SELL padded-row plan
+  banded, on TPU          → banded-panel MXU plan (dense 128-row windows)
+  banded, elsewhere       → DIA shift-mul-accumulate (zero index traffic)
+  general                 → ELL/SELL padded-row plan
 
 Plans are cached on the OptimizedMatrix wrapper per op key, mirroring the
 lazy handle cache (detail/get_matrix_handle.hpp:17-40).
@@ -18,6 +22,11 @@ from typing import Tuple
 import jax
 
 from spblas_tpu.formats.convert import to_csr
+from spblas_tpu.kernels.banded import (BandPlan, band_halfwidth,
+                                       band_spmm, band_spmv,
+                                       build_band_plan,
+                                       build_permuted_band_plan,
+                                       permuted_band_spmv)
 from spblas_tpu.kernels.dia import (DiaPlan, build_dia_plan, dia_spmv,
                                     dia_spmm, dia_fill_fraction)
 from spblas_tpu.kernels.ell import (EllPlan, build_ell_plan, ell_spmv,
@@ -27,10 +36,43 @@ from spblas_tpu.kernels.ell import (EllPlan, build_ell_plan, ell_spmv,
 # above ~1/3 fill, 4 B/slot dense diagonals move fewer bytes than
 # 12 B/nnz CSR-style storage.
 _DIA_FILL_THRESHOLD = 0.34
+# banded-panel storage is W/(2h+1)-dense; keep it while the panel is
+# at least ~15% true nonzeros (else ELL's 8 B/nnz wins on traffic)
+_BAND_FILL_THRESHOLD = 0.15
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def _band_fill(a, h) -> float:
+    w = 128 + 2 * (-(-h // 64) * 64)
+    return int(a.nnz) / float(max(a.shape[0], 1) * w)
 
 
 def build_matvec_plan(a) -> Tuple[str, object]:
     a = to_csr(a)
+    m, n = a.shape
+    h = band_halfwidth(a)
+    if _on_tpu():
+        if _band_fill(a, h) >= _BAND_FILL_THRESHOLD:
+            return ("band", build_band_plan(a))
+        if m == n:
+            # generic sparsity: try an RCM reordering into band panels
+            # (native inspector); keep it if the permuted band is dense
+            # enough to beat the gather-based ELL path (which on TPU is
+            # ~0.13 G elem/s — almost anything beats it)
+            from spblas_tpu import native
+            nnz = int(a.nnz)
+            import numpy as np
+            perm, h2 = native.rcm(
+                m, nnz, np.asarray(a.rowptr).astype(np.int64),
+                np.asarray(a.colind))
+            if _band_fill(a, h2) >= 0.02:
+                return ("band_perm", build_permuted_band_plan(a))
     if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
         return ("dia", build_dia_plan(a))
     return ("ell", build_ell_plan(a))
@@ -38,6 +80,10 @@ def build_matvec_plan(a) -> Tuple[str, object]:
 
 def plan_spmv(plan: Tuple[str, object], x: jax.Array) -> jax.Array:
     kind, p = plan
+    if kind == "band":
+        return band_spmv(p, x)
+    if kind == "band_perm":
+        return permuted_band_spmv(p, x)
     if kind == "dia":
         return dia_spmv(p, x)
     return ell_spmv(p, x)
@@ -45,6 +91,24 @@ def plan_spmv(plan: Tuple[str, object], x: jax.Array) -> jax.Array:
 
 def plan_spmm(plan: Tuple[str, object], b: jax.Array) -> jax.Array:
     kind, p = plan
+    if kind == "band_perm":
+        # permute B rows by one multi-operand sort, band SpMM, un-permute
+        import jax.numpy as jnp
+
+        def row_permute(keys, mat):
+            cols = tuple(mat[:, j] for j in range(mat.shape[1]))
+            sorted_ = jax.lax.sort((keys,) + cols, num_keys=1)[1:]
+            return jnp.stack(sorted_, axis=1)
+
+        mp = p.perm.shape[0]
+        n = p.shape[1]
+        bp = jnp.pad(b, ((0, mp - b.shape[0]), (0, 0)))
+        b_p = row_permute(p.rank, bp)[:n]
+        c_p = band_spmm(p.band, b_p)
+        cp = jnp.pad(c_p, ((0, mp - c_p.shape[0]), (0, 0)))
+        return row_permute(p.perm, cp)[: p.shape[0]]
+    if kind == "band":
+        return band_spmm(p, b)
     if kind == "dia":
         return dia_spmm(p, b)
     return ell_spmm(p, b)

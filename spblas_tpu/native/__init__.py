@@ -86,6 +86,8 @@ def _declare(lib):
                                    ctypes.c_void_p, ctypes.c_void_p]
     lib.spblas_coo_to_csr.restype = None
     lib.spblas_coo_to_csr.argtypes = [i64, i64, i32p, i32p, f64p, i64p]
+    lib.spblas_rcm.restype = i64
+    lib.spblas_rcm.argtypes = [i64, i64, i64p, i32p, i64p]
 
 
 # ------------------------------------------------------------------ #
@@ -279,3 +281,24 @@ def coo_to_csr(m, rows, cols, vals):
     rowptr = np.zeros(m + 1, np.int64)
     np.add.at(rowptr[1:], rows, 1)
     return rows, cols, vals, np.cumsum(rowptr)
+
+
+def rcm(m, nnz, rowptr, colind):
+    """Reverse Cuthill-McKee ordering on A + A^T.
+
+    Returns (perm, halfwidth): perm[i] = old row id at new position i,
+    and the permuted matrix's band half-width.  Native only (no numpy
+    fallback — returns identity with original width if unavailable).
+    """
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    colind = np.ascontiguousarray(colind, dtype=np.int32)
+    lib = get_lib()
+    if lib is None:
+        rows = np.repeat(np.arange(m),
+                         np.minimum(rowptr[1:], nnz) -
+                         np.minimum(rowptr[:-1], nnz))
+        h = int(np.abs(colind[:nnz] - rows).max()) if nnz else 0
+        return np.arange(m, dtype=np.int64), h
+    perm = np.zeros(m, np.int64)
+    h = int(lib.spblas_rcm(m, nnz, rowptr, colind, perm))
+    return perm, h

@@ -257,3 +257,93 @@ void spblas_coo_to_csr(int64_t m, int64_t nnz, int32_t* rows, int32_t* cols,
 }
 
 }  // extern "C"
+
+// ----------------------------------------------------------------- //
+// Reverse Cuthill-McKee bandwidth reduction on the symmetrized graph
+// A + A^T.  The inspector step of the permuted-band plan: on TPUs,
+// per-element gather is catastrophically slow, so generic sparsity is
+// restructured into dense band panels when a low-bandwidth ordering
+// exists.  out_perm int64[m]: new-order -> old row id.  Returns the
+// half bandwidth of the permuted matrix.
+// ----------------------------------------------------------------- //
+extern "C" int64_t spblas_rcm(int64_t m, int64_t nnz, const int64_t* rowptr,
+                              const int32_t* colind, int64_t* out_perm) {
+  // adjacency = A + A^T (structure only)
+  std::vector<int64_t> t_cnt(m + 1, 0);
+  for (int64_t e = 0; e < nnz; ++e) t_cnt[colind[e] + 1]++;
+  for (int64_t j = 0; j < m; ++j) t_cnt[j + 1] += t_cnt[j];
+  std::vector<int32_t> t_col(nnz);
+  {
+    std::vector<int64_t> cur(t_cnt.begin(), t_cnt.end() - 1);
+    for (int64_t i = 0; i < m; ++i) {
+      int64_t lo = std::min(rowptr[i], nnz), hi = std::min(rowptr[i + 1], nnz);
+      for (int64_t e = lo; e < hi; ++e)
+        t_col[cur[colind[e]]++] = static_cast<int32_t>(i);
+    }
+  }
+  std::vector<int64_t> deg(m, 0);
+  std::vector<int64_t> mark(m, -1);
+  // degrees of the union graph (count neighbors once)
+  auto for_neighbors = [&](int64_t i, auto&& fn) {
+    int64_t lo = std::min(rowptr[i], nnz), hi = std::min(rowptr[i + 1], nnz);
+    for (int64_t e = lo; e < hi; ++e) fn(colind[e]);
+    for (int64_t e = t_cnt[i]; e < t_cnt[i + 1]; ++e) fn(t_col[e]);
+  };
+  for (int64_t i = 0; i < m; ++i) {
+    int64_t d = 0;
+    for_neighbors(i, [&](int64_t j) {
+      if (j != i && mark[j] != i) {
+        mark[j] = i;
+        ++d;
+      }
+    });
+    deg[i] = d;
+  }
+  std::fill(mark.begin(), mark.end(), -1);
+
+  std::vector<int64_t> order;
+  order.reserve(m);
+  std::vector<uint8_t> visited(m, 0);
+  std::vector<int64_t> nbrs;
+  // nodes sorted by degree for start selection
+  std::vector<int64_t> by_deg(m);
+  for (int64_t i = 0; i < m; ++i) by_deg[i] = i;
+  std::stable_sort(by_deg.begin(), by_deg.end(),
+                   [&](int64_t a, int64_t b) { return deg[a] < deg[b]; });
+  size_t start_cursor = 0;
+  while (order.size() < static_cast<size_t>(m)) {
+    while (start_cursor < by_deg.size() && visited[by_deg[start_cursor]])
+      ++start_cursor;
+    int64_t root = by_deg[start_cursor];
+    visited[root] = 1;
+    size_t head = order.size();
+    order.push_back(root);
+    while (head < order.size()) {
+      int64_t i = order[head++];
+      nbrs.clear();
+      for_neighbors(i, [&](int64_t j) {
+        if (!visited[j]) {
+          visited[j] = 1;
+          nbrs.push_back(j);
+        }
+      });
+      std::stable_sort(nbrs.begin(), nbrs.end(), [&](int64_t a, int64_t b) {
+        return deg[a] < deg[b];
+      });
+      for (int64_t j : nbrs) order.push_back(j);
+    }
+  }
+  std::reverse(order.begin(), order.end());
+  std::vector<int64_t> rank(m);
+  for (int64_t i = 0; i < m; ++i) {
+    out_perm[i] = order[i];
+    rank[order[i]] = i;
+  }
+  int64_t h = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    int64_t lo = std::min(rowptr[i], nnz), hi = std::min(rowptr[i + 1], nnz);
+    for (int64_t e = lo; e < hi; ++e)
+      h = std::max(h, std::abs(rank[i] - rank[colind[e]]));
+  }
+  return h;
+}

@@ -118,6 +118,8 @@ def generate_banded_csr(m, n, bandwidth, seed=0, dtype=np.float32,
     for r in range(m):
         lo = max(0, r - half)
         hi = min(n, r + half + 1)
+        if hi <= lo:
+            continue  # row entirely outside a rectangular matrix's band
         rows_l.append(np.full(hi - lo, r, dtype=np.int64))
         cols_l.append(np.arange(lo, hi, dtype=np.int64))
     rows = np.concatenate(rows_l)

@@ -74,3 +74,37 @@ def test_matrix_opt_uses_plan():
     b = gen.generate_dense(64, 8, seed=15)
     c = sp.multiply(opt, b)
     assert_close(np.asarray(c), dense_from_csr(a) @ b, abs_floor=1e-2)
+
+
+def test_band_plan_spmv_spmm():
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.utils.generate import generate_banded_csr
+    from spblas_tpu.kernels.banded import (build_band_plan, band_spmv,
+                                           band_spmm)
+    a = generate_banded_csr(300, 300, 33, seed=5)
+    plan = build_band_plan(a)
+    dense = np.asarray(a.todense())
+    x = np.random.default_rng(6).standard_normal(300).astype(np.float32)
+    y = band_spmv(plan, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4,
+                               atol=1e-4)
+    b = np.random.default_rng(7).standard_normal((300, 32)).astype(
+        np.float32)
+    c = band_spmm(plan, jnp.asarray(b), interpret=True)
+    np.testing.assert_allclose(np.asarray(c), dense @ b, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_band_plan_rectangular_guard():
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.utils.generate import generate_banded_csr
+    from spblas_tpu.kernels.banded import build_band_plan, band_spmv
+    a = generate_banded_csr(200, 160, 9, seed=8)
+    plan = build_band_plan(a)
+    x = np.random.default_rng(9).standard_normal(160).astype(np.float32)
+    y = band_spmv(plan, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(a.todense()) @ x,
+                               rtol=1e-4, atol=1e-4)
