@@ -19,13 +19,41 @@ from spblas_tpu.formats.coo import COO
 
 
 def to_csr(a) -> CSR:
+    from spblas_tpu.formats.bsr import BSR
+    from spblas_tpu.formats.dcsr import DCSR
     if isinstance(a, CSR):
         return a
     if isinstance(a, COO):
         return a.to_csr()
     if isinstance(a, CSC):
         return csc_to_csr(a)
+    if isinstance(a, DCSR):
+        return a.to_csr()
+    if isinstance(a, BSR):
+        return bsr_to_csr(a)
     raise TypeError(f"cannot convert {type(a).__name__} to CSR")
+
+
+def bsr_to_csr(a) -> CSR:
+    """Expand BSR blocks to scalar entries (host-side; zero entries
+    inside stored blocks are kept, like vendor BSR→CSR converters)."""
+    import numpy as np
+    bh, bw = a.block_shape
+    m, n = a.shape
+    nnzb = int(a.nnz_blocks)
+    vals = np.asarray(a.values)[:nnzb]              # (nnzb, bh, bw)
+    brow = np.asarray(a.block_row_ids())[:nnzb]
+    bcol = np.asarray(a.block_colind)[:nnzb]
+    rows = (brow[:, None, None] * bh
+            + np.arange(bh)[None, :, None]).repeat(bw, axis=2)
+    cols = (bcol[:, None, None] * bw
+            + np.arange(bw)[None, None, :]).repeat(bh, axis=1)
+    rows, cols, v = rows.ravel(), cols.ravel(), vals.ravel()
+    order = np.lexsort((cols, rows))
+    rowptr = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(rowptr[1:], rows, 1)
+    return CSR.from_arrays(v[order], np.cumsum(rowptr), cols[order],
+                           (m, n), nnz=len(v))
 
 
 def to_csc(a) -> CSC:

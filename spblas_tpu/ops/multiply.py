@@ -32,8 +32,8 @@ from spblas_tpu.ops.spmm import spmm
 def _kind(a_view, b_view):
     a = _v.get_ultimate_base(a_view)
     b = _v.get_ultimate_base(b_view)
-    a_sp = isinstance(a, (CSR, CSC, COO))
-    b_sp = isinstance(b, (CSR, CSC, COO))
+    a_sp = _v.is_sparse(a)
+    b_sp = _v.is_sparse(b)
     b_vec = getattr(b, "ndim", 2) == 1 and not b_sp
     if a_sp and b_vec:
         return "spmv"

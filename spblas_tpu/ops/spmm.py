@@ -39,6 +39,20 @@ def spmm(a_view, b_view) -> jax.Array:
 
 
 def _spmm_base(a, b, conj_a: bool):
+    from spblas_tpu.formats.bsr import BSR
+    from spblas_tpu.formats.dcsr import DCSR
+    if isinstance(a, BSR):
+        from spblas_tpu.kernels.bsr_pallas import bsr_spmm
+        vals_a = a
+        if conj_a:
+            import dataclasses
+            vals_a = dataclasses.replace(a, values=jnp.conj(a.values))
+        return bsr_spmm(vals_a, b)
+    if isinstance(a, DCSR):
+        vals = jnp.conj(a.values) if conj_a else a.values
+        contrib = vals[:, None] * b[a.colind, :]
+        return jax.ops.segment_sum(contrib, a.row_ids(),
+                                   num_segments=a.shape[0])
     if isinstance(a, CSR):
         vals = jnp.conj(a.values) if conj_a else a.values
         contrib = vals[:, None] * b[a.colind, :]

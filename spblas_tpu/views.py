@@ -217,7 +217,9 @@ def is_coo(t) -> bool:
 
 
 def is_sparse(t) -> bool:
-    return isinstance(get_ultimate_base(t), (CSR, CSC, COO))
+    from spblas_tpu.formats.bsr import BSR
+    from spblas_tpu.formats.dcsr import DCSR
+    return isinstance(get_ultimate_base(t), (CSR, CSC, COO, BSR, DCSR))
 
 
 def is_dense_matrix(t) -> bool:

@@ -120,3 +120,21 @@ def test_dcsr_spmv_via_csr():
     np.testing.assert_allclose(np.asarray(y),
                                np.asarray(d.todense()) @ np.asarray(x),
                                rtol=1e-4)
+
+
+def test_bsr_through_multiply():
+    import numpy as np
+    import spblas_tpu as sp
+    from spblas_tpu.formats.bsr import BSR
+    from spblas_tpu.formats.convert import to_csr
+    rng = np.random.default_rng(3)
+    dense = np.zeros((32, 256), np.float32)
+    dense[:8, 128:] = rng.standard_normal((8, 128))
+    dense[16:24, :128] = rng.standard_normal((8, 128))
+    a = BSR.from_dense(dense, (8, 128))
+    x = rng.standard_normal(256).astype(np.float32)
+    y = sp.multiply(a, x)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4,
+                               atol=1e-4)
+    # BSR → CSR conversion parity
+    np.testing.assert_allclose(np.asarray(to_csr(a).todense()), dense)
