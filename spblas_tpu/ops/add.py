@@ -25,6 +25,7 @@ from spblas_tpu.formats.csc import CSC
 from spblas_tpu.formats.coo import COO
 from spblas_tpu.formats.convert import to_csr
 from spblas_tpu.info import OperationInfo
+from spblas_tpu.utils.logging import traced
 
 
 @jax.tree_util.register_dataclass
@@ -82,6 +83,7 @@ def _add_numeric(plan: AddPlan, a_values, b_values, alpha_a, alpha_b):
         v, mode="drop")
 
 
+@traced
 def add_inspect(a_view, b_view,
                 c_capacity: Optional[int] = None) -> OperationInfo:
     """Symbolic union of the two sparsity patterns (add_impl.hpp:79-108).
@@ -110,6 +112,7 @@ def add_inspect(a_view, b_view,
                          result_capacity=int(c_capacity), plan=plan)
 
 
+@traced
 def add_compute(info: OperationInfo, a_view, b_view,
                 c: Optional[CSR] = None) -> CSR:
     """Numeric fill into the union structure (add_impl.hpp:110-113)."""
@@ -125,6 +128,7 @@ def add_compute(info: OperationInfo, a_view, b_view,
                nnz=plan.c_nnz, shape=plan.shape)
 
 
+@traced
 def add(a_view, b_view, c_capacity: Optional[int] = None):
     """C = A + B.
 

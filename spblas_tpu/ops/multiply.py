@@ -19,7 +19,10 @@ from __future__ import annotations
 
 from typing import Optional
 
+import os
+
 from spblas_tpu import views as _v
+from spblas_tpu.utils.logging import traced
 from spblas_tpu.formats.csr import CSR
 from spblas_tpu.formats.csc import CSC
 from spblas_tpu.formats.coo import COO
@@ -42,9 +45,22 @@ def _kind(a_view, b_view):
     return "spmm"  # sparse*dense, dense*dense both handled by spmm
 
 
+def _debug_validate(*tensors):
+    """SPBLAS_DEBUG=1 → host-side structural checks before dispatch
+    (the sanitizer-mode analogue, SURVEY.md §5.2)."""
+    if os.environ.get("SPBLAS_DEBUG") != "1":
+        return
+    for t in tensors:
+        base = _v.get_ultimate_base(t)
+        if hasattr(base, "validate"):
+            base.validate()
+
+
+@traced
 def multiply(a, b, c_capacity: Optional[int] = None):
     """c = a @ b with views folded; result type follows operand types
     (dense vector / dense matrix / CSR)."""
+    _debug_validate(a, b)
     kind = _kind(a, b)
     if kind == "spmv":
         return spmv(a, b)
@@ -69,6 +85,7 @@ def multiply_inspect(a, b) -> OperationInfo:
     return OperationInfo(result_shape=(m, n_out), result_nnz=0)
 
 
+@traced
 def multiply_compute(a, b, c_capacity: Optional[int] = None
                      ) -> OperationInfo:
     """Symbolic phase.  For SpGEMM this runs the sort-based structure pass
@@ -78,6 +95,7 @@ def multiply_compute(a, b, c_capacity: Optional[int] = None
     return multiply_inspect(a, b)
 
 
+@traced
 def multiply_fill(info: OperationInfo, a, b, c=None):
     """Numeric phase (multiply_impl.hpp:143-147: fill == numeric multiply)."""
     if _kind(a, b) == "spgemm":

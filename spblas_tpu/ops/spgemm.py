@@ -40,6 +40,7 @@ from spblas_tpu.backend import engine
 from spblas_tpu.formats.csr import CSR
 from spblas_tpu.formats.convert import to_csr
 from spblas_tpu.info import OperationInfo
+from spblas_tpu.utils.logging import traced
 
 
 @jax.tree_util.register_dataclass
@@ -169,6 +170,7 @@ def _numeric(plan: SpgemmPlan, a_values, b_values, d_values, alpha, beta):
 # public two-phase API
 # ------------------------------------------------------------------ #
 
+@traced
 def spgemm_compute(a_view, b_view, d_view=None,
                    c_capacity: Optional[int] = None) -> OperationInfo:
     """Symbolic phase: structure of C = A@B (+ D's structure if given).
@@ -219,6 +221,7 @@ def spgemm_compute(a_view, b_view, d_view=None,
                          result_capacity=int(c_capacity), plan=plan)
 
 
+@traced
 def spgemm_fill(info: OperationInfo, a_view, b_view, d_view=None,
                 c: Optional[CSR] = None) -> CSR:
     """Numeric phase into the structure computed by :func:`spgemm_compute`.
@@ -249,6 +252,7 @@ def spgemm_fill(info: OperationInfo, a_view, b_view, d_view=None,
                nnz=plan.c_nnz, shape=plan.shape)
 
 
+@traced
 def spgemm(a_view, b_view, c_capacity: Optional[int] = None) -> CSR:
     """One-shot C = A @ B (compute + fill)."""
     info = spgemm_compute(a_view, b_view, c_capacity=c_capacity)

@@ -17,8 +17,10 @@ from spblas_tpu.formats.csr import CSR
 from spblas_tpu.formats.csc import CSC
 from spblas_tpu.formats.coo import COO
 from spblas_tpu import views as _v
+from spblas_tpu.utils.logging import traced
 
 
+@traced
 def spmm(a_view, b_view) -> jax.Array:
     a, alpha_a, conj_a = _v.fold(a_view)
     b, alpha_b, conj_b = _v.fold(b_view)

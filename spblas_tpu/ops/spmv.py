@@ -19,8 +19,10 @@ from spblas_tpu.formats.csr import CSR
 from spblas_tpu.formats.csc import CSC
 from spblas_tpu.formats.coo import COO
 from spblas_tpu import views as _v
+from spblas_tpu.utils.logging import traced
 
 
+@traced
 def spmv(a_view, x_view) -> jax.Array:
     """y = (folded a_view) @ (folded x_view); shapes checked at trace time
     (the reference throws std::invalid_argument, multiply_impl.hpp:37-41)."""

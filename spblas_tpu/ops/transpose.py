@@ -20,8 +20,10 @@ from spblas_tpu.backend import engine
 from spblas_tpu.formats.csr import CSR
 from spblas_tpu.formats.convert import to_csr
 from spblas_tpu.info import OperationInfo
+from spblas_tpu.utils.logging import traced
 
 
+@traced
 def transpose_inspect(a_view) -> OperationInfo:
     a = _v.get_ultimate_base(a_view)
     m, n = a.shape
@@ -29,6 +31,7 @@ def transpose_inspect(a_view) -> OperationInfo:
                          result_capacity=a.capacity)
 
 
+@traced
 def transpose(a_view, capacity=None) -> CSR:
     """B = op(A)^T materialized as CSR (folds scaled/conjugated views)."""
     base, alpha, conj = _v.fold(a_view)

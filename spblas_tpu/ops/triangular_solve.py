@@ -27,6 +27,7 @@ from spblas_tpu import types as _t
 from spblas_tpu import views as _v
 from spblas_tpu.formats.convert import to_csr
 from spblas_tpu.info import OperationInfo
+from spblas_tpu.utils.logging import traced
 
 
 @jax.tree_util.register_dataclass
@@ -50,6 +51,7 @@ class TrsvPlan:
         return int(self.rows.shape[0])
 
 
+@traced
 def triangular_solve_inspect(a_view, uplo: str = "lower",
                              diag: str = "explicit") -> OperationInfo:
     """Level-set analysis (host-side) — the work vendors hide inside
@@ -144,6 +146,7 @@ def _trsv_execute(plan: TrsvPlan, values, b, alpha):
     return jax.lax.fori_loop(0, plan.num_levels, body, x0)
 
 
+@traced
 def triangular_solve(a_view, b, uplo: str = "lower",
                      diag: str = "explicit",
                      info: Optional[OperationInfo] = None) -> jax.Array:

@@ -56,3 +56,26 @@ def ring_perm(p: int, shift: int = 1):
     positions: after the permute, device d holds what device d+shift held.
     XLA lowers this to neighbor ICI transfers."""
     return [(i, (i - shift) % p) for i in range(p)]
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host bootstrap: call once per process before building a mesh
+    on a real pod slice (the TPU-native stand-in for the MPI/NCCL init
+    the reference never had — SURVEY.md §2.6/§5.8).
+
+    No-op when jax.distributed is already initialized or when running
+    single-process (tests, single chip).
+    """
+    import jax
+
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized
+    except RuntimeError:
+        pass
+    if coordinator_address is None and num_processes is None:
+        return  # single-process run: nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
