@@ -27,7 +27,9 @@ from spblas_tpu.utils.profiling import device_hbm_gbps
 def _time_chained(step, params, x0, iters: int, reps: int = 3) -> float:
     """Best wall time per `step(params, x)` application over a jitted
     chain.  `params` rides as a traced argument — closure constants get
-    embedded in the program and shipped to the (remote) compiler."""
+    embedded in the program and shipped to the (remote) compiler.  Each
+    repetition perturbs the input: the platform memoizes identical calls
+    (PERF_NOTES.md), which would otherwise time the dispatch floor."""
 
     @jax.jit
     def chain(params, x):
@@ -35,15 +37,20 @@ def _time_chained(step, params, x0, iters: int, reps: int = 3) -> float:
 
     jax.block_until_ready(chain(params, x0))
     best = float("inf")
-    for _ in range(reps):
+    for r in range(reps):
+        xr = x0 + jnp.asarray(1e-3 * (r + 1), x0.dtype)
+        jax.block_until_ready(xr)
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(params, x0))
+        jax.block_until_ready(chain(params, xr))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 
 
-def bench_spmv_banded(m=10_000, half_bw=50):
-    """Headline: banded SpMV via the optimized plan (configs[0])."""
+def bench_spmv_banded(m=400_000, half_bw=50, iters=50):
+    """Headline: banded SpMV via the optimized plan (configs[0] scaled to
+    SuiteSparse-class size — this platform adds ~300 us of fixed per-op
+    cost, see PERF_NOTES.md, so small operands measure overhead, not the
+    kernel)."""
     from spblas_tpu.kernels import plans as _plans
     from spblas_tpu.utils.generate import generate_banded_csr
 
@@ -56,7 +63,7 @@ def bench_spmv_banded(m=10_000, half_bw=50):
         return _plans.plan_spmv((kind, plan), x) / scale
 
     sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
-                        iters=300)
+                        iters=iters)
     return nnz / sec, nnz, kind
 
 
@@ -127,6 +134,8 @@ def main():
         "banded_plan": kind,
     }
     for name, fn in (
+        ("spmv_banded_10k_nnz_s",
+         lambda: bench_spmv_banded(m=10_000, iters=200)[0]),
         ("spmm_banded_k256_flops_s", lambda: bench_spmm_banded()[0]),
         ("spmv_general_nnz_s", lambda: bench_spmv_general()[0]),
         ("spgemm_2k", lambda: dict(zip(
@@ -138,7 +147,7 @@ def main():
             details[name + "_error"] = repr(e)
 
     print(json.dumps({
-        "metric": "spmv_banded_10k_nnz_s",
+        "metric": "spmv_banded_400k_nnz_s",
         "value": nnz_s,
         "unit": "nnz/s",
         "vs_baseline": nnz_s / roofline_nnz_s,

@@ -75,7 +75,10 @@ def build_band_plan(a: CSR) -> BandPlan:
     m, n = a.shape
     nnz = int(a.nnz)
     h = band_halfwidth(a)
-    pad_l = -(-h // 64) * 64
+    # exact extent: window starts stay 128-aligned regardless of pad_l
+    # because xp is shifted by pad_l, and the panel's lane dim may be any
+    # size when the block spans the whole dimension
+    pad_l = h
     w = _R + 2 * pad_l
     nblk = -(-m // _R)
     nblk = -(-nblk // _G) * _G
@@ -113,6 +116,32 @@ def _on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:
         return False
+
+
+def band_spmv_padded(panels: jax.Array, xp: jax.Array,
+                     interpret: bool | None = None) -> jax.Array:
+    """Core panel sweep over pre-padded x (len >= nblk*128 + w - 128).
+
+    Exposed for the distributed path, where xp = [left halo | local x |
+    right halo] arrives from ppermute instead of zero padding."""
+    nblk = panels.shape[0] // _R
+    w = panels.shape[1]
+    if interpret is None:
+        interpret = not _on_tpu()
+    y = pl.pallas_call(
+        functools.partial(_spmv_kernel, w=w),
+        out_shape=jax.ShapeDtypeStruct((nblk, _R), jnp.float32),
+        grid=(nblk // _G,),
+        in_specs=[
+            pl.BlockSpec((_G * _R, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_G, _R), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(panels, xp[None, :].astype(jnp.float32))
+    return y.reshape(nblk * _R)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

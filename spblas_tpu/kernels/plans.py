@@ -49,7 +49,7 @@ def _on_tpu() -> bool:
 
 
 def _band_fill(a, h) -> float:
-    w = 128 + 2 * (-(-h // 64) * 64)
+    w = 128 + 2 * h
     return int(a.nnz) / float(max(a.shape[0], 1) * w)
 
 

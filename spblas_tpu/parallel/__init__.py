@@ -15,6 +15,9 @@ from spblas_tpu.parallel.rowblock import (
     RowBlockCSR, partition_rowblock, assemble_csr,
 )
 from spblas_tpu.parallel.spmv import dist_spmv, dist_spmm
+from spblas_tpu.parallel.banded import (
+    DistBandPlan, partition_band, partition_band_vector, dist_band_spmv,
+)
 from spblas_tpu.parallel.spgemm import (
     DistSpgemmPlan, dist_spgemm, dist_spgemm_compute, dist_spgemm_numeric,
 )
@@ -25,6 +28,8 @@ __all__ = [
     "to_local_csr",
     "RowBlockCSR", "partition_rowblock", "assemble_csr",
     "dist_spmv", "dist_spmm",
+    "DistBandPlan", "partition_band", "partition_band_vector",
+    "dist_band_spmv",
     "DistSpgemmPlan", "dist_spgemm", "dist_spgemm_compute",
     "dist_spgemm_numeric",
 ]

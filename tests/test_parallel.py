@@ -117,3 +117,33 @@ def test_ring_matches_allgather(mesh):
     y_ring = np.asarray(dist_spmv(d, xd, mesh, strategy="ring"))
     y_ag = np.asarray(dist_spmv(d, xd, mesh, strategy="allgather"))
     np.testing.assert_allclose(y_ring, y_ag, rtol=1e-5, atol=1e-5)
+
+
+def test_dist_band_spmv(mesh):
+    """Halo-exchange banded SpMV (the north-star distributed config)."""
+    from spblas_tpu.parallel import (partition_band, dist_band_spmv,
+                                     partition_band_vector)
+    from spblas_tpu.utils.generate import generate_banded_csr
+    m = 8 * 1024 * 2
+    a = generate_banded_csr(m, m, 65, seed=0)
+    plan = partition_band(a, mesh)
+    x = np.random.default_rng(1).standard_normal(m).astype(np.float32)
+    xd = partition_band_vector(x, plan, mesh)
+    y = np.asarray(dist_band_spmv(plan, xd, mesh))[:m]
+    nnz = int(a.nnz)
+    rowptr = np.asarray(a.rowptr)
+    cols = np.asarray(a.colind)[:nnz]
+    vals = np.asarray(a.values)[:nnz]
+    rows = np.repeat(np.arange(m), np.diff(np.minimum(rowptr, nnz)))
+    exp = np.zeros(m, np.float32)
+    np.add.at(exp, rows, vals * x[cols])
+    assert_close(y, exp, factor=1024)
+
+
+def test_dist_band_rejects_wide_band(mesh):
+    from spblas_tpu.parallel import partition_band
+    from spblas_tpu.utils.generate import generate_banded_csr
+    # h = 2048 exceeds the 1024 local rows per device on an 8-way mesh
+    a = generate_banded_csr(4096, 4096, 4097, seed=0)
+    with pytest.raises(ValueError):
+        partition_band(a, mesh)
