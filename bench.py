@@ -133,14 +133,22 @@ def main():
         "banded_nnz": nnz,
         "banded_plan": kind,
     }
-    for name, fn in (
-        ("spmv_banded_10k_nnz_s",
-         lambda: bench_spmv_banded(m=10_000, iters=200)[0]),
-        ("spmm_banded_k256_flops_s", lambda: bench_spmm_banded()[0]),
-        ("spmv_general_nnz_s", lambda: bench_spmv_general()[0]),
+    # each extra metric costs a remote compile (~1-3 min on this
+    # platform); the full sweep is opt-in to keep the default run inside
+    # the driver's time budget
+    import os
+    extras = [
         ("spgemm_2k", lambda: dict(zip(
             ("symbolic_s", "numeric_s", "result_nnz"), bench_spgemm()))),
-    ):
+    ]
+    if os.environ.get("SPBLAS_BENCH_FULL") == "1":
+        extras += [
+            ("spmv_banded_10k_nnz_s",
+             lambda: bench_spmv_banded(m=10_000, iters=200)[0]),
+            ("spmm_banded_k256_flops_s", lambda: bench_spmm_banded()[0]),
+            ("spmv_general_nnz_s", lambda: bench_spmv_general()[0]),
+        ]
+    for name, fn in extras:
         try:
             details[name] = fn()
         except Exception as e:  # keep the headline even if extras fail

@@ -42,6 +42,8 @@ def _kind(a_view, b_view):
         return "spmv"
     if a_sp and b_sp:
         return "spgemm"
+    if not a_sp and b_sp:
+        return "dense_sparse"   # C = A · B == (Bᵀ · Aᵀ)ᵀ
     return "spmm"  # sparse*dense, dense*dense both handled by spmm
 
 
@@ -66,6 +68,13 @@ def multiply(a, b, c_capacity: Optional[int] = None):
         return spmv(a, b)
     if kind == "spgemm":
         return _spgemm.spgemm(a, b, c_capacity=c_capacity)
+    if kind == "dense_sparse":
+        # dense A · sparse B via the transpose identity (the reference's
+        # generic layer reaches this case through mdspan row iteration)
+        import jax.numpy as jnp
+        from spblas_tpu.views import transposed
+        at = transposed(a)
+        return jnp.swapaxes(spmm(transposed(b), at), -1, -2)
     return spmm(a, b)
 
 

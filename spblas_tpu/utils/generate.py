@@ -113,17 +113,21 @@ def generate_banded_csr(m, n, bandwidth, seed=0, dtype=np.float32,
     """Synthetic banded matrix for the headline SpMV benchmark
     (BASELINE.json configs[0]: 10k x 10k banded)."""
     rng = np.random.default_rng(seed)
-    rows_l, cols_l = [], []
     half = bandwidth // 2
-    for r in range(m):
-        lo = max(0, r - half)
-        hi = min(n, r + half + 1)
-        if hi <= lo:
-            continue  # row entirely outside a rectangular matrix's band
-        rows_l.append(np.full(hi - lo, r, dtype=np.int64))
-        cols_l.append(np.arange(lo, hi, dtype=np.int64))
+    # vectorized over diagonals (a row loop is O(m) python — too slow for
+    # the benchmark-scale matrices)
+    rows_l, cols_l = [], []
+    for off in range(-half, half + 1):
+        i0, i1 = max(0, -off), min(m, n - off)
+        if i1 <= i0:
+            continue
+        i = np.arange(i0, i1, dtype=np.int64)
+        rows_l.append(i)
+        cols_l.append(i + off)
     rows = np.concatenate(rows_l)
     cols = np.concatenate(cols_l)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
     vals = rng.uniform(-1, 1, len(rows)).astype(dtype)
     return CSR.from_arrays(vals, _rows_to_rowptr(rows, m), cols, (m, n),
                            nnz=len(rows), capacity=capacity)
