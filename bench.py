@@ -109,6 +109,7 @@ def bench_spgemm(m=2_000, nnz=40_000):
     from spblas_tpu.utils.generate import generate_csr
 
     a = generate_csr(m, m, nnz, seed=0)
+    info = spgemm_compute(a, a)          # warm the symbolic compile
     t0 = time.perf_counter()
     info = spgemm_compute(a, a)
     t_sym = time.perf_counter() - t0

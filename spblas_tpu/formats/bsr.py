@@ -69,9 +69,42 @@ class BSR:
     @classmethod
     def from_csr(cls, a: CSR, block_shape=(128, 128), capacity=None) -> "BSR":
         """Host-side re-blocking of a CSR matrix (an optimize-phase
-        conversion — the matrix_opt plan analogue)."""
-        return cls.from_dense(np.asarray(a.todense()), block_shape,
-                              capacity)
+        conversion — the matrix_opt plan analogue).  Direct entry
+        scatter, no dense intermediate (m*n would not fit for the
+        benchmark-scale matrices this serves)."""
+        bh, bw = block_shape
+        m, n = a.shape
+        if m % bh or n % bw:
+            raise ValueError(
+                f"shape {a.shape} not divisible by blocks {block_shape}")
+        mb = m // bh
+        nnz = int(a.nnz)
+        rowptr = np.asarray(a.rowptr).astype(np.int64)
+        lo = np.minimum(rowptr[:-1], nnz)
+        hi = np.minimum(rowptr[1:], nnz)
+        rows = np.repeat(np.arange(m), hi - lo)
+        cols = np.asarray(a.colind)[:nnz].astype(np.int64)
+        vals = np.asarray(a.values)[:nnz]
+        bkey = (rows // bh) * (n // bw) + cols // bw
+        uniq, inv = np.unique(bkey, return_inverse=True)
+        nnzb = len(uniq)
+        if capacity is None:
+            capacity = _t.quantize_capacity(max(nnzb, 1))
+        if nnzb > capacity:
+            raise ValueError("capacity too small")
+        blocks = np.zeros((capacity, bh, bw), dtype=vals.dtype)
+        blocks[inv, rows % bh, cols % bw] = vals
+        brow = (uniq // (n // bw)).astype(np.int64)
+        bcol = np.concatenate([uniq % (n // bw),
+                               np.zeros(capacity - nnzb, np.int64)])
+        b_rowptr = np.zeros(mb + 1, dtype=np.int64)
+        np.add.at(b_rowptr[1:], brow, 1)
+        return cls(values=jnp.asarray(blocks),
+                   block_rowptr=jnp.asarray(np.cumsum(b_rowptr),
+                                            dtype=_t.offset_dtype),
+                   block_colind=jnp.asarray(bcol, dtype=_t.index_dtype),
+                   nnz_blocks=jnp.asarray(nnzb, dtype=jnp.int32),
+                   shape=(m, n), block_shape=(bh, bw))
 
     @property
     def capacity(self) -> int:

@@ -39,6 +39,10 @@ _DIA_FILL_THRESHOLD = 0.34
 # banded-panel storage is W/(2h+1)-dense; keep it while the panel is
 # at least ~15% true nonzeros (else ELL's 8 B/nnz wins on traffic)
 _BAND_FILL_THRESHOLD = 0.15
+# BSR (8x128 blocks on the MXU) pays 1024 slots per stored block;
+# worthwhile when stored blocks are reasonably dense
+_BSR_FILL_THRESHOLD = 0.25
+_BSR_BLOCK = (8, 128)
 
 
 def _on_tpu() -> bool:
@@ -60,6 +64,9 @@ def build_matvec_plan(a) -> Tuple[str, object]:
     if _on_tpu():
         if _band_fill(a, h) >= _BAND_FILL_THRESHOLD:
             return ("band", build_band_plan(a))
+        bsr = _try_bsr(a)
+        if bsr is not None:
+            return ("bsr", bsr)
         if m == n:
             # generic sparsity: try an RCM reordering into band panels
             # (native inspector); keep it if the permuted band is dense
@@ -78,12 +85,55 @@ def build_matvec_plan(a) -> Tuple[str, object]:
     return ("ell", build_ell_plan(a))
 
 
+def _try_bsr(a):
+    """Build a BSR plan when the block structure is dense enough.
+
+    The matrix shape is padded (metadata only — no data moves) to block
+    multiples; padded rows/cols are structurally empty."""
+    import numpy as np
+    from spblas_tpu.formats.bsr import BSR
+    from spblas_tpu.formats.csr import CSR
+
+    bh, bw = _BSR_BLOCK
+    m, n = a.shape
+    nnz = int(a.nnz)
+    if nnz == 0:
+        return None
+    rowptr = np.asarray(a.rowptr).astype(np.int64)
+    lo = np.minimum(rowptr[:-1], nnz)
+    hi = np.minimum(rowptr[1:], nnz)
+    rows = np.repeat(np.arange(m), hi - lo)
+    cols = np.asarray(a.colind)[:nnz].astype(np.int64)
+    nb = -(-n // bw)
+    nnzb = len(np.unique((rows // bh) * nb + cols // bw))
+    if nnz / float(nnzb * bh * bw) < _BSR_FILL_THRESHOLD:
+        return None
+    m_pad = -(-m // bh) * bh
+    n_pad = -(-n // bw) * bw
+    if (m_pad, n_pad) != (m, n):
+        import jax.numpy as jnp
+        from spblas_tpu import types as _t
+        pad_rp = jnp.concatenate(
+            [a.rowptr.astype(_t.offset_dtype),
+             jnp.full((m_pad - m,), a.rowptr[-1], _t.offset_dtype)])
+        a = CSR(values=a.values, rowptr=pad_rp, colind=a.colind,
+                nnz=a.nnz, shape=(m_pad, n_pad))
+    bsr = BSR.from_csr(a, _BSR_BLOCK)
+    return (bsr, (m, n))
+
+
 def plan_spmv(plan: Tuple[str, object], x: jax.Array) -> jax.Array:
     kind, p = plan
     if kind == "band":
         return band_spmv(p, x)
     if kind == "band_perm":
         return permuted_band_spmv(p, x)
+    if kind == "bsr":
+        import jax.numpy as jnp
+        from spblas_tpu.kernels.bsr_pallas import bsr_spmv
+        bsr, (m, n) = p
+        xp = jnp.pad(x, (0, bsr.shape[1] - n))
+        return bsr_spmv(bsr, xp)[:m]
     if kind == "dia":
         return dia_spmv(p, x)
     return ell_spmv(p, x)
@@ -109,6 +159,12 @@ def plan_spmm(plan: Tuple[str, object], b: jax.Array) -> jax.Array:
         return row_permute(p.perm, cp)[: p.shape[0]]
     if kind == "band":
         return band_spmm(p, b)
+    if kind == "bsr":
+        import jax.numpy as jnp
+        from spblas_tpu.kernels.bsr_pallas import bsr_spmm
+        bsr, (m, n) = p
+        bp = jnp.pad(b, ((0, bsr.shape[1] - n), (0, 0)))
+        return bsr_spmm(bsr, bp)[:m]
     if kind == "dia":
         return dia_spmm(p, b)
     return ell_spmm(p, b)

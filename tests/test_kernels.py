@@ -108,3 +108,30 @@ def test_band_plan_rectangular_guard():
     np.testing.assert_allclose(np.asarray(y),
                                np.asarray(a.todense()) @ x,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_plan_chooser_block_structured(monkeypatch):
+    """A block-structured matrix should take the BSR plan on TPU; force
+    the TPU branch by monkeypatching the platform check."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.kernels import plans
+    from spblas_tpu.formats.csr import CSR
+
+    monkeypatch.setattr(plans, "_on_tpu", lambda: True)
+    rng = np.random.default_rng(0)
+    dense = np.zeros((64, 512), np.float32)
+    for _ in range(10):
+        i, j = rng.integers(8), rng.integers(4)
+        dense[i*8:(i+1)*8, j*128:(j+1)*128] = rng.standard_normal((8, 128))
+    a = CSR.from_dense(dense)
+    kind, plan = plans.build_matvec_plan(a)
+    assert kind == "bsr"
+    x = rng.standard_normal(512).astype(np.float32)
+    y = plans.plan_spmv((kind, plan), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4,
+                               atol=1e-4)
+    b = rng.standard_normal((512, 128)).astype(np.float32)
+    c = plans.plan_spmm((kind, plan), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(c), dense @ b, rtol=1e-3,
+                               atol=1e-3)
