@@ -66,12 +66,15 @@ def band_halfwidth(a: CSR) -> int:
     return int(np.abs(cols - rows).max())
 
 
-def build_band_plan(a: CSR) -> BandPlan:
+def build_band_plan(a: CSR, dtype=None) -> BandPlan:
     """Host inspect: re-lay the band into dense 128-row panels.
 
     nblk is padded to a multiple of 8 so the kernels can process 8
     panels per grid program (amortizing the ~1.5 us/program grid cost
-    that would otherwise dominate this bandwidth-bound kernel)."""
+    that would otherwise dominate this bandwidth-bound kernel).
+
+    ``dtype`` overrides panel storage (e.g. jnp.bfloat16 halves the
+    streamed bytes per nonzero; accumulation stays f32 in-kernel)."""
     m, n = a.shape
     nnz = int(a.nnz)
     h = band_halfwidth(a)
@@ -95,7 +98,10 @@ def build_band_plan(a: CSR) -> BandPlan:
     if not keep.all():
         raise ValueError("entry outside declared band window")
     panels[rows, c_loc] = vals
-    return BandPlan(panels=jnp.asarray(panels), pad_l=pad_l, shape=(m, n))
+    out = jnp.asarray(panels)
+    if dtype is not None:
+        out = out.astype(dtype)
+    return BandPlan(panels=out, pad_l=pad_l, shape=(m, n))
 
 
 def _spmv_kernel(panel_ref, xp_ref, out_ref, *, w):
@@ -107,8 +113,8 @@ def _spmv_kernel(panel_ref, xp_ref, out_ref, *, w):
     base = i * _G * _R
     for s in range(_G):
         xwin = xp_ref[0, pl.ds(base + s * _R, w)]       # (w,)
-        prod = panel_ref[pl.ds(s * _R, _R), :] * xwin[None, :]
-        out_ref[s, :] = jnp.sum(prod, axis=1)
+        panel = panel_ref[pl.ds(s * _R, _R), :].astype(jnp.float32)
+        out_ref[s, :] = jnp.sum(panel * xwin[None, :], axis=1)
 
 
 def _on_tpu() -> bool:
@@ -183,7 +189,7 @@ def _spmm_kernel(panel_ref, bp_ref, out_ref, *, w):
     for s in range(_G):
         bwin = bp_ref[pl.ds(base + s * _R, w), :]
         out_ref[pl.ds(s * _R, _R), :] = jax.lax.dot_general(
-            panel_ref[pl.ds(s * _R, _R), :], bwin,
+            panel_ref[pl.ds(s * _R, _R), :].astype(jnp.float32), bwin,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
