@@ -67,6 +67,25 @@ def bench_spmv_banded(m=400_000, half_bw=50, iters=50):
     return nnz / sec, nnz, kind
 
 
+def bench_spmv_banded_bf16(m=400_000, half_bw=50, iters=50):
+    """Mixed-precision variant: bf16 panel storage (half the streamed
+    bytes/nnz), f32 accumulation."""
+    from spblas_tpu.kernels.banded import band_spmv, build_band_plan
+    from spblas_tpu.utils.generate import generate_banded_csr
+
+    a = generate_banded_csr(m, m, 2 * half_bw + 1, seed=0)
+    nnz = int(a.nnz)
+    plan = build_band_plan(a, dtype=jnp.bfloat16)
+    scale = jnp.float32(2 * half_bw + 1)
+
+    def step(plan, x):
+        return band_spmv(plan, x).astype(jnp.float32) / scale
+
+    sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
+                        iters=iters)
+    return nnz / sec, nnz
+
+
 def bench_spmm_banded(m=10_000, half_bw=50, k=256):
     from spblas_tpu.kernels import plans as _plans
     from spblas_tpu.utils.generate import generate_banded_csr
@@ -146,6 +165,8 @@ def main():
         extras += [
             ("spmv_banded_10k_nnz_s",
              lambda: bench_spmv_banded(m=10_000, iters=200)[0]),
+            ("spmv_banded_400k_bf16_nnz_s",
+             lambda: bench_spmv_banded_bf16()[0]),
             ("spmm_banded_k256_flops_s", lambda: bench_spmm_banded()[0]),
             ("spmv_general_nnz_s", lambda: bench_spmv_general()[0]),
         ]
