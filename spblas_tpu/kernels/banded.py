@@ -195,6 +195,30 @@ def _spmm_kernel(panel_ref, bp_ref, out_ref, *, w):
             precision=jax.lax.Precision.HIGHEST)
 
 
+def band_spmm_padded(panels: jax.Array, bp: jax.Array,
+                     interpret: bool | None = None) -> jax.Array:
+    """Core panel SpMM over pre-padded B (rows >= nblk*128 + w - 128) —
+    the distributed path's entry point (halos arrive from ppermute)."""
+    nblk = panels.shape[0] // _R
+    w = panels.shape[1]
+    k = bp.shape[1]
+    if interpret is None:
+        interpret = not _on_tpu()
+    return pl.pallas_call(
+        functools.partial(_spmm_kernel, w=w),
+        out_shape=jax.ShapeDtypeStruct((nblk * _R, k), jnp.float32),
+        grid=(nblk // _G,),
+        in_specs=[
+            pl.BlockSpec((_G * _R, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_G * _R, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(panels, bp.astype(jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def band_spmm(plan: BandPlan, b: jax.Array,
               interpret: bool | None = None) -> jax.Array:

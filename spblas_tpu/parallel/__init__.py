@@ -17,6 +17,7 @@ from spblas_tpu.parallel.rowblock import (
 from spblas_tpu.parallel.spmv import dist_spmv, dist_spmm
 from spblas_tpu.parallel.banded import (
     DistBandPlan, partition_band, partition_band_vector, dist_band_spmv,
+    dist_band_spmm,
 )
 from spblas_tpu.parallel.spgemm import (
     DistSpgemmPlan, dist_spgemm, dist_spgemm_compute, dist_spgemm_numeric,
@@ -29,7 +30,7 @@ __all__ = [
     "RowBlockCSR", "partition_rowblock", "assemble_csr",
     "dist_spmv", "dist_spmm",
     "DistBandPlan", "partition_band", "partition_band_vector",
-    "dist_band_spmv",
+    "dist_band_spmv", "dist_band_spmm",
     "DistSpgemmPlan", "dist_spgemm", "dist_spgemm_compute",
     "dist_spgemm_numeric",
 ]

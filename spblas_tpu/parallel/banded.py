@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spblas_tpu.formats.convert import to_csr
 from spblas_tpu.kernels.banded import _G, _R, band_halfwidth, \
-    band_spmv_padded
+    band_spmm_padded, band_spmv_padded
 from spblas_tpu.parallel.mesh import ROW_AXIS
 
 
@@ -128,9 +128,47 @@ def dist_band_spmv(plan: DistBandPlan, x: jax.Array, mesh: Mesh
     return fn(plan.panels, x)
 
 
+def dist_band_spmm(plan: DistBandPlan, b: jax.Array, mesh: Mesh
+                   ) -> jax.Array:
+    """C = A @ B for dense B (p*mloc, k) row-sharded: the SpMM variant
+    of the halo pipeline — each device exchanges only its (h, k) edge
+    panels with ring neighbors."""
+    p, mloc, h = plan.p, plan.mloc, plan.h
+    if b.shape[0] != p * mloc:
+        raise ValueError(
+            f"B rows {b.shape[0]} != padded {p * mloc}; "
+            "use partition_band_vector")
+    k = b.shape[1]
+    w = plan.width
+    nblk = mloc // _R
+    tail = nblk * _R + w - _R
+
+    def body(panels, bl):
+        panels = panels[0]
+        left = jax.lax.ppermute(
+            bl[mloc - h:], ROW_AXIS,
+            [(i, i + 1) for i in range(p - 1)]) if h else \
+            jnp.zeros((0, k), bl.dtype)
+        right = jax.lax.ppermute(
+            bl[:h], ROW_AXIS,
+            [(i + 1, i) for i in range(p - 1)]) if h else \
+            jnp.zeros((0, k), bl.dtype)
+        bwin = jnp.concatenate([left, bl, right])
+        bp = jnp.pad(bwin, ((0, tail - bwin.shape[0]), (0, 0)))
+        return band_spmm_padded(panels, bp)
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(ROW_AXIS, None, None),
+                                 P(ROW_AXIS, None)),
+                       out_specs=P(ROW_AXIS, None), check_vma=False)
+    return fn(plan.panels, b)
+
+
 def partition_band_vector(x, plan: DistBandPlan, mesh: Mesh) -> jax.Array:
     x = jnp.asarray(x)
     tgt = plan.p * plan.mloc
     if x.shape[0] < tgt:
-        x = jnp.pad(x, (0, tgt - x.shape[0]))
-    return jax.device_put(x, NamedSharding(mesh, P(ROW_AXIS)))
+        pad = [(0, tgt - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, pad)
+    spec = P(ROW_AXIS, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))

@@ -147,3 +147,23 @@ def test_dist_band_rejects_wide_band(mesh):
     a = generate_banded_csr(4096, 4096, 4097, seed=0)
     with pytest.raises(ValueError):
         partition_band(a, mesh)
+
+
+def test_dist_band_spmm(mesh):
+    from spblas_tpu.parallel import (partition_band, dist_band_spmm,
+                                     partition_band_vector)
+    from spblas_tpu.utils.generate import generate_banded_csr
+    m, k = 8 * 1024, 16
+    a = generate_banded_csr(m, m, 33, seed=2)
+    plan = partition_band(a, mesh)
+    b = np.random.default_rng(3).standard_normal((m, k)).astype(np.float32)
+    bd = partition_band_vector(b, plan, mesh)
+    c = np.asarray(dist_band_spmm(plan, bd, mesh))[:m]
+    nnz = int(a.nnz)
+    rowptr = np.asarray(a.rowptr)
+    cols = np.asarray(a.colind)[:nnz]
+    vals = np.asarray(a.values)[:nnz]
+    rows = np.repeat(np.arange(m), np.diff(np.minimum(rowptr, nnz)))
+    exp = np.zeros((m, k), np.float32)
+    np.add.at(exp, rows, vals[:, None] * b[cols])
+    assert_close(c, exp, factor=1024)
