@@ -19,6 +19,9 @@ from spblas_tpu.parallel.banded import (
     DistBandPlan, partition_band, partition_band_vector, dist_band_spmv,
     dist_band_spmm,
 )
+from spblas_tpu.parallel.add import (
+    DistAddPlan, dist_add, dist_add_compute, dist_add_numeric,
+)
 from spblas_tpu.parallel.spgemm import (
     DistSpgemmPlan, dist_spgemm, dist_spgemm_compute, dist_spgemm_numeric,
 )
@@ -31,6 +34,7 @@ __all__ = [
     "dist_spmv", "dist_spmm",
     "DistBandPlan", "partition_band", "partition_band_vector",
     "dist_band_spmv", "dist_band_spmm",
+    "DistAddPlan", "dist_add", "dist_add_compute", "dist_add_numeric",
     "DistSpgemmPlan", "dist_spgemm", "dist_spgemm_compute",
     "dist_spgemm_numeric",
 ]

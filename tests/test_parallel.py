@@ -167,3 +167,26 @@ def test_dist_band_spmm(mesh):
     exp = np.zeros((m, k), np.float32)
     np.add.at(exp, rows, vals[:, None] * b[cols])
     assert_close(c, exp, factor=1024)
+
+
+def test_dist_add(mesh):
+    from spblas_tpu.parallel import dist_add
+    a = generate_csr(100, 80, 700, seed=20)
+    b = generate_csr(100, 80, 600, seed=21)
+    c = assemble_csr(dist_add(a, b, mesh))
+    expected = np.asarray(a.todense()) + np.asarray(b.todense())
+    assert_close(np.asarray(c.todense()), expected)
+
+
+def test_dist_add_scaled_numeric_reuse(mesh):
+    from spblas_tpu.parallel import (dist_add_compute, dist_add_numeric,
+                                     partition_rowblock)
+    a = generate_csr(64, 64, 400, seed=22)
+    b = generate_csr(64, 64, 300, seed=23)
+    ar = partition_rowblock(a, mesh)
+    br = partition_rowblock(b, mesh)
+    plan = dist_add_compute(ar, br, mesh)
+    c = assemble_csr(dist_add_numeric(plan, ar, br, mesh,
+                                      alpha=2.0, beta=-1.0))
+    expected = 2.0 * np.asarray(a.todense()) - np.asarray(b.todense())
+    assert_close(np.asarray(c.todense()), expected)
