@@ -22,6 +22,9 @@ from spblas_tpu.parallel.banded import (
 from spblas_tpu.parallel.add import (
     DistAddPlan, dist_add, dist_add_compute, dist_add_numeric,
 )
+from spblas_tpu.parallel.trsv import (
+    DistTrsvPlan, dist_triangular_solve, dist_triangular_solve_inspect,
+)
 from spblas_tpu.parallel.spgemm import (
     DistSpgemmPlan, dist_spgemm, dist_spgemm_compute, dist_spgemm_numeric,
 )
@@ -35,6 +38,8 @@ __all__ = [
     "DistBandPlan", "partition_band", "partition_band_vector",
     "dist_band_spmv", "dist_band_spmm",
     "DistAddPlan", "dist_add", "dist_add_compute", "dist_add_numeric",
+    "DistTrsvPlan", "dist_triangular_solve",
+    "dist_triangular_solve_inspect",
     "DistSpgemmPlan", "dist_spgemm", "dist_spgemm_compute",
     "dist_spgemm_numeric",
 ]

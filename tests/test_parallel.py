@@ -190,3 +190,21 @@ def test_dist_add_scaled_numeric_reuse(mesh):
                                       alpha=2.0, beta=-1.0))
     expected = 2.0 * np.asarray(a.todense()) - np.asarray(b.todense())
     assert_close(np.asarray(c.todense()), expected)
+
+
+@pytest.mark.parametrize("uplo", ["lower", "upper"])
+def test_dist_triangular_solve(mesh, uplo):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from spblas_tpu.parallel import (dist_triangular_solve,
+                                     dist_triangular_solve_inspect)
+    from spblas_tpu.utils.generate import generate_triangular_csr
+    m = 400
+    L = generate_triangular_csr(m, seed=30, lower=(uplo == "lower"))
+    plan = dist_triangular_solve_inspect(L, mesh, uplo=uplo)
+    b = np.random.default_rng(31).standard_normal(m).astype(np.float32)
+    bp = jax.device_put(
+        jnp.asarray(np.pad(b, (0, 8 * plan.mloc - m))),
+        NamedSharding(mesh, P("rows")))
+    x = np.asarray(dist_triangular_solve(plan, bp, mesh))[:m]
+    residual = np.abs(np.asarray(L.todense()) @ x - b).max()
+    assert residual < 1e-4
