@@ -98,10 +98,11 @@ def build_band_plan(a: CSR, dtype=None) -> BandPlan:
     if not keep.all():
         raise ValueError("entry outside declared band window")
     panels[rows, c_loc] = vals
-    out = jnp.asarray(panels)
     if dtype is not None:
-        out = out.astype(dtype)
-    return BandPlan(panels=out, pad_l=pad_l, shape=(m, n))
+        # convert on host so the device upload moves the narrow type
+        panels = panels.astype(jnp.dtype(dtype))
+    return BandPlan(panels=jnp.asarray(panels), pad_l=pad_l,
+                    shape=(m, n))
 
 
 def _spmv_kernel(panel_ref, xp_ref, out_ref, *, w):
