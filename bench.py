@@ -141,6 +141,32 @@ def bench_spgemm(m=2_000, nnz=40_000):
     return t_sym, t_num, info.result_nnz
 
 
+def bench_sptrsv(m=20_000):
+    """Level-scheduled SpTRSV (configs[3]): inspect once, timed solves."""
+    import numpy as np
+    from spblas_tpu.ops.triangular_solve import (triangular_solve,
+                                                 triangular_solve_inspect)
+    from spblas_tpu.utils.generate import generate_triangular_csr
+
+    L = generate_triangular_csr(m, seed=0, lower=True, density=0.0005)
+    t0 = time.perf_counter()
+    info = triangular_solve_inspect(L, uplo="lower")
+    t_inspect = time.perf_counter() - t0
+    b = jnp.ones((m,), jnp.float32)
+    x = triangular_solve(L, b, uplo="lower", info=info)
+    jax.block_until_ready(x)
+    best = float("inf")
+    for r in range(3):
+        br = b + jnp.float32(r * 1e-3)
+        jax.block_until_ready(br)
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            triangular_solve(L, br, uplo="lower", info=info))
+        best = min(best, time.perf_counter() - t0)
+    return {"inspect_s": t_inspect, "solve_s": best,
+            "levels": info.plan.num_levels, "rows_per_s": m / best}
+
+
 def main():
     bw = device_hbm_gbps()
     roofline_nnz_s = bw * 1e9 / 12.0   # CSR f32/i32 model (BASELINE.md)
@@ -169,6 +195,7 @@ def main():
              lambda: bench_spmv_banded_bf16()[0]),
             ("spmm_banded_k256_flops_s", lambda: bench_spmm_banded()[0]),
             ("spmv_general_nnz_s", lambda: bench_spmv_general()[0]),
+            ("sptrsv_20k", bench_sptrsv),
         ]
     for name, fn in extras:
         try:
