@@ -8,6 +8,7 @@ import pytest
 
 import spblas_tpu as sp
 from spblas_tpu.utils import generate as gen
+from spblas_tpu.utils import generate as g
 from tests.util import SQUARE_DIMS, assert_close, csr_entries, \
     dense_from_csr
 
@@ -126,3 +127,27 @@ def test_spgemm_user_owned_capacity():
     c = sp.multiply_fill(info, a, b)
     assert c.capacity == 4096
     _check_csr_result(c, _oracle(dense_from_csr(a), dense_from_csr(b)))
+
+
+@pytest.mark.parametrize("fmt_a", ["csr", "csc", "coo"])
+@pytest.mark.parametrize("fmt_b", ["csr", "csc", "coo"])
+def test_spgemm_all_format_positions(fmt_a, fmt_b):
+    """Mixed-format operands in every position — mirrors
+    test/gtest/spgemm_csr_csc.cpp's combinatorial coverage."""
+    m, k, n = 40, 50, 30
+    gen = {"csr": g.generate_csr, "csc": g.generate_csc,
+           "coo": g.generate_coo}
+    a = gen[fmt_a](m, k, 300, seed=1)
+    b = gen[fmt_b](k, n, 350, seed=2)
+    c = sp.multiply(a, b)
+    expected = np.asarray(a.todense()) @ np.asarray(b.todense())
+    assert_close(np.asarray(c.todense()), expected, factor=256)
+
+
+def test_spgemm_transposed_operand():
+    m, k, n = 30, 40, 35
+    at = g.generate_csr(k, m, 300, seed=3)   # A^T stored
+    b = g.generate_csr(k, n, 300, seed=4)
+    c = sp.multiply(sp.transposed(at), b)
+    expected = np.asarray(at.todense()).T @ np.asarray(b.todense())
+    assert_close(np.asarray(c.todense()), expected, factor=256)
