@@ -46,40 +46,53 @@ def _time_chained(step, params, x0, iters: int, reps: int = 3) -> float:
     return best / iters
 
 
-def bench_spmv_banded(m=400_000, half_bw=50, iters=50):
-    """Headline: banded SpMV via the optimized plan (configs[0] scaled to
+def _device_band_plan(m, half_bw, dtype=None):
+    """Synthetic banded operator assembled entirely on device (zero
+    tunnel traffic — a 400 MB host upload can take minutes on this
+    platform): random diagonals → `band_plan_from_diags`.  Row sums stay
+    < 1 so the timing chain needs no per-iteration normalization op."""
+    from spblas_tpu.kernels.banded import band_plan_from_diags
+
+    offsets = tuple(range(-half_bw, half_bw + 1))
+    ndiag = len(offsets)
+
+    @jax.jit
+    def make(key):
+        d = jax.random.uniform(key, (ndiag, m), jnp.float32, 0.1, 1.0)
+        d = d / jnp.float32(ndiag)
+        i = jnp.arange(m)[None, :]
+        offs = jnp.asarray(offsets)[:, None]
+        d = jnp.where((i + offs >= 0) & (i + offs < m), d, 0)
+        return band_plan_from_diags(d, offsets, (m, m), dtype=dtype)
+
+    plan = make(jax.random.PRNGKey(0))
+    jax.block_until_ready(plan.panels)
+    nnz = sum(m - abs(o) for o in offsets)
+    return plan, nnz
+
+
+def bench_spmv_banded(m=409_600, half_bw=50, iters=50):
+    """Headline: banded SpMV through the panel plan (configs[0] scaled to
     SuiteSparse-class size — this platform adds ~300 us of fixed per-op
     cost, see PERF_NOTES.md, so small operands measure overhead, not the
     kernel)."""
-    from spblas_tpu.kernels import plans as _plans
-    from spblas_tpu.utils.generate import generate_banded_csr
+    from spblas_tpu.kernels.banded import band_spmv
 
-    a = generate_banded_csr(m, m, 2 * half_bw + 1, seed=0)
-    nnz = int(a.nnz)
-    kind, plan = _plans.build_matvec_plan(a)
-    scale = jnp.float32(2 * half_bw + 1)
-
-    def step(plan, x):
-        return _plans.plan_spmv((kind, plan), x) / scale
-
-    sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
+    plan, nnz = _device_band_plan(m, half_bw)
+    sec = _time_chained(band_spmv, plan, jnp.ones((m,), jnp.float32),
                         iters=iters)
-    return nnz / sec, nnz, kind
+    return nnz / sec, nnz, "band"
 
 
-def bench_spmv_banded_bf16(m=400_000, half_bw=50, iters=50):
+def bench_spmv_banded_bf16(m=409_600, half_bw=50, iters=50):
     """Mixed-precision variant: bf16 panel storage (half the streamed
     bytes/nnz), f32 accumulation."""
-    from spblas_tpu.kernels.banded import band_spmv, build_band_plan
-    from spblas_tpu.utils.generate import generate_banded_csr
+    from spblas_tpu.kernels.banded import band_spmv
 
-    a = generate_banded_csr(m, m, 2 * half_bw + 1, seed=0)
-    nnz = int(a.nnz)
-    plan = build_band_plan(a, dtype=jnp.bfloat16)
-    scale = jnp.float32(2 * half_bw + 1)
+    plan, nnz = _device_band_plan(m, half_bw, dtype=jnp.bfloat16)
 
     def step(plan, x):
-        return band_spmv(plan, x).astype(jnp.float32) / scale
+        return band_spmv(plan, x).astype(jnp.float32)
 
     sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
                         iters=iters)
