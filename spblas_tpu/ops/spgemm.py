@@ -334,3 +334,13 @@ def multiply_fused(state: SpgemmState, a, b, d,
         return state.numeric(a, b)
     state.symbolic_compute(a, b, d=d, c_capacity=c_capacity)
     return state.numeric(a, b, d=d)
+
+
+def spgemm_csc(a_view, b_view, c_capacity: Optional[int] = None):
+    """C = A @ B materialized as CSC — the reference's transpose trick
+    (spgemm_gustavsons.hpp:97-127): compute CSR of Cᵀ = Bᵀ·Aᵀ, then
+    reinterpret as CSC of C at zero cost (views.transposed)."""
+    from spblas_tpu import views as _vw
+    ct = spgemm(_vw.transposed(b_view), _vw.transposed(a_view),
+                c_capacity=c_capacity)
+    return _vw.transposed(ct)

@@ -151,3 +151,16 @@ def test_spgemm_transposed_operand():
     c = sp.multiply(sp.transposed(at), b)
     expected = np.asarray(at.todense()).T @ np.asarray(b.todense())
     assert_close(np.asarray(c.todense()), expected, factor=256)
+
+
+def test_spgemm_csc_result():
+    """CSC result via the transpose trick (spgemm_gustavsons.hpp:97-127
+    semantics): zero-cost reinterpretation of CSR(C^T)."""
+    from spblas_tpu import CSC, spgemm_csc
+    m, k, n = 30, 40, 35
+    a = g.generate_csr(m, k, 300, seed=5)
+    b = g.generate_csr(k, n, 300, seed=6)
+    c = spgemm_csc(a, b)
+    assert isinstance(c, CSC)
+    expected = np.asarray(a.todense()) @ np.asarray(b.todense())
+    assert_close(np.asarray(c.todense()), expected, factor=256)
