@@ -186,11 +186,18 @@ def bench_sptrsv(m=20_000):
             "levels": info.plan.num_levels, "rows_per_s": m / best}
 
 
+def _progress(msg):
+    import sys
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     bw = device_hbm_gbps()
     roofline_nnz_s = bw * 1e9 / 12.0   # CSR f32/i32 model (BASELINE.md)
 
+    _progress("headline: banded spmv")
     nnz_s, nnz, kind = bench_spmv_banded()
+    _progress(f"headline done: {nnz_s/1e9:.1f} Gnnz/s")
     details = {
         "device": jax.devices()[0].device_kind,
         "hbm_gbps": bw,
@@ -218,6 +225,7 @@ def main():
         ]
     for name, fn in extras:
         try:
+            _progress(name)
             details[name] = fn()
         except Exception as e:  # keep the headline even if extras fail
             details[name + "_error"] = repr(e)

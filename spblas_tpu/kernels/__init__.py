@@ -8,7 +8,8 @@ from, driven by measured platform limits (PERF_NOTES.md).
 
 from spblas_tpu.kernels.banded import (
     BandPlan, PermutedBandPlan, band_plan_from_diags, band_spmm,
-    band_spmv, build_band_plan, build_permuted_band_plan,
+    band_spmv, band_spmv_ad, build_band_plan,
+    build_permuted_band_plan,
     permuted_band_spmv,
 )
 from spblas_tpu.kernels.bsr_pallas import bsr_spmm, bsr_spmv
@@ -21,7 +22,8 @@ from spblas_tpu.kernels.plans import build_matvec_plan, plan_spmm, \
 
 __all__ = [
     "BandPlan", "PermutedBandPlan", "band_plan_from_diags", "band_spmm",
-    "band_spmv", "build_band_plan", "build_permuted_band_plan",
+    "band_spmv", "band_spmv_ad", "build_band_plan",
+    "build_permuted_band_plan",
     "permuted_band_spmv",
     "bsr_spmm", "bsr_spmv",
     "DiaPlan", "build_dia_plan", "dia_spmm", "dia_spmv",

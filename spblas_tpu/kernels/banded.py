@@ -365,3 +365,67 @@ def band_plan_from_diags(diags: jax.Array, offsets, shape,
             panels = panels.at[:, r, c0:c0 + ln].set(dt[:, r, si:si + ln])
     return BandPlan(panels=panels.reshape(nblk * _R, w), pad_l=pad_l,
                     shape=(m, n))
+
+
+# --------------------------------------------------------------------- #
+# autodiff: custom VJP for the Pallas band SpMV (square plans)
+# --------------------------------------------------------------------- #
+
+def _band_windows(xp: jax.Array, nblk: int, w: int) -> jax.Array:
+    """windows[i, c] = xp[i*128 + c] — sliding 128-strided windows built
+    from reshaped row chunks (no gather)."""
+    chunks = -(-w // _R) + 1
+    need = (nblk + chunks) * _R
+    xq = jnp.pad(xp, (0, max(0, need - xp.shape[0])))
+    x2 = xq.reshape(-1, _R)
+    return jnp.concatenate(
+        [x2[k: k + nblk] for k in range(chunks)], axis=1)[:, :w]
+
+
+@jax.custom_vjp
+def band_spmv_ad(plan: BandPlan, x: jax.Array) -> jax.Array:
+    """Differentiable band SpMV (square matrices): forward is the Pallas
+    panel kernel; backward computes dx = Aᵀ·dy through the transposed
+    panel plan and d(panels) as dense window outer products."""
+    return band_spmv(plan, x)
+
+
+def _band_spmv_fwd(plan, x):
+    return band_spmv(plan, x), (plan, x)
+
+
+def _band_spmv_bwd(res, dy):
+    plan, x = res
+    m, n = plan.shape
+    h = plan.pad_l
+    w = plan.width
+    nblk = plan.nblocks
+    dy = dy.astype(jnp.float32)
+    dyp = jnp.pad(dy, (0, nblk * _R - dy.shape[0]))
+
+    # dx: adjoint of the window structure — panel entry (g, c) consumed
+    # xp[(g//128)*128 + c], so its cotangent scatters back there.
+    # Overlap-add of per-block column sums at stride 128: static slice
+    # adds, no scatter (the inverse of _band_windows).
+    t = plan.panels.astype(jnp.float32) * dyp[:, None]        # (mp, w)
+    blocksum = jnp.sum(t.reshape(nblk, _R, w), axis=1)        # (nblk, w)
+    chunks = -(-w // _R)
+    bs = jnp.pad(blocksum, ((0, 0), (0, chunks * _R - w)))
+    acc = jnp.zeros(((nblk + chunks) * _R,), jnp.float32)
+    for k in range(chunks):
+        acc = acc.at[k * _R: (k + nblk) * _R].add(
+            bs[:, k * _R: (k + 1) * _R].reshape(-1))
+    dx = acc[h: h + n].astype(x.dtype)
+
+    # dpanels[g, c] = dy[g] * xp[(g//128)*128 + c]
+    xp = jnp.pad(x.astype(jnp.float32),
+                 (h, nblk * _R + w - h - n))
+    win = _band_windows(xp, nblk, w)                  # (nblk, w)
+    dpanels = (dyp.reshape(nblk, _R)[:, :, None]
+               * win[:, None, :]).reshape(nblk * _R, w)
+    dplan = BandPlan(panels=dpanels.astype(plan.panels.dtype),
+                     pad_l=h, shape=plan.shape)
+    return dplan, dx
+
+
+band_spmv_ad.defvjp(_band_spmv_fwd, _band_spmv_bwd)
