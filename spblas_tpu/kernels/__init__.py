@@ -13,6 +13,9 @@ from spblas_tpu.kernels.banded import (
     permuted_band_spmv,
 )
 from spblas_tpu.kernels.bsr_pallas import bsr_spmm, bsr_spmv
+from spblas_tpu.kernels.bsr_spgemm import (
+    BsrSpgemmPlan, bsr_spgemm, bsr_spgemm_compute, bsr_spgemm_numeric,
+)
 from spblas_tpu.kernels.dia import DiaPlan, build_dia_plan, dia_spmm, \
     dia_spmv
 from spblas_tpu.kernels.ell import EllPlan, build_ell_plan, ell_spmm, \
@@ -26,6 +29,8 @@ __all__ = [
     "build_permuted_band_plan",
     "permuted_band_spmv",
     "bsr_spmm", "bsr_spmv",
+    "BsrSpgemmPlan", "bsr_spgemm", "bsr_spgemm_compute",
+    "bsr_spgemm_numeric",
     "DiaPlan", "build_dia_plan", "dia_spmm", "dia_spmv",
     "EllPlan", "build_ell_plan", "ell_spmm", "ell_spmv",
     "build_matvec_plan", "plan_spmm", "plan_spmv",

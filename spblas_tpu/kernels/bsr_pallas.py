@@ -100,8 +100,8 @@ def bsr_spmm(a: BSR, b: jax.Array, interpret: bool | None = None
         num_scalar_prefetch=2,          # block_rowptr, block_colind
         grid=(mb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # values (cap, bh, bw)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # b (n, k)
+            pl.BlockSpec(memory_space=pl.ANY),   # values (cap, bh, bw)
+            pl.BlockSpec(memory_space=pl.ANY),   # b (n, k)
         ],
         out_specs=pl.BlockSpec((bh, k), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -188,7 +188,7 @@ def bsr_spmv(a: BSR, x: jax.Array, interpret: bool | None = None
         num_scalar_prefetch=2,
         grid=(mb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),           # values
+            pl.BlockSpec(memory_space=pl.ANY),           # values
             pl.BlockSpec((1, n), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),          # x (1, n)
         ],

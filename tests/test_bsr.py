@@ -52,3 +52,49 @@ def test_bsr_spmv():
     y = bsr_spmv(a, jnp.asarray(x), interpret=True)
     np.testing.assert_allclose(np.asarray(y), dense @ x,
                                rtol=1e-4, atol=1e-4)
+
+
+def _blocky(m, n, bh, bw, nblocks, seed):
+    rng = np.random.default_rng(seed)
+    d = np.zeros((m, n), np.float32)
+    for _ in range(nblocks):
+        i, j = rng.integers(m // bh), rng.integers(n // bw)
+        d[i*bh:(i+1)*bh, j*bw:(j+1)*bw] = rng.standard_normal((bh, bw))
+    return d
+
+
+def test_bsr_spgemm():
+    from spblas_tpu.kernels.bsr_spgemm import bsr_spgemm
+    da = _blocky(64, 512, 8, 128, 16, seed=1)
+    db = _blocky(512, 384, 128, 128, 10, seed=2)
+    a = BSR.from_dense(da, (8, 128))
+    b = BSR.from_dense(db, (128, 128))
+    c = bsr_spgemm(a, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(c.todense()), da @ db,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_spgemm_numeric_reuse():
+    import dataclasses
+    from spblas_tpu.kernels.bsr_spgemm import (bsr_spgemm_compute,
+                                               bsr_spgemm_numeric)
+    da = _blocky(32, 256, 8, 128, 8, seed=3)
+    db = _blocky(256, 256, 128, 128, 4, seed=4)
+    a = BSR.from_dense(da, (8, 128))
+    b = BSR.from_dense(db, (128, 128))
+    plan = bsr_spgemm_compute(a, b)
+    c1 = bsr_spgemm_numeric(plan, a, b, interpret=True)
+    a2 = dataclasses.replace(a, values=a.values * 3.0)
+    c2 = bsr_spgemm_numeric(plan, a2, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(c2.todense()),
+                               3.0 * np.asarray(c1.todense()),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_bsr_spgemm_block_mismatch_raises():
+    import pytest
+    from spblas_tpu.kernels.bsr_spgemm import bsr_spgemm_compute
+    a = BSR.from_dense(_blocky(32, 256, 8, 128, 4, seed=5), (8, 128))
+    b = BSR.from_dense(_blocky(256, 256, 8, 128, 4, seed=6), (8, 128))
+    with pytest.raises(ValueError):
+        bsr_spgemm_compute(a, b)   # A's bk=128 != B's bh=8
