@@ -253,8 +253,25 @@ def spgemm_fill(info: OperationInfo, a_view, b_view, d_view=None,
 
 
 @traced
-def spgemm(a_view, b_view, c_capacity: Optional[int] = None) -> CSR:
-    """One-shot C = A @ B (compute + fill)."""
+def spgemm(a_view, b_view, c_capacity: Optional[int] = None):
+    """One-shot C = A @ B (compute + fill).
+
+    BSR x BSR operands with compatible blocks route to the MXU block
+    kernel (kernels/bsr_spgemm.py) and return a BSR result; everything
+    else canonicalizes to CSR."""
+    from spblas_tpu.formats.bsr import BSR
+
+    a_base, alpha_a, conj_a = _v.fold(a_view)
+    b_base, alpha_b, conj_b = _v.fold(b_view)
+    if (isinstance(a_base, BSR) and isinstance(b_base, BSR)
+            and a_base.block_shape[1] == b_base.block_shape[0]
+            and not conj_a and not conj_b):
+        import dataclasses
+
+        from spblas_tpu.kernels.bsr_spgemm import bsr_spgemm
+        c = bsr_spgemm(a_base, b_base)
+        alpha = alpha_a * alpha_b
+        return dataclasses.replace(c, values=c.values * alpha)
     info = spgemm_compute(a_view, b_view, c_capacity=c_capacity)
     return spgemm_fill(info, a_view, b_view)
 

@@ -98,3 +98,15 @@ def test_bsr_spgemm_block_mismatch_raises():
     b = BSR.from_dense(_blocky(256, 256, 8, 128, 4, seed=6), (8, 128))
     with pytest.raises(ValueError):
         bsr_spgemm_compute(a, b)   # A's bk=128 != B's bh=8
+
+
+def test_multiply_routes_bsr_pair_to_block_spgemm():
+    import spblas_tpu as sp
+    da = _blocky(64, 256, 8, 128, 10, seed=7)
+    db = _blocky(256, 256, 128, 128, 3, seed=8)
+    a = BSR.from_dense(da, (8, 128))
+    b = BSR.from_dense(db, (128, 128))
+    c = sp.multiply(sp.scaled(2.0, a), b)
+    assert isinstance(c, BSR)
+    np.testing.assert_allclose(np.asarray(c.todense()), 2.0 * da @ db,
+                               rtol=1e-4, atol=1e-4)
