@@ -105,20 +105,14 @@ def bench_spmv_banded_bf16(m=409_600, half_bw=50, iters=300):
     return nnz / sec, nnz
 
 
-def bench_spmm_banded(m=10_000, half_bw=50, k=256):
-    from spblas_tpu.kernels import plans as _plans
-    from spblas_tpu.utils.generate import generate_banded_csr
+def bench_spmm_banded(m=409_600, half_bw=50, k=256, iters=20):
+    """Banded SpMM with B streamed from HBM (configs[1] at benchmark
+    scale; operator assembled on device like the headline)."""
+    from spblas_tpu.kernels.banded import band_spmm_stream
 
-    a = generate_banded_csr(m, m, 2 * half_bw + 1, seed=0)
-    nnz = int(a.nnz)
-    kind, plan = _plans.build_matvec_plan(a)
-    scale = jnp.float32(2 * half_bw + 1)
-
-    def step(plan, b):
-        return _plans.plan_spmm((kind, plan), b) / scale
-
-    sec = _time_chained(step, plan, jnp.ones((m, k), jnp.float32),
-                        iters=100)
+    plan, nnz = _device_band_plan(m, half_bw)
+    sec = _time_chained(lambda p, bb: band_spmm_stream(p, bb), plan,
+                        jnp.ones((m, k), jnp.float32), iters=iters)
     return 2 * nnz * k / sec, nnz
 
 

@@ -82,7 +82,8 @@ def build_band_plan(a: CSR, dtype=None) -> BandPlan:
     # because xp is shifted by pad_l, and the panel's lane dim may be any
     # size when the block spans the whole dimension
     pad_l = h
-    w = _R + 2 * pad_l
+    # sublane-dim slice sizes must be 8-aligned on TPU (Mosaic tiling)
+    w = -(-(_R + 2 * pad_l) // 8) * 8
     nblk = -(-m // _R)
     nblk = -(-nblk // _G) * _G
     panels = np.zeros((nblk * _R, w), dtype=np.asarray(a.values).dtype)
@@ -344,7 +345,7 @@ def band_plan_from_diags(diags: jax.Array, offsets, shape,
         raise ValueError(f"diags shape {diags.shape} != ({ndiag}, {m})")
     h = max(max(offs), -min(offs), 0)
     pad_l = h
-    w = _R + 2 * h
+    w = -(-(_R + 2 * h) // 8) * 8   # 8-aligned (Mosaic slice tiling)
     nblk = -(-m // _R)
     nblk = -(-nblk // _G) * _G
     mp = nblk * _R
@@ -429,3 +430,70 @@ def _band_spmv_bwd(res, dy):
 
 
 band_spmv_ad.defvjp(_band_spmv_fwd, _band_spmv_bwd)
+
+
+def _spmm_stream_kernel(panel_ref, bp_ref, out_ref, bwin, sem, *, w, k,
+                        sw):
+    # B superwindow (rows [i*G*128, i*G*128 + sw)) streamed HBM→VMEM
+    # with cross-program double buffering (scratch persists across the
+    # sequential TPU grid); panels pipeline via their blocked spec.
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+
+    def dma(slot, j):
+        return pltpu.make_async_copy(
+            bp_ref.at[pl.ds(j * _G * _R, sw), :], bwin.at[slot],
+            sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n_i)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    slot = i % 2
+    for s in range(_G):
+        bsub = bwin[slot, pl.ds(s * _R, w), :]
+        out_ref[pl.ds(s * _R, _R), :] = jax.lax.dot_general(
+            panel_ref[pl.ds(s * _R, _R), :].astype(jnp.float32), bsub,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def band_spmm_stream(plan: BandPlan, b: jax.Array,
+                     interpret: bool | None = None) -> jax.Array:
+    """C = A @ B with B streamed from HBM (no whole-operand VMEM
+    residency — scales to benchmark-size m where band_spmm's resident B
+    would overflow VMEM)."""
+    m, n = plan.shape
+    w = plan.width
+    k = b.shape[1]
+    nblk = plan.nblocks
+    sw = w + (_G - 1) * _R
+    if interpret is None:
+        interpret = not _on_tpu()
+    bp = jnp.pad(b.astype(jnp.float32),
+                 ((plan.pad_l, nblk * _R + w - plan.pad_l - n), (0, 0)))
+    c = pl.pallas_call(
+        functools.partial(_spmm_stream_kernel, w=w, k=k, sw=sw),
+        out_shape=jax.ShapeDtypeStruct((nblk * _R, k), jnp.float32),
+        grid=(nblk // _G,),
+        in_specs=[
+            pl.BlockSpec((_G * _R, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),       # B stays in HBM
+        ],
+        out_specs=pl.BlockSpec((_G * _R, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, sw, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(plan.panels, bp)
+    return c[:m].astype(jnp.result_type(plan.panels.dtype, b.dtype))

@@ -64,7 +64,7 @@ def partition_band(a, mesh: Mesh) -> DistBandPlan:
         raise ValueError(
             f"band half-width {h} exceeds local rows {mloc}; "
             "use fewer devices or the general DistCSR path")
-    w = _R + 2 * h
+    w = -(-(_R + 2 * h) // 8) * 8   # 8-aligned (Mosaic slice tiling)
     nblk = mloc // _R
     nnz = int(a.nnz)
     rowptr = np.asarray(a.rowptr).astype(np.int64)

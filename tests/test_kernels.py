@@ -135,3 +135,19 @@ def test_bsr_plan_chooser_block_structured(monkeypatch):
     c = plans.plan_spmm((kind, plan), jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(c), dense @ b, rtol=1e-3,
                                atol=1e-3)
+
+
+def test_band_spmm_stream_matches_resident():
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.utils.generate import generate_banded_csr
+    from spblas_tpu.kernels.banded import (build_band_plan, band_spmm,
+                                           band_spmm_stream)
+    a = generate_banded_csr(700, 700, 31, seed=9)
+    plan = build_band_plan(a)
+    b = np.random.default_rng(10).standard_normal((700, 32)).astype(
+        np.float32)
+    c1 = band_spmm(plan, jnp.asarray(b), interpret=True)
+    c2 = band_spmm_stream(plan, jnp.asarray(b), interpret=True)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1),
+                               rtol=1e-5, atol=1e-5)
