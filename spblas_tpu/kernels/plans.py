@@ -58,9 +58,17 @@ def _band_fill(a, h) -> float:
 
 
 def build_matvec_plan(a) -> Tuple[str, object]:
+    import jax.numpy as jnp
+
     a = to_csr(a)
     m, n = a.shape
     h = band_halfwidth(a)
+    if jnp.issubdtype(a.dtype, jnp.complexfloating):
+        # Pallas band/BSR kernels are real-only; DIA/ELL are jnp-based
+        # and complex-safe
+        if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
+            return ("dia", build_dia_plan(a))
+        return ("ell", build_ell_plan(a))
     if _on_tpu():
         if _band_fill(a, h) >= _BAND_FILL_THRESHOLD:
             return ("band", build_band_plan(a))

@@ -77,3 +77,22 @@ def test_conjugate_transpose_is_adjoint():
     y = sp.multiply(sp.conjugated(sp.transposed(a)), x)
     expected = np.conj(np.asarray(a.todense())).T @ np.asarray(x)
     assert_close(np.asarray(y), expected, factor=FACTOR)
+
+
+def test_complex_matrix_opt_plan_is_complex_safe(monkeypatch):
+    """The plan chooser must not route complex matrices into the
+    real-only Pallas kernels, even on TPU."""
+    from spblas_tpu.kernels import plans
+    monkeypatch.setattr(plans, "_on_tpu", lambda: True)
+    from spblas_tpu.utils.generate import generate_banded_csr
+    import numpy as np
+    a = generate_banded_csr(128, 128, 5, seed=0, dtype=np.complex64)
+    kind, plan = plans.build_matvec_plan(a)
+    assert kind in ("dia", "ell")
+    import jax.numpy as jnp
+    x = (np.random.default_rng(1).standard_normal(128)
+         + 1j * np.random.default_rng(2).standard_normal(128)
+         ).astype(np.complex64)
+    y = plans.plan_spmv((kind, plan), jnp.asarray(x))
+    expected = np.asarray(a.todense()) @ x
+    assert_close(np.asarray(y), expected, factor=FACTOR)
