@@ -34,7 +34,8 @@ from spblas_tpu.ops.multiply import (
 from spblas_tpu.ops.spmv import spmv
 from spblas_tpu.ops.spmm import spmm
 from spblas_tpu.ops.spgemm import (
-    spgemm, spgemm_compute, spgemm_csc, spgemm_fill, SpgemmState,
+    spgemm, spgemm_chunked, spgemm_compute, spgemm_csc, spgemm_fill,
+    SpgemmState,
     multiply_symbolic_compute, multiply_symbolic_fill, multiply_numeric,
     multiply_fused,
 )
@@ -55,7 +56,8 @@ __all__ = [
     "OperationInfo",
     "multiply", "multiply_inspect", "multiply_compute", "multiply_fill",
     "spmv", "spmm",
-    "spgemm", "spgemm_compute", "spgemm_csc", "spgemm_fill", "SpgemmState",
+    "spgemm", "spgemm_chunked", "spgemm_compute", "spgemm_csc",
+    "spgemm_fill", "SpgemmState",
     "multiply_symbolic_compute", "multiply_symbolic_fill",
     "multiply_numeric", "multiply_fused",
     "add", "add_inspect", "add_compute",

@@ -361,3 +361,53 @@ def spgemm_csc(a_view, b_view, c_capacity: Optional[int] = None):
     ct = spgemm(_vw.transposed(b_view), _vw.transposed(a_view),
                 c_capacity=c_capacity)
     return _vw.transposed(ct)
+
+
+def spgemm_chunked(a_view, b_view, rows_per_chunk: int) -> CSR:
+    """C = A @ B with the expansion bounded by row chunking.
+
+    The ESC formulation materializes O(total flops) expansion arrays
+    (SURVEY.md §7 hard parts); chunking A's rows caps that at the
+    per-chunk flop count.  Chunks are padded to a uniform row count so
+    every chunk reuses the same compiled stages (capacity buckets keep
+    the set of shapes small).
+    """
+    import numpy as np
+
+    a = to_csr(_v.get_ultimate_base(a_view))
+    b = to_csr(_v.get_ultimate_base(b_view))
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(
+            f"spgemm dimension mismatch: A is {a.shape}, B is {b.shape}")
+    alpha = _v.get_scaling_factor(a_view) * _v.get_scaling_factor(b_view)
+    rows_per_chunk = int(rows_per_chunk)
+    rowptr = np.asarray(a.rowptr).astype(np.int64)
+    nnz = int(a.nnz)
+    vals_l, cols_l, counts = [], [], np.zeros(m + 1, np.int64)
+    for r0 in range(0, m, rows_per_chunk):
+        r1 = min(r0 + rows_per_chunk, m)
+        lo = int(min(rowptr[r0], nnz))
+        hi = int(min(rowptr[r1], nnz))
+        sub_rowptr = np.zeros(rows_per_chunk + 1, np.int64)
+        sub_rowptr[: r1 - r0 + 1] = \
+            np.minimum(rowptr[r0: r1 + 1], nnz) - lo
+        sub_rowptr[r1 - r0 + 1:] = hi - lo
+        sub = CSR.from_arrays(a.values[lo:hi], sub_rowptr,
+                              a.colind[lo:hi], (rows_per_chunk, k),
+                              nnz=hi - lo)
+        info = spgemm_compute(sub, b)
+        c_chunk = spgemm_fill(info, sub, b)
+        cn = info.result_nnz
+        vals_l.append(c_chunk.values[:cn])
+        cols_l.append(c_chunk.colind[:cn])
+        counts[r0 + 1: r1 + 1] = np.diff(
+            np.asarray(c_chunk.rowptr)[: r1 - r0 + 1])
+    values = jnp.concatenate(vals_l) if vals_l else \
+        jnp.zeros((0,), a.dtype)
+    colind = jnp.concatenate(cols_l) if cols_l else \
+        jnp.zeros((0,), _t.index_dtype)
+    c = CSR.from_arrays(values * alpha, np.cumsum(counts), colind,
+                        (m, n), nnz=int(values.shape[0]))
+    return c

@@ -164,3 +164,15 @@ def test_spgemm_csc_result():
     assert isinstance(c, CSC)
     expected = np.asarray(a.todense()) @ np.asarray(b.todense())
     assert_close(np.asarray(c.todense()), expected, factor=256)
+
+
+@pytest.mark.parametrize("chunk", [16, 50, 200])
+def test_spgemm_chunked_matches_monolithic(chunk):
+    """Row-chunked expansion (bounded memory) must match the one-shot
+    product exactly in structure and values."""
+    from spblas_tpu import spgemm_chunked
+    a = g.generate_csr(137, 100, 1200, seed=10)
+    b = g.generate_csr(100, 90, 900, seed=11)
+    c1 = spgemm_chunked(sp.scaled(2.0, a), b, rows_per_chunk=chunk)
+    expected = 2.0 * np.asarray(a.todense()) @ np.asarray(b.todense())
+    assert_close(np.asarray(c1.todense()), expected, factor=256)
