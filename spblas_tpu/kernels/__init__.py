@@ -7,7 +7,8 @@ from, driven by measured platform limits (PERF_NOTES.md).
 """
 
 from spblas_tpu.kernels.banded import (
-    BandPlan, PermutedBandPlan, band_plan_from_diags, band_spmm, band_spmm_stream,
+    BandPlan, PermutedBandPlan, band_plan_from_diags, band_power_iterations, band_spmm,
+    band_spmm_stream,
     band_spmv, band_spmv_ad, build_band_plan,
     build_permuted_band_plan,
     permuted_band_spmv,
@@ -24,7 +25,8 @@ from spblas_tpu.kernels.plans import build_matvec_plan, plan_spmm, \
     plan_spmv
 
 __all__ = [
-    "BandPlan", "PermutedBandPlan", "band_plan_from_diags", "band_spmm", "band_spmm_stream",
+    "BandPlan", "PermutedBandPlan", "band_plan_from_diags", "band_power_iterations", "band_spmm",
+    "band_spmm_stream",
     "band_spmv", "band_spmv_ad", "build_band_plan",
     "build_permuted_band_plan",
     "permuted_band_spmv",

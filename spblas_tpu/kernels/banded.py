@@ -497,3 +497,73 @@ def band_spmm_stream(plan: BandPlan, b: jax.Array,
         interpret=interpret,
     )(plan.panels, bp)
     return c[:m].astype(jnp.result_type(plan.panels.dtype, b.dtype))
+
+
+def _power_kernel(panel_ref, x_ref, out_ref, xp, ybuf, *, w, h, mp, L):
+    # grid = (iters, nblk // _G): dimension 0 is the iteration count, so
+    # the whole Krylov-style chain y = A^iters x runs inside ONE pallas
+    # call — panels re-stream from HBM each iteration (double-buffered by
+    # the blocked spec), the vector never leaves VMEM, and no per-
+    # iteration XLA op overhead exists at all.
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        xp[...] = x_ref[...]
+
+    base = j * _G * _R
+    for s in range(_G):
+        xwin = xp[0, pl.ds(base + s * _R, w)]
+        panel = panel_ref[pl.ds(s * _R, _R), :].astype(jnp.float32)
+        ybuf[0, pl.ds(base + s * _R, _R)] = jnp.sum(
+            panel * xwin[None, :], axis=1)
+
+    @pl.when(j == nj - 1)
+    def _():
+        # publish this iteration's result into the padded slot (edges
+        # [0, h) and [h+mp, L) stay zero from the initial x padding)
+        xp[0, pl.ds(h, mp)] = ybuf[0, :]
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            out_ref[...] = xp[...]
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def band_power_iterations(plan: BandPlan, x: jax.Array, iters: int,
+                          interpret: bool | None = None) -> jax.Array:
+    """y = A^iters · x with the entire iteration chain inside one Pallas
+    call — the building block for power iteration / Chebyshev /
+    stationary smoothers, and the honest speed-of-light measurement of
+    the panel kernel (zero per-iteration dispatch)."""
+    m, n = plan.shape
+    if m != n:
+        raise ValueError("band_power_iterations requires a square plan")
+    w = plan.width
+    h = plan.pad_l
+    nblk = plan.nblocks
+    mp = nblk * _R
+    L = mp + w - _R
+    if interpret is None:
+        interpret = not _on_tpu()
+    xp0 = jnp.pad(x.astype(jnp.float32), (h, L - h - n))[None, :]
+    out = pl.pallas_call(
+        functools.partial(_power_kernel, w=w, h=h, mp=mp, L=L),
+        out_shape=jax.ShapeDtypeStruct((1, L), jnp.float32),
+        grid=(iters, nblk // _G),
+        in_specs=[
+            pl.BlockSpec((_G * _R, w), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, L), jnp.float32),
+            pltpu.VMEM((1, mp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(plan.panels, xp0)
+    return out[0, h: h + m].astype(
+        jnp.result_type(plan.panels.dtype, x.dtype))

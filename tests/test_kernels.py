@@ -151,3 +151,24 @@ def test_band_spmm_stream_matches_resident():
     c2 = band_spmm_stream(plan, jnp.asarray(b), interpret=True)
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_band_power_iterations():
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.utils.generate import generate_banded_csr
+    from spblas_tpu.kernels.banded import (build_band_plan,
+                                           band_power_iterations)
+    m = 700
+    a = generate_banded_csr(m, m, 11, seed=0)
+    a = dataclasses.replace(a, values=a.values / jnp.float32(11.0))
+    plan = build_band_plan(a)
+    dense = np.asarray(a.todense())
+    x = np.random.default_rng(1).standard_normal(m).astype(np.float32)
+    y = band_power_iterations(plan, jnp.asarray(x), iters=5,
+                              interpret=True)
+    exp = x.copy()
+    for _ in range(5):
+        exp = dense @ exp
+    np.testing.assert_allclose(np.asarray(y), exp, rtol=1e-4, atol=1e-5)
