@@ -45,6 +45,7 @@ from spblas_tpu.ops.scale import scale
 from spblas_tpu.ops.triangular_solve import (
     triangular_solve, triangular_solve_inspect,
 )
+from spblas_tpu import solvers
 
 __version__ = "0.1.0"
 
