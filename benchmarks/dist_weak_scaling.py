@@ -1,0 +1,73 @@
+"""Weak-scaling harness for the distributed banded SpMV.
+
+BASELINE.json's north star asks for >=70% weak-scaling efficiency from
+1 host to N>=2 hosts.  Real multi-chip hardware isn't attached to this
+environment, so this script IS the harness: it scales the problem with
+the mesh (rows_per_device held constant), measures per-iteration time on
+1..P devices, and reports efficiency = t(1) / t(P).  On a CPU mesh the
+absolute numbers are meaningless but the machinery (partition, halo
+ppermute pipeline, timing) is exactly what a pod run uses:
+
+  jax.distributed init -> make_row_mesh() over all chips -> same code.
+
+Usage (faked mesh):
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  JAX_PLATFORMS=cpu python benchmarks/dist_weak_scaling.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spblas_tpu.parallel import (dist_band_spmv, make_row_mesh,
+                                 partition_band, partition_band_vector)
+from spblas_tpu.utils.generate import generate_banded_csr
+
+ROWS_PER_DEVICE = 8192
+BANDWIDTH = 65
+ITERS = 20
+
+
+def measure(p: int) -> float:
+    mesh = make_row_mesh(p, devices=jax.devices()[:p])
+    m = ROWS_PER_DEVICE * p
+    a = generate_banded_csr(m, m, BANDWIDTH, seed=0)
+    plan = partition_band(a, mesh)
+    x = partition_band_vector(jnp.ones((m,), jnp.float32), plan, mesh)
+
+    @jax.jit
+    def chain(panels_plan, v):
+        def body(_, u):
+            return dist_band_spmv(panels_plan, u, mesh) / BANDWIDTH
+        return jax.lax.fori_loop(0, ITERS, body, v)
+
+    jax.block_until_ready(chain(plan, x))
+    best = float("inf")
+    for r in range(3):
+        xr = x + jnp.float32(1e-3 * (r + 1))
+        jax.block_until_ready(xr)
+        t0 = time.perf_counter()
+        out = chain(plan, xr)
+        jax.block_until_ready(out)
+        float(np.asarray(out)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / ITERS
+
+
+def main():
+    pmax = jax.device_count()
+    t1 = measure(1)
+    print(f"p=1: {t1*1e3:.2f} ms/iter (rows/device={ROWS_PER_DEVICE})")
+    for p in (2, 4, pmax):
+        if p <= 1 or p > pmax:
+            continue
+        tp = measure(p)
+        eff = t1 / tp
+        print(f"p={p}: {tp*1e3:.2f} ms/iter, weak-scaling efficiency "
+              f"{eff:.2f}")
+
+
+if __name__ == "__main__":
+    main()
