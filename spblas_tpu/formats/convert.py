@@ -70,8 +70,8 @@ def to_coo(a) -> COO:
     if isinstance(a, COO):
         return a
     if isinstance(a, CSR):
-        return COO(values=a.values, rowind=a.row_ids(), colind=a.colind,
-                   nnz=a.nnz, shape=a.shape)
+        from spblas_tpu.formats.coo import csr_to_coo
+        return csr_to_coo(a)
     if isinstance(a, CSC):
         # column-major entry order → re-sort row-major
         rows = a.rowind

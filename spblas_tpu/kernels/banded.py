@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spblas_tpu.formats.csr import CSR
+from spblas_tpu.types import on_tpu as _on_tpu
 
 _R = 128  # rows per panel
 _G = 8    # panels per grid program (amortizes per-program grid cost)
@@ -119,11 +120,6 @@ def _spmv_kernel(panel_ref, xp_ref, out_ref, *, w):
         out_ref[s, :] = jnp.sum(panel * xwin[None, :], axis=1)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except RuntimeError:
-        return False
 
 
 def band_spmv_padded(panels: jax.Array, xp: jax.Array,
@@ -161,8 +157,11 @@ def band_spmv(plan: BandPlan, x: jax.Array,
     nblk = plan.nblocks
     if interpret is None:
         interpret = not _on_tpu()
-    # pad so window [i*128, i*128 + w) is always in bounds
-    xp = jnp.pad(x, (plan.pad_l, nblk * _R + w - plan.pad_l - n))
+    # pad-or-trim so window [i*128, i*128 + w) is always in bounds;
+    # for wide matrices (n > nblk*128 + w - pad_l) the tail columns can
+    # hold no band entries, so trimming is exact
+    L = nblk * _R - _R + w
+    xp = jnp.pad(x, (plan.pad_l, max(0, L - plan.pad_l - n)))[:L]
     y = pl.pallas_call(
         functools.partial(_spmv_kernel, w=w),
         out_shape=jax.ShapeDtypeStruct((nblk, _R), jnp.float32),
@@ -235,7 +234,9 @@ def band_spmm(plan: BandPlan, b: jax.Array,
     nblk = plan.nblocks
     if interpret is None:
         interpret = not _on_tpu()
-    bp = jnp.pad(b, ((plan.pad_l, nblk * _R + w - plan.pad_l - n), (0, 0)))
+    L = nblk * _R - _R + w
+    bp = jnp.pad(b, ((plan.pad_l, max(0, L - plan.pad_l - n)),
+                     (0, 0)))[:L]
     c = pl.pallas_call(
         functools.partial(_spmm_kernel, w=w),
         out_shape=jax.ShapeDtypeStruct((nblk * _R, k), jnp.float32),
@@ -275,7 +276,7 @@ class PermutedBandPlan:
         return self.band.shape
 
 
-def build_permuted_band_plan(a: CSR) -> PermutedBandPlan:
+def build_permuted_band_plan(a: CSR, perm=None) -> PermutedBandPlan:
     from spblas_tpu import native
 
     m, n = a.shape
@@ -284,7 +285,9 @@ def build_permuted_band_plan(a: CSR) -> PermutedBandPlan:
     nnz = int(a.nnz)
     rowptr = np.asarray(a.rowptr).astype(np.int64)
     colind = np.asarray(a.colind)[:nnz]
-    perm, h = native.rcm(m, nnz, rowptr, colind)
+    if perm is None:
+        perm, _ = native.rcm(m, nnz, rowptr, colind)
+    perm = np.asarray(perm)
     rank = np.empty(m, np.int64)
     rank[perm] = np.arange(m)
     # permute the CSR on host (inspect-time cost)
@@ -419,8 +422,9 @@ def _band_spmv_bwd(res, dy):
     dx = acc[h: h + n].astype(x.dtype)
 
     # dpanels[g, c] = dy[g] * xp[(g//128)*128 + c]
+    Lx = nblk * _R - _R + w
     xp = jnp.pad(x.astype(jnp.float32),
-                 (h, nblk * _R + w - h - n))
+                 (h, max(0, Lx - h - n)))[:Lx]
     win = _band_windows(xp, nblk, w)                  # (nblk, w)
     dpanels = (dyp.reshape(nblk, _R)[:, :, None]
                * win[:, None, :]).reshape(nblk * _R, w)
@@ -477,8 +481,9 @@ def band_spmm_stream(plan: BandPlan, b: jax.Array,
     sw = w + (_G - 1) * _R
     if interpret is None:
         interpret = not _on_tpu()
+    L = nblk * _R - _R + w + (_G - 1) * _R  # last superwindow extent
     bp = jnp.pad(b.astype(jnp.float32),
-                 ((plan.pad_l, nblk * _R + w - plan.pad_l - n), (0, 0)))
+                 ((plan.pad_l, max(0, L - plan.pad_l - n)), (0, 0)))[:L]
     c = pl.pallas_call(
         functools.partial(_spmm_stream_kernel, w=w, k=k, sw=sw),
         out_shape=jax.ShapeDtypeStruct((nblk * _R, k), jnp.float32),
@@ -548,7 +553,8 @@ def band_power_iterations(plan: BandPlan, x: jax.Array, iters: int,
     L = mp + w - _R
     if interpret is None:
         interpret = not _on_tpu()
-    xp0 = jnp.pad(x.astype(jnp.float32), (h, L - h - n))[None, :]
+    xp0 = jnp.pad(x.astype(jnp.float32),
+                  (h, max(0, L - h - n)))[:L][None, :]
     out = pl.pallas_call(
         functools.partial(_power_kernel, w=w, h=h, mp=mp, L=L),
         out_shape=jax.ShapeDtypeStruct((1, L), jnp.float32),

@@ -25,13 +25,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spblas_tpu.formats.bsr import BSR
+from spblas_tpu.types import on_tpu as _on_tpu
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except RuntimeError:
-        return False
 
 
 def _bsr_spmm_kernel(rowptr_ref, colind_ref, values_ref, b_ref, out_ref,

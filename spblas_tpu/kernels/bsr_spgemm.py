@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spblas_tpu import types as _t
 from spblas_tpu.formats.bsr import BSR
+from spblas_tpu.types import on_tpu as _on_tpu
 
 
 @jax.tree_util.register_dataclass
@@ -99,10 +100,12 @@ def bsr_spgemm_compute(a: BSR, b: BSR) -> BsrSpgemmPlan:
     mb = len(a_rp) - 1
     c_rowptr = np.zeros(mb + 1, np.int64)
     np.add.at(c_rowptr[1:], c_rows, 1)
+    pa = src_a[order] if e_total else np.zeros(1, np.int64)
+    pb = src_b[order] if e_total else np.zeros(1, np.int64)
     return BsrSpgemmPlan(
         pair_ptr=jnp.asarray(pair_ptr, jnp.int32),
-        pair_a=jnp.asarray(src_a[order], jnp.int32),
-        pair_b=jnp.asarray(src_b[order], jnp.int32),
+        pair_a=jnp.asarray(pa, jnp.int32),
+        pair_b=jnp.asarray(pb, jnp.int32),
         c_rowptr=jnp.asarray(np.cumsum(c_rowptr), _t.offset_dtype),
         c_colind=jnp.asarray(c_colind, _t.index_dtype),
         shape=(m, n), block_shape=(bh, bw))
@@ -148,11 +151,6 @@ def _numeric_kernel(pair_ptr_ref, pair_a_ref, pair_b_ref, a_ref, b_ref,
     jax.lax.fori_loop(0, npair, body, 0)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except RuntimeError:
-        return False
 
 
 def bsr_spgemm_numeric(plan: BsrSpgemmPlan, a: BSR, b: BSR,
@@ -166,6 +164,13 @@ def bsr_spgemm_numeric(plan: BsrSpgemmPlan, a: BSR, b: BSR,
     if interpret is None:
         interpret = not _on_tpu()
     out_dtype = jnp.result_type(a.dtype, b.dtype)
+    if nnzb_c == 0:
+        mb = plan.c_rowptr.shape[0] - 1
+        return BSR(values=jnp.zeros((1, bh, bw), out_dtype),
+                   block_rowptr=plan.c_rowptr,
+                   block_colind=jnp.zeros((1,), _t.index_dtype),
+                   nnz_blocks=jnp.asarray(0, jnp.int32),
+                   shape=plan.shape, block_shape=plan.block_shape)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,      # pair_ptr, pair_a, pair_b

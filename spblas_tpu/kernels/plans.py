@@ -31,6 +31,7 @@ from spblas_tpu.kernels.dia import (DiaPlan, build_dia_plan, dia_spmv,
                                     dia_spmm, dia_fill_fraction)
 from spblas_tpu.kernels.ell import (EllPlan, build_ell_plan, ell_spmv,
                                     ell_spmm)
+from spblas_tpu.types import on_tpu as _on_tpu
 
 # DIA wins when its dense-diagonal storage is mostly true nonzeros:
 # above ~1/3 fill, 4 B/slot dense diagonals move fewer bytes than
@@ -45,11 +46,6 @@ _BSR_FILL_THRESHOLD = 0.25
 _BSR_BLOCK = (8, 128)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except RuntimeError:
-        return False
 
 
 def _band_fill(a, h) -> float:
@@ -87,7 +83,8 @@ def build_matvec_plan(a) -> Tuple[str, object]:
                 m, nnz, np.asarray(a.rowptr).astype(np.int64),
                 np.asarray(a.colind))
             if _band_fill(a, h2) >= 0.02:
-                return ("band_perm", build_permuted_band_plan(a))
+                return ("band_perm",
+                        build_permuted_band_plan(a, perm=perm))
     if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
         return ("dia", build_dia_plan(a))
     return ("ell", build_ell_plan(a))

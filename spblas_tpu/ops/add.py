@@ -115,7 +115,10 @@ def add_inspect(a_view, b_view,
 @traced
 def add_compute(info: OperationInfo, a_view, b_view,
                 c: Optional[CSR] = None) -> CSR:
-    """Numeric fill into the union structure (add_impl.hpp:110-113)."""
+    """Numeric fill into the union structure (add_impl.hpp:110-113).
+
+    ``c`` supplies user-owned capacity (the allocate-then-fill
+    handshake); it must fit result_nnz."""
     plan: AddPlan = info.plan
     a_base, alpha_a, conj_a = _v.fold(a_view)
     b_base, alpha_b, conj_b = _v.fold(b_view)
@@ -124,8 +127,15 @@ def add_compute(info: OperationInfo, a_view, b_view,
     a_values = jnp.conj(a.values) if conj_a else a.values
     b_values = jnp.conj(b.values) if conj_b else b.values
     c_values = _add_numeric(plan, a_values, b_values, alpha_a, alpha_b)
-    return CSR(values=c_values, rowptr=plan.c_rowptr, colind=plan.c_colind,
-               nnz=plan.c_nnz, shape=plan.shape)
+    out = CSR(values=c_values, rowptr=plan.c_rowptr,
+              colind=plan.c_colind, nnz=plan.c_nnz, shape=plan.shape)
+    if c is not None:
+        if c.capacity < info.result_nnz:
+            raise RuntimeError(
+                f"add_compute: user capacity {c.capacity} < result_nnz "
+                f"{info.result_nnz} (csr_builder overflow analogue)")
+        out = out.with_capacity(c.capacity)
+    return out
 
 
 @traced

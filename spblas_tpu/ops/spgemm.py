@@ -244,8 +244,13 @@ def spgemm_fill(info: OperationInfo, a_view, b_view, d_view=None,
         d = to_csr(d_base)
         d_values = jnp.conj(d.values) if conj_d else d.values
         beta = beta_d
-    if c is not None and c.capacity != plan.c_capacity:
-        plan = plan.with_capacity(c.capacity)
+    if c is not None:
+        if c.capacity < info.result_nnz:
+            raise RuntimeError(
+                f"spgemm_fill: user capacity {c.capacity} < result_nnz "
+                f"{info.result_nnz} (csr_builder overflow analogue)")
+        if c.capacity != plan.c_capacity:
+            plan = plan.with_capacity(c.capacity)
     c_values = _numeric(plan, a_values, b_values, d_values, alpha, beta)
     return CSR(values=c_values, rowptr=plan.c_rowptr,
                colind=plan.c_colind[:c_values.shape[0]],
@@ -374,14 +379,20 @@ def spgemm_chunked(a_view, b_view, rows_per_chunk: int) -> CSR:
     """
     import numpy as np
 
-    a = to_csr(_v.get_ultimate_base(a_view))
-    b = to_csr(_v.get_ultimate_base(b_view))
+    a_base, alpha_a, conj_a = _v.fold(a_view)
+    b_base, alpha_b, conj_b = _v.fold(b_view)
+    a = to_csr(a_base)
+    b = to_csr(b_base)
+    if conj_a:
+        a = dataclasses.replace(a, values=jnp.conj(a.values))
+    if conj_b:
+        b = dataclasses.replace(b, values=jnp.conj(b.values))
     m, k = a.shape
     k2, n = b.shape
     if k != k2:
         raise ValueError(
             f"spgemm dimension mismatch: A is {a.shape}, B is {b.shape}")
-    alpha = _v.get_scaling_factor(a_view) * _v.get_scaling_factor(b_view)
+    alpha = alpha_a * alpha_b
     rows_per_chunk = int(rows_per_chunk)
     rowptr = np.asarray(a.rowptr).astype(np.int64)
     nnz = int(a.nnz)

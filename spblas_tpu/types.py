@@ -60,3 +60,14 @@ def quantize_capacity(nnz: int, cfg: Config = DEFAULT_CONFIG) -> int:
     if not cfg.capacity_quantum:
         return nnz
     return 1 << (nnz - 1).bit_length()
+
+
+def on_tpu() -> bool:
+    """True when the default jax backend is a TPU — the shared platform
+    probe behind plan selection and kernel interpret-mode defaults."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False

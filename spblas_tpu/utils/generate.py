@@ -17,6 +17,16 @@ from spblas_tpu.formats.csc import CSC
 from spblas_tpu.formats.coo import COO
 
 
+def _complex_dtype(dtype):
+    """complex_=True with a real dtype means the matching complex one
+    (float32 -> complex64); a bare .astype(float) would silently discard
+    the imaginary part."""
+    dtype = np.dtype(dtype)
+    if dtype.kind == "c":
+        return dtype
+    return np.dtype(np.complex128 if dtype == np.float64 else np.complex64)
+
+
 def _coo_arrays(m, n, nnz, seed=0, dtype=np.float32, complex_=False):
     if nnz > m * n:
         raise ValueError("nnz exceeds m*n")
@@ -30,7 +40,7 @@ def _coo_arrays(m, n, nnz, seed=0, dtype=np.float32, complex_=False):
     rows, cols = rows[order], cols[order]
     if complex_:
         vals = (rng.uniform(0, 100, nnz) + 1j * rng.uniform(0, 100, nnz)
-                ).astype(dtype)
+                ).astype(_complex_dtype(dtype))
     else:
         vals = rng.uniform(0, 100, nnz).astype(dtype)
     return vals, rows, cols
@@ -94,7 +104,8 @@ def generate_dense(m, n, seed=0, dtype=np.float32, complex_=False):
     rng = np.random.default_rng(seed)
     if complex_:
         return (rng.uniform(0, 100, (m, n))
-                + 1j * rng.uniform(0, 100, (m, n))).astype(dtype)
+                + 1j * rng.uniform(0, 100, (m, n))).astype(
+                    _complex_dtype(dtype))
     return rng.uniform(0, 100, (m, n)).astype(dtype)
 
 

@@ -149,11 +149,17 @@ def get_ultimate_base(t):
 
 
 def get_scaling_factor(t, dtype=None):
-    """Product of all nested scaling factors (view_inspectors.hpp:22-77)."""
+    """Product of all nested scaling factors (view_inspectors.hpp:22-77).
+
+    A scaling that sits *inside* an odd number of conjugation views is
+    itself conjugated: conj(alpha * A) == conj(alpha) * conj(A)."""
     alpha = None
+    conj_depth = 0
     while isinstance(t, (ScaledView, ConjugatedView, OptimizedMatrix)):
+        if isinstance(t, ConjugatedView):
+            conj_depth += 1
         if isinstance(t, ScaledView):
-            a = t.alpha
+            a = jnp.conj(t.alpha) if conj_depth % 2 else t.alpha
             alpha = a if alpha is None else alpha * a
         t = t.base
     if alpha is None:
