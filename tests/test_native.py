@@ -128,3 +128,20 @@ def test_matrix_market_pattern_and_dups(tmp_path):
     dense = np.asarray(a.todense())
     np.testing.assert_allclose(dense, np.array([[2.0, 0], [0, 1.0]],
                                                dtype=np.float32))
+
+
+def test_interop_bcoo_roundtrip():
+    from spblas_tpu.utils.interop import from_bcoo, to_bcoo
+    a = generate_csr(30, 25, 150, seed=8)
+    back = from_bcoo(to_bcoo(a))
+    np.testing.assert_allclose(np.asarray(back.todense()),
+                               np.asarray(a.todense()))
+
+
+def test_interop_scipy_roundtrip():
+    pytest.importorskip("scipy")
+    from spblas_tpu.utils.interop import from_scipy, to_scipy
+    a = generate_csr(30, 25, 150, seed=9)
+    back = from_scipy(to_scipy(a))
+    np.testing.assert_allclose(np.asarray(back.todense()),
+                               np.asarray(a.todense()))
