@@ -77,7 +77,7 @@ def _device_band_plan(m, half_bw, dtype=None):
     return plan, nnz
 
 
-def bench_spmv_banded(m=409_600, half_bw=50, iters=500):
+def bench_spmv_banded(m=409_600, half_bw=50, iters=1000):
     """Headline: banded SpMV through the panel plan (configs[0] scaled to
     SuiteSparse-class size — this platform adds ~300 us of fixed per-op
     cost, see PERF_NOTES.md, so small operands measure overhead, not the
