@@ -178,6 +178,16 @@ class CSR:
                 f"dtype={self.dtype})")
 
 
+def host_row_ids(rowptr, nnz: int, m: int) -> "np.ndarray":
+    """Per-live-entry row ids from a (possibly capacity-padded) rowptr —
+    the shared host-inspect idiom (numpy only; safe under an outer jit
+    because it never emits jnp ops on the captured arrays)."""
+    rowptr = np.asarray(rowptr).astype(np.int64)
+    lo = np.minimum(rowptr[:-1], nnz)
+    hi = np.minimum(rowptr[1:], nnz)
+    return np.repeat(np.arange(m), hi - lo)
+
+
 def _pad_to(arr: jax.Array, capacity: int) -> jax.Array:
     n = arr.shape[0]
     if n == capacity:

@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spblas_tpu.formats.csr import CSR
+from spblas_tpu.formats.csr import CSR, host_row_ids
 from spblas_tpu.types import on_tpu as _on_tpu
 
 _R = 128  # rows per panel
@@ -59,10 +59,7 @@ def band_halfwidth(a: CSR) -> int:
     nnz = int(a.nnz)
     if nnz == 0:
         return 0
-    rowptr = np.asarray(a.rowptr).astype(np.int64)
-    lo = np.minimum(rowptr[:-1], nnz)
-    hi = np.minimum(rowptr[1:], nnz)
-    rows = np.repeat(np.arange(a.shape[0]), hi - lo)
+    rows = host_row_ids(a.rowptr, nnz, a.shape[0])
     cols = np.asarray(a.colind)[:nnz]
     return int(np.abs(cols - rows).max())
 
@@ -88,10 +85,7 @@ def build_band_plan(a: CSR, dtype=None) -> BandPlan:
     nblk = -(-m // _R)
     nblk = -(-nblk // _G) * _G
     panels = np.zeros((nblk * _R, w), dtype=np.asarray(a.values).dtype)
-    rowptr = np.asarray(a.rowptr).astype(np.int64)
-    lo = np.minimum(rowptr[:-1], nnz)
-    hi = np.minimum(rowptr[1:], nnz)
-    rows = np.repeat(np.arange(m), hi - lo)
+    rows = host_row_ids(a.rowptr, nnz, m)
     cols = np.asarray(a.colind)[:nnz]
     vals = np.asarray(a.values)[:nnz]
     # panel-local column: global col - (block_start - pad_l)
@@ -162,26 +156,8 @@ def band_spmv(plan: BandPlan, x: jax.Array,
     # hold no band entries, so trimming is exact
     L = nblk * _R - _R + w
     xp = jnp.pad(x, (plan.pad_l, max(0, L - plan.pad_l - n)))[:L]
-    y = pl.pallas_call(
-        functools.partial(_spmv_kernel, w=w),
-        out_shape=jax.ShapeDtypeStruct((nblk, _R), jnp.float32),
-        grid=(nblk // _G,),
-        in_specs=[
-            pl.BlockSpec((_G * _R, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),   # streamed panels
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # xp resident
-        ],
-        out_specs=pl.BlockSpec((_G, _R), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * nblk * _R * w,
-            bytes_accessed=nblk * _R * w * 4 + xp.shape[0] * 4 + m * 4,
-            transcendentals=0,
-        ),
-    )(plan.panels, xp[None, :].astype(jnp.float32))
-    return y.reshape(nblk * _R)[:m].astype(
-        jnp.result_type(plan.panels.dtype, x.dtype))
+    y = band_spmv_padded(plan.panels, xp, interpret=interpret)
+    return y[:m].astype(jnp.result_type(plan.panels.dtype, x.dtype))
 
 
 def _spmm_kernel(panel_ref, bp_ref, out_ref, *, w):
@@ -237,19 +213,7 @@ def band_spmm(plan: BandPlan, b: jax.Array,
     L = nblk * _R - _R + w
     bp = jnp.pad(b, ((plan.pad_l, max(0, L - plan.pad_l - n)),
                      (0, 0)))[:L]
-    c = pl.pallas_call(
-        functools.partial(_spmm_kernel, w=w),
-        out_shape=jax.ShapeDtypeStruct((nblk * _R, k), jnp.float32),
-        grid=(nblk // _G,),
-        in_specs=[
-            pl.BlockSpec((_G * _R, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_G * _R, k), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(plan.panels, bp.astype(jnp.float32))
+    c = band_spmm_padded(plan.panels, bp, interpret=interpret)
     return c[:m].astype(jnp.result_type(plan.panels.dtype, b.dtype))
 
 
@@ -291,10 +255,8 @@ def build_permuted_band_plan(a: CSR, perm=None) -> PermutedBandPlan:
     rank = np.empty(m, np.int64)
     rank[perm] = np.arange(m)
     # permute the CSR on host (inspect-time cost)
-    lo = np.minimum(rowptr[:-1], nnz)
-    hi = np.minimum(rowptr[1:], nnz)
     vals = np.asarray(a.values)[:nnz]
-    new_rows = rank[np.repeat(np.arange(m), hi - lo)]
+    new_rows = rank[host_row_ids(a.rowptr, nnz, m)]
     new_cols = rank[colind]
     order = np.lexsort((new_cols, new_rows))
     p_rowptr = np.zeros(m + 1, np.int64)
@@ -481,7 +443,9 @@ def band_spmm_stream(plan: BandPlan, b: jax.Array,
     sw = w + (_G - 1) * _R
     if interpret is None:
         interpret = not _on_tpu()
-    L = nblk * _R - _R + w + (_G - 1) * _R  # last superwindow extent
+    # last superwindow DMA ends at (nblk//_G - 1)*_G*_R + sw
+    #                            == nblk*_R - _R + w
+    L = nblk * _R - _R + w
     bp = jnp.pad(b.astype(jnp.float32),
                  ((plan.pad_l, max(0, L - plan.pad_l - n)), (0, 0)))[:L]
     c = pl.pallas_call(
@@ -546,6 +510,10 @@ def band_power_iterations(plan: BandPlan, x: jax.Array, iters: int,
     m, n = plan.shape
     if m != n:
         raise ValueError("band_power_iterations requires a square plan")
+    if iters <= 0:
+        # A^0 x == x (the pallas grid would run zero programs and
+        # return an uninitialized buffer)
+        return x
     w = plan.width
     h = plan.pad_l
     nblk = plan.nblocks

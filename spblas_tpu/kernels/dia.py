@@ -40,13 +40,8 @@ class DiaPlan:
 
 
 def _host_row_ids(a: CSR, nnz: int) -> np.ndarray:
-    """Per-entry row ids computed in numpy only — plan builders run on
-    host and must not emit jnp ops (they may be called under an outer
-    jit trace where any jnp op on the captured arrays becomes a tracer)."""
-    rowptr = np.asarray(a.rowptr).astype(np.int64)
-    lo = np.minimum(rowptr[:-1], nnz)
-    hi = np.minimum(rowptr[1:], nnz)
-    return np.repeat(np.arange(a.shape[0]), hi - lo)
+    from spblas_tpu.formats.csr import host_row_ids
+    return host_row_ids(a.rowptr, nnz, a.shape[0])
 
 
 def dia_fill_fraction(a: CSR) -> float:

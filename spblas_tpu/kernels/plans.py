@@ -97,17 +97,14 @@ def _try_bsr(a):
     multiples; padded rows/cols are structurally empty."""
     import numpy as np
     from spblas_tpu.formats.bsr import BSR
-    from spblas_tpu.formats.csr import CSR
+    from spblas_tpu.formats.csr import CSR, host_row_ids
 
     bh, bw = _BSR_BLOCK
     m, n = a.shape
     nnz = int(a.nnz)
     if nnz == 0:
         return None
-    rowptr = np.asarray(a.rowptr).astype(np.int64)
-    lo = np.minimum(rowptr[:-1], nnz)
-    hi = np.minimum(rowptr[1:], nnz)
-    rows = np.repeat(np.arange(m), hi - lo)
+    rows = host_row_ids(a.rowptr, nnz, m)
     cols = np.asarray(a.colind)[:nnz].astype(np.int64)
     nb = -(-n // bw)
     nnzb = len(np.unique((rows // bh) * nb + cols // bw))

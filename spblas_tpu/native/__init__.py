@@ -153,9 +153,11 @@ def level_schedule(m, nnz, rowptr, colind, lower: bool, unit: bool):
         lo, hi = rowptr[i], min(rowptr[i + 1], nnz)
         cols_i = colind[lo:hi]
         d = np.nonzero(cols_i == i)[0]
-        if d.size:
+        if unit:
+            pass  # unit diagonal: entries are not read, keep diag = -1
+        elif d.size:
             diag[i] = lo + d[0]
-        elif not unit:
+        else:
             raise ValueError(
                 "explicit-diagonal solve but a row has no diagonal entry")
         dep = cols_i[cols_i < i] if lower else cols_i[cols_i > i]

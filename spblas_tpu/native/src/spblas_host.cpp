@@ -81,7 +81,9 @@ int64_t spblas_level_schedule(int64_t m, int64_t nnz, const int64_t* rowptr,
     for (int64_t e = lo; e < hi; ++e) {
       int32_t j = colind[e];
       if (j == i) {
-        diag = e;
+        // unit-diagonal semantics: diagonal entries are NOT read
+        // (triangular_types.hpp) — leave diag = -1 so solvers use 1
+        if (!unit) diag = e;
       } else if ((lower && j < i) || (!lower && j > i)) {
         lev = std::max(lev, out_levels[j] + 1);
       }

@@ -55,8 +55,6 @@ def dist_add_compute(a: RowBlockCSR, b: RowBlockCSR, mesh: Mesh
     b_rptr = np.asarray(b.rowptr)
     lcap_a, lcap_b = a.local_capacity, b.local_capacity
 
-    slot_a = np.full((p, lcap_a), 0, dtype=np.int64)
-    slot_b = np.full((p, lcap_b), 0, dtype=np.int64)
     per_dev = []
     ccap = 1
     for d in range(p):
@@ -85,8 +83,8 @@ def dist_add_compute(a: RowBlockCSR, b: RowBlockCSR, mesh: Mesh
     P_rptr = np.zeros((p, mloc + 1), np.int64)
     P_cols = np.zeros((p, ccap), np.int32)
     P_nnz = np.zeros((p,), np.int32)
-    slot_a.fill(ccap)
-    slot_b.fill(ccap)
+    slot_a = np.full((p, lcap_a), ccap, dtype=np.int64)
+    slot_b = np.full((p, lcap_b), ccap, dtype=np.int64)
     for d, (src_s, slots, nnz_c, cc, cr) in enumerate(per_dev):
         a_mask = src_s < lcap_a
         slot_a[d, src_s[a_mask]] = slots[a_mask]

@@ -67,10 +67,8 @@ def partition_band(a, mesh: Mesh) -> DistBandPlan:
     w = -(-(_R + 2 * h) // 8) * 8   # 8-aligned (Mosaic slice tiling)
     nblk = mloc // _R
     nnz = int(a.nnz)
-    rowptr = np.asarray(a.rowptr).astype(np.int64)
-    lo = np.minimum(rowptr[:-1], nnz)
-    hi = np.minimum(rowptr[1:], nnz)
-    rows = np.repeat(np.arange(m), hi - lo)
+    from spblas_tpu.formats.csr import host_row_ids
+    rows = host_row_ids(a.rowptr, nnz, m)
     cols = np.asarray(a.colind)[:nnz]
     vals = np.asarray(a.values)[:nnz]
 

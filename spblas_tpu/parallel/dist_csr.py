@@ -114,17 +114,16 @@ def partition_csr(a, mesh: Mesh, block_capacity: int | None = None
     # stable order inside each block: sort entries by (dev, slot)
     order = np.lexsort((cols, rows, slot, dev))
     dev_s, slot_s = dev[order], slot[order]
-    ofs = np.zeros((p, p), dtype=np.int64)
-    pos = np.empty(nnz, dtype=np.int64)
-    # per-(dev,slot) running offset via grouped cumcount
+    # per-(dev,slot) running offset via grouped cumcount (equal keys are
+    # consecutive after the lexsort)
     key = dev_s * p + slot_s
-    # entries with equal key are consecutive after lexsort
-    first = np.concatenate([[True], key[1:] != key[:-1]]) if nnz else \
-        np.zeros(0, bool)
-    grp_start = np.flatnonzero(first)
-    cum = np.arange(nnz)
-    pos = cum - np.repeat(grp_start, np.diff(
-        np.append(grp_start, nnz))) if nnz else pos
+    if nnz:
+        first = np.concatenate([[True], key[1:] != key[:-1]])
+        grp_start = np.flatnonzero(first)
+        pos = np.arange(nnz) - np.repeat(
+            grp_start, np.diff(np.append(grp_start, nnz)))
+    else:
+        pos = np.zeros(0, dtype=np.int64)
     values[dev_s, slot_s, pos] = vals[order]
     rowloc[dev_s, slot_s, pos] = (rows[order] % mloc).astype(np.int32)
     colloc[dev_s, slot_s, pos] = (cols[order] % nloc).astype(np.int32)

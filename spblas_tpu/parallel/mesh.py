@@ -69,13 +69,16 @@ def init_distributed(coordinator_address=None, num_processes=None,
     """
     import jax
 
-    try:
-        if jax.process_count() > 1:
-            return  # already initialized
-    except RuntimeError:
-        pass
     if coordinator_address is None and num_processes is None:
         return  # single-process run: nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes, process_id=process_id)
+    # do NOT probe jax.process_count()/devices() here: that initializes
+    # the XLA backend, after which jax.distributed.initialize refuses to
+    # run — exactly the path this helper exists for
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # initialized earlier in this process
+        raise

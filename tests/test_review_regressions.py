@@ -94,3 +94,45 @@ def test_add_compute_honors_user_capacity():
     small = gen.generate_csr(20, 20, 2, seed=14, capacity=2)
     with pytest.raises(RuntimeError):
         sp.add_compute(info, a, b, c=small)
+
+
+def test_unit_diag_ignores_stored_diagonal():
+    """diag='unit' must treat the diagonal as 1 even when diagonal
+    entries are stored (triangular_types.hpp: entries are not read)."""
+    from spblas_tpu.formats.csr import CSR
+    rng = np.random.default_rng(20)
+    m = 37
+    dense = np.tril(rng.standard_normal((m, m)).astype(np.float32) * 0.1)
+    np.fill_diagonal(dense, rng.uniform(2.0, 3.0, m))   # stored, ignored
+    L = CSR.from_dense(dense)
+    b = rng.standard_normal(m).astype(np.float32)
+    x = sp.triangular_solve(L, jnp.asarray(b), uplo="lower", diag="unit")
+    unit_dense = dense.copy()
+    np.fill_diagonal(unit_dense, 1.0)
+    np.testing.assert_allclose(unit_dense @ np.asarray(x), b,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dist_unit_diag_ignores_stored_diagonal():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from spblas_tpu.parallel import (dist_triangular_solve,
+                                     dist_triangular_solve_inspect,
+                                     make_row_mesh)
+    from spblas_tpu.formats.csr import CSR
+    mesh = make_row_mesh(8)
+    rng = np.random.default_rng(21)
+    m = 64
+    dense = np.tril(rng.standard_normal((m, m)).astype(np.float32) * 0.1)
+    np.fill_diagonal(dense, rng.uniform(2.0, 3.0, m))
+    L = CSR.from_dense(dense)
+    plan = dist_triangular_solve_inspect(L, mesh, uplo="lower",
+                                         diag="unit")
+    b = rng.standard_normal(m).astype(np.float32)
+    bp = jax.device_put(
+        jnp.asarray(np.pad(b, (0, 8 * plan.mloc - m))),
+        NamedSharding(mesh, P("rows")))
+    x = np.asarray(dist_triangular_solve(plan, bp, mesh))[:m]
+    unit_dense = dense.copy()
+    np.fill_diagonal(unit_dense, 1.0)
+    np.testing.assert_allclose(unit_dense @ x, b, rtol=1e-4, atol=1e-4)
