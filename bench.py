@@ -203,12 +203,12 @@ def main():
     # platform); the full sweep is opt-in to keep the default run inside
     # the driver's time budget
     import os
-    extras = [
-        ("spgemm_2k", lambda: dict(zip(
-            ("symbolic_s", "numeric_s", "result_nnz"), bench_spgemm()))),
-    ]
+    extras = []
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         extras += [
+            ("spgemm_2k", lambda: dict(zip(
+                ("symbolic_s", "numeric_s", "result_nnz"),
+                bench_spgemm()))),
             ("spmv_banded_10k_nnz_s",
              lambda: bench_spmv_banded(m=10_000, iters=200)[0]),
             ("spmv_banded_400k_bf16_nnz_s",
