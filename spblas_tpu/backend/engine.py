@@ -45,6 +45,16 @@ def head_flags(rows_sorted, cols_sorted, valid_sorted):
     return new_group & valid_sorted
 
 
+def coalesce_sorted(rows_sorted, cols_sorted, valid_sorted, m: int):
+    """(heads, slots, nnz, rowptr) for a (row, col)-sorted stream — the
+    shared ESC coalescing core behind SpGEMM/SpADD structure passes."""
+    heads = head_flags(rows_sorted, cols_sorted, valid_sorted)
+    slots = jnp.cumsum(heads.astype(_t.offset_dtype)) - 1
+    nnz = jnp.sum(heads).astype(jnp.int32)
+    rowptr = rowptr_from_counts(row_counts(rows_sorted, heads, m), m)
+    return heads, slots, nnz, rowptr
+
+
 def compress(rows_sorted, cols_sorted, vals_sorted, valid_sorted,
              m: int, out_capacity: int):
     """Coalesce sorted COO entries: sum duplicates, emit unique structure.

@@ -25,9 +25,11 @@ from spblas_tpu.formats.csc import CSC
 class COO:
     """Coordinate matrix with padded static capacity.
 
-    Invariant: live entries are sorted by (row, col); padded entries have
-    values == 0 and rowind == colind == 0 — but note a padded (0, 0) entry
-    with value 0 is numerically harmless everywhere.
+    Invariant: live entries are sorted by row (columns within a row may
+    be in any order — CSR rows are not required to be column-sorted,
+    matching the reference's unsorted-rows contract); padded entries have
+    values == 0 and rowind == colind == 0 — a padded (0, 0) entry with
+    value 0 is numerically harmless everywhere.
     """
 
     values: jax.Array
@@ -96,9 +98,8 @@ class COO:
                 raise ValueError("rowind out of range")
             if colind.min() < 0 or colind.max() >= n:
                 raise ValueError("colind out of range")
-            key = rowind.astype(np.int64) * n + colind
-            if np.any(np.diff(key) < 0):
-                raise ValueError("COO entries not sorted row-major")
+            if np.any(np.diff(rowind) < 0):
+                raise ValueError("COO entries not grouped by row")
 
     def __repr__(self):
         return (f"COO(shape={self.shape}, capacity={self.capacity}, "
@@ -106,8 +107,12 @@ class COO:
 
 
 def csr_to_coo(a: CSR) -> COO:
-    return COO(values=a.values, rowind=a.row_ids(), colind=a.colind,
-               nnz=a.nnz, shape=a.shape)
+    # canonical padding: padded rowind must be 0 (class invariant), not
+    # CSR.row_ids()'s sentinel m
+    rows = jnp.where(a.entry_mask(), a.row_ids(), 0)
+    return COO(values=a.values,
+               rowind=rows.astype(a.row_ids().dtype),
+               colind=a.colind, nnz=a.nnz, shape=a.shape)
 
 
 def csc_to_coo(a: CSC) -> COO:

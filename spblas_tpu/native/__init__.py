@@ -222,6 +222,10 @@ def mm_read(path: str):
     if lib is not None:
         shape = np.zeros(2, np.int64)
         n = int(lib.spblas_mm_read(path.encode(), shape, None, None, None))
+        if n == -6:
+            raise ValueError(
+                f"mm_read({path}): complex Matrix Market files are not "
+                "supported")
         if n < 0:
             raise ValueError(f"mm_read({path}) failed with code {n}")
         rows = np.zeros(max(n, 1), np.int32)
@@ -244,9 +248,13 @@ def _mm_read_py(path: str):
         header = f.readline()
         if "coordinate" not in header:
             raise ValueError("only coordinate Matrix Market supported")
+        if "complex" in header:
+            raise ValueError(
+                "complex Matrix Market files are not supported")
         pattern = "pattern" in header
         skew = "skew-symmetric" in header
-        symmetric = "symmetric" in header or skew
+        symmetric = ("symmetric" in header or skew
+                     or "hermitian" in header)
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
@@ -268,10 +276,14 @@ def _mm_read_py(path: str):
 
 
 def coo_to_csr(m, rows, cols, vals):
-    """Sort COO by (row, col) and build rowptr — native counting sort."""
-    rows = np.ascontiguousarray(rows, dtype=np.int32)
-    cols = np.ascontiguousarray(cols, dtype=np.int32)
-    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    """Sort COO by (row, col) and build rowptr — native counting sort.
+
+    Inputs are copied: the native kernel permutes its buffers in place,
+    and ascontiguousarray would alias already-contiguous inputs (the
+    fallback path never mutates, so behavior must match)."""
+    rows = np.array(rows, dtype=np.int32, copy=True)
+    cols = np.array(cols, dtype=np.int32, copy=True)
+    vals = np.array(vals, dtype=np.float64, copy=True)
     nnz = len(rows)
     lib = get_lib()
     if lib is not None:

@@ -174,11 +174,16 @@ int64_t spblas_mm_read(const char* path, int64_t* out_shape,
   if (!std::fgets(line, sizeof line, f)) { std::fclose(f); return -2; }
   bool pattern = std::strstr(line, "pattern") != nullptr;
   bool symmetric = std::strstr(line, "symmetric") != nullptr ||
-                   std::strstr(line, "skew-symmetric") != nullptr;
+                   std::strstr(line, "skew-symmetric") != nullptr ||
+                   std::strstr(line, "hermitian") != nullptr;
   bool skew = std::strstr(line, "skew-symmetric") != nullptr;
   if (!std::strstr(line, "matrix") || !std::strstr(line, "coordinate")) {
     std::fclose(f);
     return -3;  // dense/array format not handled here
+  }
+  if (std::strstr(line, "complex")) {
+    std::fclose(f);
+    return -6;  // complex values unsupported by this reader
   }
   // skip comments
   long header_pos;

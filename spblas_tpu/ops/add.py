@@ -65,11 +65,8 @@ def _merge_sort(a_rowptr, a_colind, a_mask, b_rowptr, b_colind, b_mask, m):
     valid = jnp.concatenate([a_mask, b_mask])
     rows_s, cols_s, src_s, is_b_s, valid_s = engine.lexsort_coo(
         rows, cols, src, is_b, valid)
-    heads = engine.head_flags(rows_s, cols_s, valid_s)
-    slots = jnp.cumsum(heads.astype(_t.offset_dtype)) - 1
-    nnz = jnp.sum(heads).astype(jnp.int32)
-    rowptr = engine.rowptr_from_counts(engine.row_counts(rows_s, heads, m),
-                                       m)
+    heads, slots, nnz, rowptr = engine.coalesce_sorted(
+        rows_s, cols_s, valid_s, m)
     return rows_s, cols_s, src_s, is_b_s, valid_s, heads, slots, rowptr, nnz
 
 

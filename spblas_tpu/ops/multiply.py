@@ -84,13 +84,9 @@ def multiply_inspect(a, b) -> OperationInfo:
     ``views.matrix_opt`` / kernels plans."""
     a_base = _v.get_ultimate_base(a)
     m = a_base.shape[0]
-    kind = _kind(a, b)
-    if kind == "spmv":
-        n_out = 1
-    elif kind == "spgemm":
-        n_out = _v.get_ultimate_base(b).shape[1]
-    else:
-        n_out = _v.get_ultimate_base(b).shape[1]
+    if _kind(a, b) == "spmv":
+        return OperationInfo(result_shape=(m,), result_nnz=0)
+    n_out = _v.get_ultimate_base(b).shape[1]
     return OperationInfo(result_shape=(m, n_out), result_nnz=0)
 
 

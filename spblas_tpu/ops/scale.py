@@ -11,13 +11,10 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from spblas_tpu.formats.csr import CSR
-from spblas_tpu.formats.csc import CSC
-from spblas_tpu.formats.coo import COO
-
-
 def scale(alpha, t):
     alpha = jnp.asarray(alpha)
-    if isinstance(t, (CSR, CSC, COO)):
+    if dataclasses.is_dataclass(t) and hasattr(t, "values"):
+        # every sparse container (CSR/CSC/COO/BSR/DCSR) stores all
+        # numerics in .values
         return dataclasses.replace(t, values=t.values * alpha)
     return jnp.asarray(t) * alpha

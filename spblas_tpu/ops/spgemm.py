@@ -65,6 +65,8 @@ class SpgemmPlan:
     c_colind: jax.Array
     c_nnz: jax.Array
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    has_d: bool = dataclasses.field(default=False,
+                                    metadata=dict(static=True))
 
     @property
     def c_capacity(self) -> int:
@@ -131,11 +133,8 @@ def _symbolic_sort(a_rowptr, a_colind, a_mask, b_rowptr, b_colind,
             [is_d, jnp.ones((d_capacity,), dtype=jnp.bool_)])
     rows_s, cols_s, src_a_s, src_b_s, is_d_s, valid_s = engine.lexsort_coo(
         rows, cols, src_a, src_b, is_d, valid)
-    heads = engine.head_flags(rows_s, cols_s, valid_s)
-    slots = jnp.cumsum(heads.astype(_t.offset_dtype)) - 1
-    nnz = jnp.sum(heads).astype(jnp.int32)
-    rowptr = engine.rowptr_from_counts(
-        engine.row_counts(rows_s, heads, m), m)
+    heads, slots, nnz, rowptr = engine.coalesce_sorted(
+        rows_s, cols_s, valid_s, m)
     return (rows_s, cols_s, src_a_s, src_b_s, is_d_s, valid_s, heads,
             slots, rowptr, nnz)
 
@@ -190,9 +189,18 @@ def spgemm_compute(a_view, b_view, d_view=None,
         if d.shape != (m, n):
             raise ValueError(
                 f"spgemm: D shape {d.shape} != C shape {(m, n)}")
-    # flop count → expansion capacity (host sync #1, inspect-phase only)
-    e_total = int(_expansion_size(a.rowptr, a.colind, a.entry_mask(),
-                                  b.rowptr, a.capacity, b.capacity, m))
+    # flop count → expansion capacity (host-side int64 — a device int32
+    # sum would silently wrap past 2^31 flops)
+    import numpy as np
+    b_rowptr_h = np.asarray(b.rowptr).astype(np.int64)
+    b_len = (np.minimum(b_rowptr_h[1:], int(b.nnz))
+             - np.minimum(b_rowptr_h[:-1], int(b.nnz)))
+    a_cols_h = np.asarray(a.colind)[: int(a.nnz)]
+    e_total = int(b_len[a_cols_h].sum())
+    if e_total >= 2**31:
+        raise RuntimeError(
+            f"SpGEMM expansion has {e_total} flops (>= 2^31): use "
+            "spgemm_chunked to bound the expansion")
     e_capacity = _t.quantize_capacity(max(e_total, 1))
     d_cap = d.capacity if d is not None else 0
     zero_i = jnp.zeros((1,), dtype=_t.offset_dtype)
@@ -216,7 +224,8 @@ def spgemm_compute(a_view, b_view, d_view=None,
     plan = SpgemmPlan(src_a=src_a_s, src_b=src_b_s, is_d=is_d_s,
                       valid=valid_s, slot=slot_all,
                       c_rowptr=c_rowptr, c_colind=c_colind,
-                      c_nnz=nnz_dev, shape=(m, n))
+                      c_nnz=nnz_dev, shape=(m, n),
+                      has_d=d is not None)
     return OperationInfo(result_shape=(m, n), result_nnz=nnz,
                          result_capacity=int(c_capacity), plan=plan)
 
@@ -230,6 +239,13 @@ def spgemm_fill(info: OperationInfo, a_view, b_view, d_view=None,
     allocate-then-update handshake (examples/simple_spgemm.cpp:50-60).
     """
     plan: SpgemmPlan = info.plan
+    if plan.has_d and d_view is None:
+        raise ValueError(
+            "spgemm_fill: plan was computed with a D addend but none was "
+            "passed (the D slots would fill with garbage)")
+    if not plan.has_d and d_view is not None:
+        raise ValueError(
+            "spgemm_fill: plan has no D structure; recompute with d_view")
     a_base, alpha_a, conj_a = _v.fold(a_view)
     b_base, alpha_b, conj_b = _v.fold(b_view)
     a = to_csr(a_base)

@@ -142,7 +142,8 @@ def _trsv_execute(plan: TrsvPlan, values, b, alpha):
         xi = (b[jnp.minimum(rows, m - 1)] - dot) / diag
         return x.at[rows].set(xi, mode="drop")
 
-    x0 = jnp.zeros((m,), dtype=jnp.result_type(values.dtype, b.dtype))
+    x0 = jnp.zeros((m,), dtype=jnp.result_type(values.dtype, b.dtype,
+                                               alpha.dtype))
     return jax.lax.fori_loop(0, plan.num_levels, body, x0)
 
 

@@ -167,11 +167,16 @@ def generate_triangular_csr(m, seed=0, lower=True, unit_diag=False,
             cols_l.append(np.array([r], dtype=np.int64))
             # dominant diagonal keeps the solve well-conditioned
             vals_l.append(np.array([m + rng.uniform(1, 2)], dtype=dtype))
-    rows = np.concatenate(rows_l)
-    cols = np.concatenate(cols_l)
-    vals = np.concatenate(vals_l)
-    order = np.lexsort((cols, rows))
-    rows, cols, vals = rows[order], cols[order], vals[order]
+    if rows_l:
+        rows = np.concatenate(rows_l)
+        cols = np.concatenate(cols_l)
+        vals = np.concatenate(vals_l)
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+    else:  # strictly-unit-diagonal factor with no off-diagonal entries
+        rows = np.zeros(0, np.int64)
+        cols = np.zeros(0, np.int64)
+        vals = np.zeros(0, dtype)
     return CSR.from_arrays(vals, _rows_to_rowptr(rows, m), cols, (m, m),
                            nnz=len(rows), capacity=capacity)
 
