@@ -35,34 +35,68 @@ def _from_jsonable(v):
     return v
 
 
-def save_plan(path: str, plan) -> None:
-    """Persist any registered-dataclass plan (SpgemmPlan, TrsvPlan,
-    EllPlan, DiaPlan, DistSpgemmPlan, ...) to ``path`` (.npz)."""
+def _collect(plan, prefix, arrays, static, classes):
     cls = type(plan)
-    if not dataclasses.is_dataclass(plan):
-        raise TypeError(f"not a dataclass plan: {cls!r}")
-    arrays = {}
-    static = {}
+    classes[prefix or "."] = f"{cls.__module__}:{cls.__qualname__}"
     for f in dataclasses.fields(cls):
         v = getattr(plan, f.name)
+        key = f"{prefix}{f.name}"
         if f.metadata.get("static"):
-            static[f.name] = _to_jsonable(v)
+            static[key] = _to_jsonable(v)
+        elif dataclasses.is_dataclass(v):
+            _collect(v, key + "/", arrays, static, classes)  # nested plan
         else:
-            arrays[f.name] = np.asarray(v)
+            arrays[key] = np.asarray(v)
+
+
+def save_plan(path: str, plan) -> None:
+    """Persist any registered-dataclass plan (SpgemmPlan, TrsvPlan,
+    EllPlan, DiaPlan, DistSpgemmPlan, PermutedBandPlan, ...) to ``path``
+    (.npz).  Nested plan dataclasses are flattened with '/'-joined
+    keys."""
+    if not dataclasses.is_dataclass(plan):
+        raise TypeError(f"not a dataclass plan: {type(plan)!r}")
+    arrays, static, classes = {}, {}, {}
+    _collect(plan, "", arrays, static, classes)
     np.savez(path,
-             __class__=np.str_(f"{cls.__module__}:{cls.__qualname__}"),
+             __classes__=np.str_(json.dumps(classes)),
              __static__=np.str_(json.dumps(static)),
              **arrays)
+
+
+def _resolve(qualname: str):
+    mod_name, _, qual = qualname.partition(":")
+    obj = importlib.import_module(mod_name)
+    for part in qual.split("."):
+        obj = getattr(obj, part)
+    return obj
+
+
+def _rebuild(prefix, z, classes, static):
+    cls = _resolve(classes[prefix or "."])
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        key = f"{prefix}{f.name}"
+        if f.metadata.get("static"):
+            kwargs[f.name] = _from_jsonable(static[key])
+        elif any(c.startswith(key + "/") for c in classes):
+            kwargs[f.name] = _rebuild(key + "/", z, classes, static)
+        elif key in z.files:
+            kwargs[f.name] = jnp.asarray(z[key])
+    return cls(**kwargs)
 
 
 def load_plan(path: str):
     """Reload a plan saved by :func:`save_plan`; arrays come back as
     device arrays ready for the jitted execute phase."""
     with np.load(path, allow_pickle=False) as z:
+        if "__classes__" in z.files:
+            classes = json.loads(str(z["__classes__"]))
+            static = json.loads(str(z["__static__"]))
+            return _rebuild("", z, classes, static)
+        # legacy single-level format
         mod_name, _, qual = str(z["__class__"]).partition(":")
-        cls = importlib.import_module(mod_name)
-        for part in qual.split("."):
-            cls = getattr(cls, part)
+        cls = _resolve(f"{mod_name}:{qual}")
         static = {k: _from_jsonable(v)
                   for k, v in json.loads(str(z["__static__"])).items()}
         kwargs = dict(static)

@@ -57,3 +57,47 @@ def test_spgemm_plan_roundtrip(tmp_path):
     c2 = sp.multiply_fill(info.update(plan=plan2), a, b)
     np.testing.assert_allclose(np.asarray(c1.todense()),
                                np.asarray(c2.todense()))
+
+
+def test_permuted_band_plan_roundtrip(tmp_path):
+    """Nested plan dataclasses flatten/rebuild through save/load."""
+    from spblas_tpu.kernels.banded import (build_permuted_band_plan,
+                                           permuted_band_spmv)
+    a = generate_banded_csr(200, 200, 9, seed=12)
+    plan = build_permuted_band_plan(a)
+    p = str(tmp_path / "pband.npz")
+    save_plan(p, plan)
+    plan2 = load_plan(p)
+    x = generate_vector(200, seed=13)
+    import jax.numpy as jnp
+    y1 = permuted_band_spmv(plan, jnp.asarray(x), interpret=True)
+    y2 = permuted_band_spmv(plan2, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_band_and_bsr_spgemm_plan_roundtrip(tmp_path):
+    from spblas_tpu.kernels.banded import build_band_plan, band_spmv
+    from spblas_tpu.kernels.bsr_spgemm import bsr_spgemm_compute
+    from spblas_tpu.formats.bsr import BSR
+    import jax.numpy as jnp
+    a = generate_banded_csr(256, 256, 7, seed=14)
+    plan = build_band_plan(a)
+    p = str(tmp_path / "band.npz")
+    save_plan(p, plan)
+    plan2 = load_plan(p)
+    x = generate_vector(256, seed=15)
+    np.testing.assert_allclose(
+        np.asarray(band_spmv(plan, jnp.asarray(x), interpret=True)),
+        np.asarray(band_spmv(plan2, jnp.asarray(x), interpret=True)))
+    rng = np.random.default_rng(16)
+    da = np.zeros((32, 256), np.float32)
+    da[:8, :128] = rng.standard_normal((8, 128))
+    db = np.zeros((256, 256), np.float32)
+    db[:128, :128] = rng.standard_normal((128, 128))
+    bplan = bsr_spgemm_compute(BSR.from_dense(da, (8, 128)),
+                               BSR.from_dense(db, (128, 128)))
+    p2 = str(tmp_path / "bsg.npz")
+    save_plan(p2, bplan)
+    bplan2 = load_plan(p2)
+    np.testing.assert_array_equal(np.asarray(bplan2.pair_a),
+                                  np.asarray(bplan.pair_a))
