@@ -23,8 +23,8 @@ import jax
 
 from spblas_tpu.formats.convert import to_csr
 from spblas_tpu.kernels.banded import (BandPlan, band_halfwidth,
-                                       band_spmm, band_spmv,
-                                       build_band_plan,
+                                       band_spmm, band_spmm_stream,
+                                       band_spmv, build_band_plan,
                                        build_permuted_band_plan,
                                        permuted_band_spmv)
 from spblas_tpu.kernels.dia import (DiaPlan, build_dia_plan, dia_spmv,
@@ -71,6 +71,11 @@ def build_matvec_plan(a) -> Tuple[str, object]:
         bsr = _try_bsr(a)
         if bsr is not None:
             return ("bsr", bsr)
+        if _band_fill(a, h) >= 0.02:
+            # already banded, just narrow: the panel kernel still beats
+            # every gather path, and skipping RCM avoids two keyed sorts
+            # per apply
+            return ("band", build_band_plan(a))
         if m == n:
             # generic sparsity: try an RCM reordering into band panels
             # (native inspector); keep it if the permuted band is dense
@@ -160,6 +165,11 @@ def plan_spmm(plan: Tuple[str, object], b: jax.Array) -> jax.Array:
         cp = jnp.pad(c_p, ((0, mp - c_p.shape[0]), (0, 0)))
         return row_permute(p.perm, cp)[: p.shape[0]]
     if kind == "band":
+        # resident-B kernel needs the whole padded B in VMEM; stream it
+        # from HBM once that would crowd the ~16 MB budget
+        resident_bytes = (p.nblocks * 128 + p.width) * b.shape[1] * 4
+        if resident_bytes > 6 * 1024 * 1024:
+            return band_spmm_stream(p, b)
         return band_spmm(p, b)
     if kind == "bsr":
         import jax.numpy as jnp

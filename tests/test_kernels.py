@@ -172,3 +172,29 @@ def test_band_power_iterations():
     for _ in range(5):
         exp = dense @ exp
     np.testing.assert_allclose(np.asarray(y), exp, rtol=1e-4, atol=1e-5)
+
+
+def test_plan_spmm_band_streams_large_b(monkeypatch):
+    """Large B must route to the streamed kernel (resident B would
+    overflow VMEM) and still match the resident result."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.kernels import plans
+    from spblas_tpu.utils.generate import generate_banded_csr
+    monkeypatch.setattr(plans, "_on_tpu", lambda: True)
+    a = generate_banded_csr(2048, 2048, 17, seed=20)
+    kind, plan = plans.build_matvec_plan(a)
+    assert kind == "band"
+    b = np.random.default_rng(21).standard_normal((2048, 1024)).astype(
+        np.float32)
+    resident_bytes = (plan.nblocks * 128 + plan.width) * 1024 * 4
+    assert resident_bytes > 6 * 1024 * 1024   # must take the stream path
+    c = plans.plan_spmm((kind, plan), jnp.asarray(b))
+    nnz = int(a.nnz)
+    rowptr = np.asarray(a.rowptr)
+    cols = np.asarray(a.colind)[:nnz]
+    vals = np.asarray(a.values)[:nnz]
+    rows = np.repeat(np.arange(2048), np.diff(np.minimum(rowptr, nnz)))
+    exp = np.zeros((2048, 1024), np.float32)
+    np.add.at(exp, rows, vals[:, None] * b[cols])
+    np.testing.assert_allclose(np.asarray(c), exp, rtol=1e-3, atol=1e-3)
