@@ -57,12 +57,14 @@ def bsr_to_csr(a) -> CSR:
 
 
 def to_csc(a) -> CSC:
+    from spblas_tpu.formats.bsr import BSR
+    from spblas_tpu.formats.dcsr import DCSR
     if isinstance(a, CSC):
         return a
     if isinstance(a, CSR):
         return csr_to_csc(a)
-    if isinstance(a, COO):
-        return csr_to_csc(a.to_csr())
+    if isinstance(a, (COO, BSR, DCSR)):
+        return csr_to_csc(to_csr(a))
     raise TypeError(f"cannot convert {type(a).__name__} to CSC")
 
 

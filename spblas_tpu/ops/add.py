@@ -142,10 +142,14 @@ def add(a_view, b_view, c_capacity: Optional[int] = None):
     Dense/dense, vector/vector → elementwise (add_impl.hpp:10-38);
     sparse/sparse → two-phase union add.
     """
+    from spblas_tpu.formats.bsr import BSR
+    from spblas_tpu.formats.dcsr import DCSR
+
     a_base = _v.get_ultimate_base(a_view)
     b_base = _v.get_ultimate_base(b_view)
-    a_sparse = isinstance(a_base, (CSR, CSC, COO))
-    b_sparse = isinstance(b_base, (CSR, CSC, COO))
+    sparse_types = (CSR, CSC, COO, BSR, DCSR)
+    a_sparse = isinstance(a_base, sparse_types)
+    b_sparse = isinstance(b_base, sparse_types)
     if not a_sparse and not b_sparse:
         a, alpha_a, conj_a = _v.fold(a_view)
         b, alpha_b, conj_b = _v.fold(b_view)

@@ -94,14 +94,6 @@ class SpgemmPlan:
 # jitted stages
 # ------------------------------------------------------------------ #
 
-@partial(jax.jit, static_argnames=("a_capacity", "b_capacity", "m"))
-def _expansion_size(a_rowptr, a_colind, a_mask, b_rowptr,
-                    a_capacity, b_capacity, m):
-    b_len = (b_rowptr[1:] - b_rowptr[:-1]).astype(_t.offset_dtype)
-    counts = jnp.where(a_mask, b_len[a_colind], 0)
-    return jnp.sum(counts)
-
-
 @partial(jax.jit,
          static_argnames=("a_capacity", "b_capacity", "d_capacity",
                           "e_capacity", "m"))

@@ -4,8 +4,9 @@ Re-design of the reference SpMM (include/spblas/algorithms/
 multiply_impl.hpp:66-92 — scalar loop with an inner j-sweep over the B row).
 The XLA form gathers whole B rows per nonzero and segment-sums them: the
 inner j-loop becomes a lane-parallel vector axis, which is exactly what the
-VPU wants.  The MXU-tiled Pallas path lives in spblas_tpu.kernels.spmm and
-is selected through OptimizedMatrix plans.
+VPU wants.  MXU-tiled Pallas paths (band panels, streamed-B band SpMM, BSR
+blocks — spblas_tpu.kernels.banded / bsr_pallas) are selected through
+OptimizedMatrix plans.
 """
 
 from __future__ import annotations
