@@ -3,26 +3,37 @@
 The reference ships no numbers (BASELINE.md); targets come from
 BASELINE.json's roofline model: CSR f32/i32 SpMV moves ~12 B of matrix
 traffic per nonzero, so roofline nnz/s = HBM_BW / 12.  The headline
-metric mirrors configs[0] (banded 10k x 10k SpMV,
-examples/simple_spmv.cpp shape template) through the optimized
-matrix_opt plan path — on TPU that is the banded-panel Pallas kernel
-(kernels/banded.py).
+metric mirrors configs[0] (banded SpMV, examples/simple_spmv.cpp shape
+template) through the optimized matrix_opt plan path — on TPU that is
+the banded-panel Pallas kernel (kernels/banded.py).
 
-Prints ONE JSON line:
+Robustness (round 2): the axon remote-compile service can wedge and hang
+any non-trivial Pallas compile indefinitely (PERF_NOTES.md).  Every
+section therefore runs in its own subprocess under a hard timeout, with
+an XLA-only fallback for the headline, so the driver ALWAYS gets its one
+JSON line:
+
   {"metric": ..., "value": N, "unit": "nnz/s", "vs_baseline": N, ...}
+
+Default details now include general-sparsity SpMV, SpGEMM and SpTRSV
+numbers (VERDICT round-1 items 3/4); SPBLAS_BENCH_FULL=1 adds the wider
+sweep.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+HEADLINE_METRIC = "spmv_banded_400k_nnz_s"
 
-from spblas_tpu.utils.profiling import device_hbm_gbps
 
+# ------------------------------------------------------------------ #
+# timing helpers (imported lazily inside sections)
+# ------------------------------------------------------------------ #
 
 def _time_chained(step, params, x0, iters: int, reps: int = 3) -> float:
     """Best wall time per `step(params, x)` application over a jitted
@@ -30,6 +41,8 @@ def _time_chained(step, params, x0, iters: int, reps: int = 3) -> float:
     embedded in the program and shipped to the (remote) compiler.  Each
     repetition perturbs the input: the platform memoizes identical calls
     (PERF_NOTES.md), which would otherwise time the dispatch floor."""
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def chain(params, x):
@@ -52,9 +65,9 @@ def _time_chained(step, params, x0, iters: int, reps: int = 3) -> float:
 
 def _device_band_plan(m, half_bw, dtype=None):
     """Synthetic banded operator assembled entirely on device (zero
-    tunnel traffic — a 400 MB host upload can take minutes on this
-    platform): random diagonals → `band_plan_from_diags`.  Row sums stay
-    < 1 so the timing chain needs no per-iteration normalization op."""
+    tunnel traffic): random diagonals → band_plan_from_diags."""
+    import jax
+    import jax.numpy as jnp
     from spblas_tpu.kernels.banded import band_plan_from_diags
 
     offsets = tuple(range(-half_bw, half_bw + 1))
@@ -63,8 +76,6 @@ def _device_band_plan(m, half_bw, dtype=None):
     @jax.jit
     def make(key):
         d = jax.random.uniform(key, (ndiag, m), jnp.float32, 0.1, 1.0)
-        # mean row sum ~1 so long timing chains neither explode nor
-        # underflow early
         d = d / jnp.float32(0.55 * ndiag)
         i = jnp.arange(m)[None, :]
         offs = jnp.asarray(offsets)[:, None]
@@ -77,66 +88,105 @@ def _device_band_plan(m, half_bw, dtype=None):
     return plan, nnz
 
 
-def bench_spmv_banded(m=409_600, half_bw=50, iters=1000):
-    """Headline: banded SpMV through the panel plan (configs[0] scaled to
-    SuiteSparse-class size — this platform adds ~300 us of fixed per-op
-    cost, see PERF_NOTES.md, so small operands measure overhead, not the
-    kernel)."""
-    from spblas_tpu.kernels.banded import band_spmv
+def _device_dia(m, half_bw):
+    """Same banded operator as DIA arrays (pure-XLA fallback path)."""
+    import jax
+    import jax.numpy as jnp
 
+    offsets = tuple(range(-half_bw, half_bw + 1))
+    ndiag = len(offsets)
+
+    @jax.jit
+    def make(key):
+        d = jax.random.uniform(key, (ndiag, m), jnp.float32, 0.1, 1.0)
+        d = d / jnp.float32(0.55 * ndiag)
+        i = jnp.arange(m)[None, :]
+        offs = jnp.asarray(offsets)[:, None]
+        return jnp.where((i + offs >= 0) & (i + offs < m), d, 0)
+
+    diags = make(jax.random.PRNGKey(0))
+    jax.block_until_ready(diags)
+    nnz = sum(m - abs(o) for o in offsets)
+    return diags, offsets, nnz
+
+
+# ------------------------------------------------------------------ #
+# sections — each runs in a subprocess and prints one JSON object
+# ------------------------------------------------------------------ #
+
+def section_device_info():
+    import jax
+    from spblas_tpu.utils.profiling import device_hbm_gbps
+    bw = device_hbm_gbps()
+    return {"device": jax.devices()[0].device_kind, "hbm_gbps": bw,
+            "csr_roofline_nnz_s": bw * 1e9 / 12.0}
+
+
+def section_headline_pallas(m=409_600, half_bw=50, iters=1000):
+    import jax.numpy as jnp
+    from spblas_tpu.kernels.banded import band_spmv
     plan, nnz = _device_band_plan(m, half_bw)
     sec = _time_chained(band_spmv, plan, jnp.ones((m,), jnp.float32),
                         iters=iters)
-    return nnz / sec, nnz, "band"
+    return {"nnz_s": nnz / sec, "nnz": nnz, "path": "pallas_band"}
 
 
-def bench_spmv_banded_bf16(m=409_600, half_bw=50, iters=300):
-    """Mixed-precision variant: bf16 panel storage (half the streamed
-    bytes/nnz), f32 accumulation."""
-    from spblas_tpu.kernels.banded import band_spmv
+def section_headline_xla(m=409_600, half_bw=50, iters=300):
+    """Fallback headline: DIA shift-multiply-accumulate in pure XLA."""
+    import jax.numpy as jnp
+    from spblas_tpu.kernels.dia import DiaPlan, dia_spmv
+    diags, offsets, nnz = _device_dia(m, half_bw)
+    plan = DiaPlan(diags=diags, offsets=offsets, shape=(m, m))
+    sec = _time_chained(dia_spmv, plan, jnp.ones((m,), jnp.float32),
+                        iters=iters)
+    return {"nnz_s": nnz / sec, "nnz": nnz, "path": "xla_dia"}
 
-    plan, nnz = _device_band_plan(m, half_bw, dtype=jnp.bfloat16)
+
+def section_spmv_general_route(m=100_000, deg=10, iters=50):
+    """Unstructured uniform-random SpMV through the ROUTE Pallas plan
+    (the round-2 kernel; VERDICT item 1)."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from spblas_tpu.kernels.route_plan import build_route_plan
+    from spblas_tpu.kernels.route_spmv import route_spmv
+    from spblas_tpu.utils.generate import generate_csr
+
+    nnz = m * deg
+    a = generate_csr(m, m, nnz, seed=3)
+    plan = build_route_plan(np.asarray(a.rowptr), np.asarray(a.colind),
+                            np.asarray(a.values), (m, m), int(a.nnz))
 
     def step(plan, x):
-        return band_spmv(plan, x).astype(jnp.float32)
+        y = route_spmv(plan, x)
+        return y * jax.lax.rsqrt(jnp.sum(y * y) / m + 1e-9)
 
-    sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
-                        iters=iters)
-    return nnz / sec, nnz
-
-
-def bench_spmm_banded(m=409_600, half_bw=50, k=256, iters=20):
-    """Banded SpMM with B streamed from HBM (configs[1] at benchmark
-    scale; operator assembled on device like the headline)."""
-    from spblas_tpu.kernels.banded import band_spmm_stream
-
-    plan, nnz = _device_band_plan(m, half_bw)
-    sec = _time_chained(lambda p, bb: band_spmm_stream(p, bb), plan,
-                        jnp.ones((m, k), jnp.float32), iters=iters)
-    return 2 * nnz * k / sec, nnz
+    sec = _time_chained(step, plan,
+                        jnp.ones((m,), jnp.float32), iters=iters)
+    return {"nnz_s": int(a.nnz) / sec, "nnz": int(a.nnz),
+            "fill": plan.fill, "chunks": plan.nchunks, "path": "route"}
 
 
-def bench_spmv_general(m=2_000, nnz=100_000):
-    """Unstructured square matrix through the plan chooser (RCM can't
-    bandify a uniform-random pattern, so this lands on the ELL path —
-    honest cost of gather-bound generic sparsity on TPU)."""
+def section_spmv_general_xla(m=20_000, deg=10, iters=10):
+    """Unstructured SpMV on the XLA gather path (ELL) — the honest
+    no-Pallas floor, kept for comparison."""
+    import jax.numpy as jnp
     from spblas_tpu.kernels import plans as _plans
     from spblas_tpu.utils.generate import generate_csr
 
-    a = generate_csr(m, m, nnz, seed=0)
+    a = generate_csr(m, m, m * deg, seed=0)
     kind, plan = _plans.build_matvec_plan(a)
-    scale = jnp.float32(nnz / m)
+    scale = jnp.float32(deg)
 
     def step(plan, x):
         return _plans.plan_spmv((kind, plan), x) / scale
 
-    sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32), iters=10)
-    return int(a.nnz) / sec, kind
+    sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
+                        iters=iters)
+    return {"nnz_s": int(a.nnz) / sec, "plan": kind}
 
 
-def bench_spgemm(m=2_000, nnz=40_000):
-    """Two-phase SpGEMM C = A @ A: symbolic and numeric timed separately
-    (configs[2])."""
+def section_spgemm(m=2_000, nnz=40_000):
+    import jax
     from spblas_tpu.ops.spgemm import spgemm_compute, spgemm_fill
     from spblas_tpu.utils.generate import generate_csr
 
@@ -147,18 +197,21 @@ def bench_spgemm(m=2_000, nnz=40_000):
     t_sym = time.perf_counter() - t0
     c = spgemm_fill(info, a, a)
     jax.block_until_ready(c.values)
-    t0 = time.perf_counter()
-    c = spgemm_fill(info, a, a)
-    jax.block_until_ready(c.values)
-    t_num = time.perf_counter() - t0
-    return t_sym, t_num, info.result_nnz
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c = spgemm_fill(info, a, a)
+        jax.block_until_ready(c.values)
+        best = min(best, time.perf_counter() - t0)
+    return {"symbolic_s": t_sym, "numeric_s": best,
+            "result_nnz": info.result_nnz}
 
 
-def bench_sptrsv(m=20_000):
-    """Level-scheduled SpTRSV (configs[3]): inspect once, timed solves."""
-    import numpy as np
-    from spblas_tpu.ops.triangular_solve import (triangular_solve,
-                                                 triangular_solve_inspect)
+def section_sptrsv(m=20_000):
+    import jax
+    import jax.numpy as jnp
+    from spblas_tpu.ops.triangular_solve import (
+        triangular_solve, triangular_solve_inspect)
     from spblas_tpu.utils.generate import generate_triangular_csr
 
     L = generate_triangular_csr(m, seed=0, lower=True, density=0.0005)
@@ -180,55 +233,135 @@ def bench_sptrsv(m=20_000):
             "levels": info.plan.num_levels, "rows_per_s": m / best}
 
 
-def _progress(msg):
-    import sys
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+def section_headline_bf16(m=409_600, half_bw=50, iters=300):
+    import jax.numpy as jnp
+    from spblas_tpu.kernels.banded import band_spmv
+    plan, nnz = _device_band_plan(m, half_bw, dtype=jnp.bfloat16)
+
+    def step(plan, x):
+        return band_spmv(plan, x).astype(jnp.float32)
+
+    sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
+                        iters=iters)
+    return {"nnz_s": nnz / sec}
+
+
+def section_spmm_banded(m=409_600, half_bw=50, k=256, iters=20):
+    import jax.numpy as jnp
+    from spblas_tpu.kernels.banded import band_spmm_stream
+    plan, nnz = _device_band_plan(m, half_bw)
+    sec = _time_chained(lambda p, bb: band_spmm_stream(p, bb), plan,
+                        jnp.ones((m, k), jnp.float32), iters=iters)
+    return {"flops_s": 2 * nnz * k / sec}
+
+
+def section_spmv_rmat(m=131_072, deg=16, iters=50):
+    """Power-law (RMAT) pattern through the ROUTE plan — the
+    SuiteSparse-class skewed-degree case."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from spblas_tpu.kernels.route_plan import build_route_plan
+    from spblas_tpu.kernels.route_spmv import route_spmv
+    from spblas_tpu.utils.generate import generate_rmat_csr
+
+    a = generate_rmat_csr(m, m * deg, seed=5)
+    plan = build_route_plan(np.asarray(a.rowptr), np.asarray(a.colind),
+                            np.asarray(a.values), a.shape, int(a.nnz))
+
+    def step(plan, x):
+        y = route_spmv(plan, x)
+        return y * jax.lax.rsqrt(jnp.sum(y * y) / m + 1e-9)
+
+    sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
+                        iters=iters)
+    return {"nnz_s": int(a.nnz) / sec, "nnz": int(a.nnz),
+            "fill": plan.fill, "path": "route"}
+
+
+SECTIONS = {
+    "device_info": section_device_info,
+    "headline_pallas": section_headline_pallas,
+    "headline_xla": section_headline_xla,
+    "spmv_general_route": section_spmv_general_route,
+    "spmv_general_xla": section_spmv_general_xla,
+    "spgemm": section_spgemm,
+    "sptrsv": section_sptrsv,
+    "headline_bf16": section_headline_bf16,
+    "spmm_banded": section_spmm_banded,
+    "spmv_rmat": section_spmv_rmat,
+}
+
+
+def _run_section(name: str, timeout_s: int):
+    """Run one section in a subprocess under a hard timeout (the wedged
+    compile service makes in-process timeouts impossible)."""
+    print(f"[bench] {name} (timeout {timeout_s}s)", file=sys.stderr,
+          flush=True)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            return None, f"exit {out.returncode}: {out.stderr[-300:]}"
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line), None
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout_s}s"
+    except Exception as e:  # noqa: BLE001
+        return None, repr(e)
 
 
 def main():
-    bw = device_hbm_gbps()
-    roofline_nnz_s = bw * 1e9 / 12.0   # CSR f32/i32 model (BASELINE.md)
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        print(json.dumps(SECTIONS[sys.argv[2]]()))
+        return
 
-    _progress("headline: banded spmv")
-    nnz_s, nnz, kind = bench_spmv_banded()
-    _progress(f"headline done: {nnz_s/1e9:.1f} Gnnz/s")
-    details = {
-        "device": jax.devices()[0].device_kind,
-        "hbm_gbps": bw,
-        "csr_roofline_nnz_s": roofline_nnz_s,
-        "banded_nnz": nnz,
-        "banded_plan": kind,
-    }
-    # each extra metric costs a remote compile (~1-3 min on this
-    # platform); the full sweep is opt-in to keep the default run inside
-    # the driver's time budget
-    import os
-    extras = []
+    details = {}
+    info, err = _run_section("device_info", 240)
+    roofline = 68.25e9
+    if info:
+        details.update(info)
+        roofline = info["csr_roofline_nnz_s"]
+    else:
+        details["device_info_error"] = err
+
+    head, err = _run_section("headline_pallas", 540)
+    if head is None:
+        details["headline_pallas_error"] = err
+        head, err = _run_section("headline_xla", 420)
+        if head is None:
+            details["headline_xla_error"] = err
+            head = {"nnz_s": 0.0, "path": "none"}
+    details["headline_path"] = head.get("path")
+    details["banded_nnz"] = head.get("nnz")
+
+    # default-recorded general/spgemm/sptrsv numbers (VERDICT items 3/4)
+    defaults = [
+        ("spmv_general_route", 540),
+        ("spgemm", 360),
+        ("sptrsv", 360),
+    ]
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
-        extras += [
-            ("spgemm_2k", lambda: dict(zip(
-                ("symbolic_s", "numeric_s", "result_nnz"),
-                bench_spgemm()))),
-            ("spmv_banded_10k_nnz_s",
-             lambda: bench_spmv_banded(m=10_000, iters=200)[0]),
-            ("spmv_banded_400k_bf16_nnz_s",
-             lambda: bench_spmv_banded_bf16()[0]),
-            ("spmm_banded_k256_flops_s", lambda: bench_spmm_banded()[0]),
-            ("spmv_general_nnz_s", lambda: bench_spmv_general()[0]),
-            ("sptrsv_20k", bench_sptrsv),
+        defaults += [
+            ("spmv_rmat", 540),
+            ("spmv_general_xla", 300),
+            ("headline_bf16", 420),
+            ("spmm_banded", 420),
         ]
-    for name, fn in extras:
-        try:
-            _progress(name)
-            details[name] = fn()
-        except Exception as e:  # keep the headline even if extras fail
-            details[name + "_error"] = repr(e)
+    for name, tmo in defaults:
+        res, err = _run_section(name, tmo)
+        if res is not None:
+            details[name] = res
+        else:
+            details[name + "_error"] = err
 
+    nnz_s = head["nnz_s"]
     print(json.dumps({
-        "metric": "spmv_banded_400k_nnz_s",
+        "metric": HEADLINE_METRIC,
         "value": nnz_s,
         "unit": "nnz/s",
-        "vs_baseline": nnz_s / roofline_nnz_s,
+        "vs_baseline": nnz_s / roofline,
         "details": details,
     }))
 

@@ -200,3 +200,39 @@ def generate_dcsr(m, n, nnz, seed=0, dtype=np.float32):
     csr = CSR.from_arrays(vals, _rows_to_rowptr(rows, m), cols, (m, n),
                           nnz=len(rows))
     return DCSR.from_csr(csr)
+
+
+def generate_rmat_csr(n, nnz, seed=0, a=0.57, b=0.19, c=0.19,
+                      dtype=np.float32) -> CSR:
+    """R-MAT power-law pattern (Chakrabarti et al.) — the offline stand-in
+    for SuiteSparse-class skewed-degree matrices (BASELINE.md names the
+    SuiteSparse set; the benchmark environment has no network egress).
+
+    Recursively drops edges into quadrants with probabilities
+    (a, b, c, 1-a-b-c); duplicates are coalesced so the result is a valid
+    CSR with nnz <= the requested count.
+    """
+    rng = np.random.default_rng(seed)
+    scale = int(np.ceil(np.log2(max(n, 2))))
+    n_pow = 1 << scale
+    rows = np.zeros(nnz, np.int64)
+    cols = np.zeros(nnz, np.int64)
+    for level in range(scale):
+        r = rng.random(nnz)
+        quad_b = (r >= a) & (r < a + b)
+        quad_c = (r >= a + b) & (r < a + b + c)
+        quad_d = r >= a + b + c
+        bit = 1 << (scale - 1 - level)
+        rows += bit * (quad_c | quad_d)
+        cols += bit * (quad_b | quad_d)
+    keep = (rows < n) & (cols < n)
+    rows, cols = rows[keep], cols[keep]
+    key = rows * n_pow + cols
+    _, idx = np.unique(key, return_index=True)
+    rows, cols = rows[idx], cols[idx]
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    vals = rng.uniform(0.1, 1.0, len(rows)).astype(dtype) / \
+        max(len(rows) / max(n, 1), 1.0)
+    return CSR.from_arrays(vals, _rows_to_rowptr(rows, n), cols, (n, n),
+                           nnz=len(rows))
