@@ -9,7 +9,15 @@ but the difference between roofline and uselessness):
 
   banded, on TPU          → banded-panel MXU plan (dense 128-row windows)
   banded, elsewhere       → DIA shift-mul-accumulate (zero index traffic)
-  general                 → ELL/SELL padded-row plan
+  general, on TPU         → ROUTE chunked in-register-gather plan
+                            (kernels/route_plan.py, round 2)
+  general, elsewhere      → ELL/SELL padded-row plan
+
+Measured thresholds (PERF_NOTES.md): permuted-band pays two keyed
+m-element sorts per apply (~0.2 Gnnz/s at m=8k), so RCM reordering is
+kept only when it makes the matrix *genuinely* banded (fill >= 5%); all
+other general sparsity routes to the ROUTE kernel when x and y fit the
+VMEM residency budget.
 
 Plans are cached on the OptimizedMatrix wrapper per op key, mirroring the
 lazy handle cache (detail/get_matrix_handle.hpp:17-40).
@@ -44,6 +52,14 @@ _BAND_FILL_THRESHOLD = 0.15
 # worthwhile when stored blocks are reasonably dense
 _BSR_FILL_THRESHOLD = 0.25
 _BSR_BLOCK = (8, 128)
+# RCM band only when genuinely bandable: below this permuted-band fill
+# the two keyed sorts per apply lose to the ROUTE kernel (measured
+# crossover ~m=20k at degree 60 on the old ELL path; ROUTE moves it
+# further in ROUTE's favor)
+_BAND_PERM_FILL_THRESHOLD = 0.05
+# ROUTE keeps x and y VMEM-resident: (x_rows + y_rows) * 512 B must fit
+# alongside scratch in ~16 MB of VMEM
+_ROUTE_VMEM_ROWS = 20_000
 
 
 
@@ -78,21 +94,38 @@ def build_matvec_plan(a) -> Tuple[str, object]:
             return ("band", build_band_plan(a))
         if m == n:
             # generic sparsity: try an RCM reordering into band panels
-            # (native inspector); keep it if the permuted band is dense
-            # enough to beat the gather-based ELL path (which on TPU is
-            # ~0.13 G elem/s — almost anything beats it)
+            # (native inspector); keep it only if the permuted band is
+            # genuinely dense (the two keyed sorts per apply otherwise
+            # lose to the ROUTE kernel)
             from spblas_tpu import native
             nnz = int(a.nnz)
             import numpy as np
             perm, h2 = native.rcm(
                 m, nnz, np.asarray(a.rowptr).astype(np.int64),
                 np.asarray(a.colind))
-            if _band_fill(a, h2) >= 0.02:
+            if _band_fill(a, h2) >= _BAND_PERM_FILL_THRESHOLD:
                 return ("band_perm",
                         build_permuted_band_plan(a, perm=perm))
+        route = _try_route(a)
+        if route is not None:
+            return ("route", route)
     if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
         return ("dia", build_dia_plan(a))
     return ("ell", build_ell_plan(a))
+
+
+def _try_route(a):
+    """ROUTE plan for general sparsity when x and y fit VMEM residency
+    (kernels/route_plan.py; the round-2 unstructured-CSR path)."""
+    import numpy as np
+    from spblas_tpu.kernels.route_plan import build_route_plan
+
+    m, n = a.shape
+    rows = -(-n // 128) + -(-m // 128)
+    if rows > _ROUTE_VMEM_ROWS:
+        return None
+    return build_route_plan(np.asarray(a.rowptr), np.asarray(a.colind),
+                            np.asarray(a.values), (m, n), int(a.nnz))
 
 
 def _try_bsr(a):
@@ -141,6 +174,9 @@ def plan_spmv(plan: Tuple[str, object], x: jax.Array) -> jax.Array:
         bsr, (m, n) = p
         xp = jnp.pad(x, (0, bsr.shape[1] - n))
         return bsr_spmv(bsr, xp)[:m]
+    if kind == "route":
+        from spblas_tpu.kernels.route_spmv import route_spmv
+        return route_spmv(p, x)
     if kind == "dia":
         return dia_spmv(p, x)
     return ell_spmv(p, x)
@@ -177,6 +213,13 @@ def plan_spmm(plan: Tuple[str, object], b: jax.Array) -> jax.Array:
         bsr, (m, n) = p
         bp = jnp.pad(b, ((0, bsr.shape[1] - n), (0, 0)))
         return bsr_spmm(bsr, bp)[:m]
+    if kind == "route":
+        # interim: column-at-a-time through the SpMV kernel (a fused
+        # ROUTE SpMM kernel is the planned upgrade; correctness first)
+        import jax.numpy as jnp
+        from spblas_tpu.kernels.route_spmv import route_spmv
+        cols = jax.lax.map(lambda col: route_spmv(p, col), b.T)
+        return jnp.transpose(cols)
     if kind == "dia":
         return dia_spmm(p, b)
     return ell_spmm(p, b)

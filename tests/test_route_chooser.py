@@ -1,0 +1,54 @@
+"""Chooser integration of the ROUTE plan (round-2 general-sparsity path)."""
+
+import numpy as np
+import pytest
+
+import spblas_tpu as sp
+from spblas_tpu.kernels import plans as _plans
+from spblas_tpu.utils import generate as gen
+from tests.util import assert_close, dense_from_csr
+
+
+@pytest.fixture
+def fake_tpu(monkeypatch):
+    monkeypatch.setattr(_plans, "_on_tpu", lambda: True)
+    # band/bsr Pallas kernels would not run on CPU; the matrices below
+    # are chosen so the chooser skips them and lands on ROUTE
+    yield
+
+
+def test_chooser_selects_route_for_uniform_random(fake_tpu):
+    a = gen.generate_csr(3000, 3000, 30000, seed=1)
+    kind, plan = _plans.build_matvec_plan(a)
+    assert kind == "route", kind
+    x = np.random.default_rng(0).standard_normal(3000).astype(np.float32)
+    import jax.numpy as jnp
+    y = np.asarray(_plans.plan_spmv((kind, plan), jnp.asarray(x)))
+    want = dense_from_csr(a) @ x
+    assert_close(y, want, factor=64, abs_floor=1e-4)
+
+
+def test_chooser_route_spmm(fake_tpu):
+    a = gen.generate_csr(1000, 1000, 8000, seed=2)
+    kind, plan = _plans.build_matvec_plan(a)
+    assert kind == "route"
+    import jax.numpy as jnp
+    b = np.random.default_rng(1).standard_normal((1000, 8)).astype(
+        np.float32)
+    c = np.asarray(_plans.plan_spmm((kind, plan), jnp.asarray(b)))
+    want = dense_from_csr(a) @ b
+    assert_close(c, want, factor=64, abs_floor=1e-4)
+
+
+def test_chooser_still_picks_band_for_banded(fake_tpu):
+    a = gen.generate_banded_csr(4000, 4000, 8, seed=3)
+    kind, _ = _plans.build_matvec_plan(a)
+    assert kind == "band"
+
+
+def test_chooser_rejects_route_when_too_big(fake_tpu, monkeypatch):
+    # shrink the budget so the fixture matrix exceeds it
+    monkeypatch.setattr(_plans, "_ROUTE_VMEM_ROWS", 10)
+    a = gen.generate_csr(3000, 3000, 9000, seed=4)
+    kind, _ = _plans.build_matvec_plan(a)
+    assert kind in ("ell", "dia")
