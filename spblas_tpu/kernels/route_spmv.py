@@ -38,6 +38,49 @@ from spblas_tpu.kernels.route_plan import LANES, SUBS, RoutePlan
 from spblas_tpu.types import on_tpu as _on_tpu
 
 
+CB = 8          # chunks per grid step (amortizes grid/DMA overhead)
+
+
+def _chunk_body(a, b, val, slab_fn, g):
+    """One (8,128) chunk: gather, permute, reduce.  Returns (RS*vA, yb
+    handled by caller)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
+
+    # gather
+    l = (a >> 3) & 127
+    oct_ = (a >> 10) & 7
+    slab = slab_fn()
+    vx = jnp.zeros((SUBS, LANES), jnp.float32)
+    for gg in range(g):
+        ug = jnp.take_along_axis(slab[gg * SUBS:(gg + 1) * SUBS], l,
+                                 axis=1)
+        vx = jnp.where(oct_ == gg, ug, vx)
+    c = vx * val
+
+    # permute 1: gather layout -> scatter layout
+    c = jnp.take_along_axis(c, (a >> 13) & 7, axis=0)
+    c = jnp.take_along_axis(c, (a >> 16) & 127, axis=1)
+    c = jnp.take_along_axis(c, (a >> 23) & 7, axis=0)
+
+    # in-column inclusive prefix over 8 sublanes
+    P = c
+    for d in (1, 2, 4):
+        shifted = jnp.take_along_axis(P, jnp.maximum(ii - d, 0), axis=0)
+        P = P + jnp.where(ii >= d, shifted, 0.0)
+
+    # per-row sums by prefix difference
+    qprev = b & 7
+    vB = ((b >> 3) & 1).astype(jnp.float32)
+    vA = ((b >> 4) & 1).astype(jnp.float32)
+    RS = P - jnp.take_along_axis(P, qprev, axis=0) * vB
+
+    # permute 2: segment ends -> y window slots
+    RS = jnp.take_along_axis(RS, (b >> 5) & 7, axis=0)
+    RS = jnp.take_along_axis(RS, (b >> 8) & 127, axis=1)
+    RS = jnp.take_along_axis(RS, (b >> 15) & 7, axis=0)
+    return RS * vA
+
+
 def _route_kernel(sb_ref, yb_ref, t1_hbm, t3_hbm, val_hbm, x_ref, y_ref,
                   t1_buf, t3_buf, val_buf, t1_sem, t3_sem, val_sem, *,
                   g: int):
@@ -46,12 +89,12 @@ def _route_kernel(sb_ref, yb_ref, t1_hbm, t3_hbm, val_hbm, x_ref, y_ref,
 
     def dmas(slot, e):
         return (
-            pltpu.make_async_copy(t1_hbm.at[e], t1_buf.at[slot],
-                                  t1_sem.at[slot]),
-            pltpu.make_async_copy(t3_hbm.at[e], t3_buf.at[slot],
-                                  t3_sem.at[slot]),
-            pltpu.make_async_copy(val_hbm.at[e], val_buf.at[slot],
-                                  val_sem.at[slot]),
+            pltpu.make_async_copy(t1_hbm.at[pl.ds(e * CB, CB)],
+                                  t1_buf.at[slot], t1_sem.at[slot]),
+            pltpu.make_async_copy(t3_hbm.at[pl.ds(e * CB, CB)],
+                                  t3_buf.at[slot], t3_sem.at[slot]),
+            pltpu.make_async_copy(val_hbm.at[pl.ds(e * CB, CB)],
+                                  val_buf.at[slot], val_sem.at[slot]),
         )
 
     @pl.when(k == 0)
@@ -70,46 +113,16 @@ def _route_kernel(sb_ref, yb_ref, t1_hbm, t3_hbm, val_hbm, x_ref, y_ref,
     for d in dmas(slot, k):
         d.wait()
 
-    a = t1_buf[slot]
-    b = t3_buf[slot]
-    val = val_buf[slot]
-    ii = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
-
-    # ---- gather --------------------------------------------------- #
-    l = (a >> 3) & 127
-    oct_ = (a >> 10) & 7
-    slab = x_ref[pl.ds(sb_ref[k], SUBS * g), :]
-    vx = jnp.zeros((SUBS, LANES), jnp.float32)
-    for gg in range(g):
-        ug = jnp.take_along_axis(slab[gg * SUBS:(gg + 1) * SUBS], l,
-                                 axis=1)
-        vx = jnp.where(oct_ == gg, ug, vx)
-    c = vx * val
-
-    # ---- permute 1: gather layout -> scatter layout ---------------- #
-    c = jnp.take_along_axis(c, (a >> 13) & 7, axis=0)
-    c = jnp.take_along_axis(c, (a >> 16) & 127, axis=1)
-    c = jnp.take_along_axis(c, (a >> 23) & 7, axis=0)
-
-    # ---- in-column inclusive prefix over 8 sublanes ----------------- #
-    P = c
-    for d in (1, 2, 4):
-        shifted = jnp.take_along_axis(P, jnp.maximum(ii - d, 0), axis=0)
-        P = P + jnp.where(ii >= d, shifted, 0.0)
-
-    # ---- per-row sums by prefix difference -------------------------- #
-    qprev = b & 7
-    vB = ((b >> 3) & 1).astype(jnp.float32)
-    vA = ((b >> 4) & 1).astype(jnp.float32)
-    RS = P - jnp.take_along_axis(P, qprev, axis=0) * vB
-
-    # ---- permute 2: segment ends -> y window slots ------------------ #
-    RS = jnp.take_along_axis(RS, (b >> 5) & 7, axis=0)
-    RS = jnp.take_along_axis(RS, (b >> 8) & 127, axis=1)
-    RS = jnp.take_along_axis(RS, (b >> 15) & 7, axis=0)
-
-    yb = yb_ref[k]
-    y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + RS * vA
+    for i in range(CB):
+        ci = k * CB + i
+        a = t1_buf[slot, i]
+        b = t3_buf[slot, i]
+        val = val_buf[slot, i]
+        upd = _chunk_body(
+            a, b, val,
+            lambda: x_ref[pl.ds(sb_ref[ci], SUBS * g), :], g)
+        yb = yb_ref[ci]
+        y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + upd
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -124,9 +137,20 @@ def route_spmv(plan: RoutePlan, x: jax.Array,
     x2 = jnp.pad(x.astype(jnp.float32),
                  (0, plan.x_rows * LANES - n)).reshape(plan.x_rows, LANES)
 
+    # pad the chunk streams to a CB multiple (pad chunks have vA=0 and
+    # contribute nothing; their slab/y bases point at row 0)
+    nc = plan.nchunks
+    nsteps = -(-nc // CB)
+    pad = nsteps * CB - nc
+    t1 = jnp.pad(plan.tile1, ((0, pad), (0, 0), (0, 0)))
+    t3 = jnp.pad(plan.tile3, ((0, pad), (0, 0), (0, 0)))
+    val = jnp.pad(plan.val, ((0, pad), (0, 0), (0, 0)))
+    sb = jnp.pad(plan.slab_base, (0, pad))
+    yb = jnp.pad(plan.y_base, (0, pad))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # slab_base, y_base
-        grid=(plan.nchunks,),
+        grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # tile1
             pl.BlockSpec(memory_space=pl.ANY),      # tile3
@@ -136,9 +160,9 @@ def route_spmv(plan: RoutePlan, x: jax.Array,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, SUBS, LANES), jnp.int32),
-            pltpu.VMEM((2, SUBS, LANES), jnp.int32),
-            pltpu.VMEM((2, SUBS, LANES), jnp.float32),
+            pltpu.VMEM((2, CB, SUBS, LANES), jnp.int32),
+            pltpu.VMEM((2, CB, SUBS, LANES), jnp.int32),
+            pltpu.VMEM((2, CB, SUBS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -150,10 +174,10 @@ def route_spmv(plan: RoutePlan, x: jax.Array,
         out_shape=jax.ShapeDtypeStruct((plan.y_rows, LANES), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * plan.nchunks * SUBS * LANES,
-            bytes_accessed=plan.nchunks * SUBS * LANES * 12
+            flops=2 * nsteps * CB * SUBS * LANES,
+            bytes_accessed=nsteps * CB * SUBS * LANES * 12
             + (plan.x_rows + plan.y_rows) * LANES * 4,
             transcendentals=0,
         ),
-    )(plan.slab_base, plan.y_base, plan.tile1, plan.tile3, plan.val, x2)
+    )(sb, yb, t1, t3, val, x2)
     return y2.reshape(-1)[:m].astype(xdt)
