@@ -23,8 +23,9 @@ Design (round 2, from measured v5e facts in PERF_NOTES.md):
                   the slab is a dynamic 8G-sublane slice.
   scatter layout  lane-column = stack of row *segments* (<=8 elements of
                   one row, contiguous sublanes).  Per-row sums are
-                  in-column inclusive-prefix differences — no cross-lane
-                  scan, no MXU latency in the chain.
+                  in-column *segmented* prefixes (shift-adds masked by
+                  within-segment distance — no cross-segment
+                  cancellation, no cross-lane scan, no MXU latency).
   y layout        row sums route to slot (row>>7 - y_base, row&127) of a
                   dynamically-sliced (8,128) window of the VMEM-resident
                   y; rows split across chunks accumulate via +=.
@@ -41,7 +42,7 @@ Packed per-slot metadata (two int32 tiles + one f32 value tile,
 12 B/slot; ~12/fill B/nnz of plan traffic vs the 8 B/nnz of raw CSR):
 
   tile1: -(3) | l(7) | oct(3) | q1(3) | q2(7) | q3(3)        gather+perm1
-  tile3: qprev(3) | vB(1) | vA(1) | p1(3) | p2(7) | p3(3)    reduce+perm2
+  tile3: dist(3) | vA(1) | p1(3) | p2(7) | p3(3)             reduce+perm2
 
 :func:`route_spmv_numpy` is an exact numpy simulator of the kernel
 semantics — the plan-level oracle used by tests (independent of the dense
@@ -399,11 +400,12 @@ def _emit_chunk(r, c, v, ent, seg, scat_lane, scat_off,
         np.concatenate([scat_pos, allpos[~in_s]]))
 
     # ---- reduce fields (at scatter positions) ------------------------- #
-    qprev = np.zeros((SUBS, LANES), np.int64)
-    vB = np.zeros((SUBS, LANES), np.int64)
+    # dist = within-segment position: the segmented-prefix shift-add at
+    # step d only adds the value d sublanes up when dist >= d
+    dfield = np.zeros((SUBS, LANES), np.int64)
+    su, sl_ = scat_pos // LANES, scat_pos % LANES
+    dfield[su, sl_] = within
     last_sub = scat_off + seg_sizes - 1
-    qprev[last_sub, scat_lane] = np.maximum(scat_off - 1, 0)
-    vB[last_sub, scat_lane] = (scat_off > 0).astype(np.int64)
 
     # ---- permute2: segment-end positions -> y slots ------------------- #
     src2 = last_sub * LANES + scat_lane
@@ -421,8 +423,8 @@ def _emit_chunk(r, c, v, ent, seg, scat_lane, scat_off,
     t1 = ((lfield << 3) | (ofield << 10)
           | (q1.astype(np.int64) << 13) | (q2.astype(np.int64) << 16)
           | (q3.astype(np.int64) << 23))
-    t3 = (qprev | (vB << 3) | (vA << 4) | (p1.astype(np.int64) << 5)
-          | (p2.astype(np.int64) << 8) | (p3.astype(np.int64) << 15))
+    t3 = (dfield | (vA << 3) | (p1.astype(np.int64) << 4)
+          | (p2.astype(np.int64) << 7) | (p3.astype(np.int64) << 14))
     out.t1.append(t1.astype(np.int32))
     out.t3.append(t3.astype(np.int32))
     out.val.append(vt)
@@ -473,14 +475,17 @@ def route_spmv_numpy(plan: RoutePlan, x: np.ndarray) -> np.ndarray:
         c = c[q1, jj]
         c = c[ii, q2]
         c = c[q3, jj]
-        P = np.cumsum(c, axis=0)
-        qprev = b & 7
-        vB = (b >> 3) & 1
-        vA = (b >> 4) & 1
-        p1 = (b >> 5) & 7
-        p2 = (b >> 8) & 127
-        p3 = (b >> 15) & 7
-        RS = P - P[qprev, jj] * vB
+        dist = b & 7
+        P = c.copy()
+        for d in (1, 2, 4):
+            sh = np.roll(P, d, axis=0)
+            sh[:d] = 0
+            P = P + np.where(dist >= d, sh, 0.0)
+        vA = (b >> 3) & 1
+        p1 = (b >> 4) & 7
+        p2 = (b >> 7) & 127
+        p3 = (b >> 14) & 7
+        RS = P
         RS = RS[p1, jj]
         RS = RS[ii, p2]
         RS = RS[p3, jj]

@@ -15,10 +15,11 @@ pattern; blocked-input PrefetchScalarGridSpec hangs this Mosaic version):
   chunk   tile1/tile3/val live in HBM (pl.ANY) and stream through a
           2-slot VMEM scratch via make_async_copy, next chunk's DMA
           overlapping this chunk's compute.
-  reduce  3-phase in-register permutation -> in-column inclusive prefix
-          (3 masked sublane-shift adds; Mosaic has no cumsum) ->
-          prefix-difference per row segment -> second 3-phase permutation
-          to y-window slots -> dynamic (8,128) y accumulate.
+  reduce  3-phase in-register permutation -> in-column *segmented*
+          prefix (3 sublane-shift adds masked by within-segment
+          distance; Mosaic has no cumsum) -> second 3-phase permutation
+          of the segment-end sums to y-window slots -> dynamic (8,128)
+          y accumulate.
 
 y stays VMEM-resident for the whole dispatch, so chunk order is free and
 rows split across chunks just accumulate.  VMEM budget: x + y + scratch;
@@ -62,22 +63,19 @@ def _chunk_body(a, b, val, slab_fn, g):
     c = jnp.take_along_axis(c, (a >> 16) & 127, axis=1)
     c = jnp.take_along_axis(c, (a >> 23) & 7, axis=0)
 
-    # in-column inclusive prefix over 8 sublanes
+    # in-column segmented prefix over 8 sublanes (dist-masked)
+    dist = b & 7
     P = c
     for d in (1, 2, 4):
         shifted = jnp.take_along_axis(P, jnp.maximum(ii - d, 0), axis=0)
-        P = P + jnp.where(ii >= d, shifted, 0.0)
+        P = P + jnp.where(dist >= d, shifted, 0.0)
 
-    # per-row sums by prefix difference
-    qprev = b & 7
-    vB = ((b >> 3) & 1).astype(jnp.float32)
-    vA = ((b >> 4) & 1).astype(jnp.float32)
-    RS = P - jnp.take_along_axis(P, qprev, axis=0) * vB
+    vA = ((b >> 3) & 1).astype(jnp.float32)
 
     # permute 2: segment ends -> y window slots
-    RS = jnp.take_along_axis(RS, (b >> 5) & 7, axis=0)
-    RS = jnp.take_along_axis(RS, (b >> 8) & 127, axis=1)
-    RS = jnp.take_along_axis(RS, (b >> 15) & 7, axis=0)
+    RS = jnp.take_along_axis(P, (b >> 4) & 7, axis=0)
+    RS = jnp.take_along_axis(RS, (b >> 7) & 127, axis=1)
+    RS = jnp.take_along_axis(RS, (b >> 14) & 7, axis=0)
     return RS * vA
 
 

@@ -67,6 +67,14 @@ class SpgemmPlan:
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     has_d: bool = dataclasses.field(default=False,
                                     metadata=dict(static=True))
+    # fused Pallas numeric engine (kernels/route_mul.py); None -> XLA path
+    route: object = None
+    a_capacity: int = dataclasses.field(default=0,
+                                        metadata=dict(static=True))
+    b_capacity: int = dataclasses.field(default=0,
+                                        metadata=dict(static=True))
+    d_capacity: int = dataclasses.field(default=0,
+                                        metadata=dict(static=True))
 
     @property
     def c_capacity(self) -> int:
@@ -84,10 +92,13 @@ class SpgemmPlan:
             colind = jnp.concatenate([self.c_colind, pad])
         else:
             colind = self.c_colind[:capacity]
-        # slot sentinel must track the capacity (drop == capacity)
+        # slot sentinel must track the capacity (drop == capacity);
+        # the fused route engine bakes the old capacity in, so drop it
+        # and fall back to the XLA numeric for the re-targeted plan
         slot = jnp.where(self.slot >= jnp.asarray(cur, self.slot.dtype),
                          capacity, jnp.minimum(self.slot, capacity))
-        return dataclasses.replace(self, c_colind=colind, slot=slot)
+        return dataclasses.replace(self, c_colind=colind, slot=slot,
+                                   route=None)
 
 
 # ------------------------------------------------------------------ #
@@ -143,7 +154,21 @@ def _structure_fill(cols_s, heads, slots, valid_s, c_capacity):
 
 @jax.jit
 def _numeric(plan: SpgemmPlan, a_values, b_values, d_values, alpha, beta):
-    """Gather-multiply-reduce numeric fill; the whole reuse hot path."""
+    """Gather-multiply-reduce numeric fill; the whole reuse hot path.
+
+    With a fused route engine (real dtype, TPU-sized), the whole
+    expansion runs in one Pallas dispatch at in-register gather speed;
+    otherwise the XLA gather + scatter-add fallback."""
+    if plan.route is not None:
+        from spblas_tpu.kernels.route_mul_kernel import route_mul
+        one = jnp.ones((1,), dtype=a_values.dtype)
+        a_arr = jnp.concatenate([alpha * a_values, one])
+        if d_values is not None:
+            b_arr = jnp.concatenate([b_values, beta * d_values])
+        else:
+            b_arr = b_values
+        return route_mul(plan.route, a_arr, b_arr).astype(
+            jnp.result_type(a_values.dtype, b_values.dtype))
     cap = plan.c_capacity
     v_ab = a_values[plan.src_a] * b_values[plan.src_b]
     if d_values is not None:
@@ -155,6 +180,45 @@ def _numeric(plan: SpgemmPlan, a_values, b_values, d_values, alpha, beta):
     v = jnp.where(plan.valid, v, 0)
     return jnp.zeros((cap,), dtype=v.dtype).at[plan.slot].add(
         v, mode="drop")
+
+
+def _try_build_route(src_a_s, src_b_s, is_d_s, valid_s, slot_all, a, b,
+                     d, c_capacity: int):
+    """Build the fused route numeric engine when the operands fit its
+    VMEM-residency and dtype envelope (real f32; A/B/out panes resident).
+
+    D entries gather a constant 1 from the slot appended after A's
+    values and beta*d from the region appended after B's values — the
+    stream becomes uniformly A_arr[sa] * B_arr[sb]."""
+    import os
+    import numpy as np
+    from spblas_tpu.types import on_tpu
+    if os.environ.get("SPBLAS_NO_ROUTE_SPGEMM") == "1":
+        return None
+    if not (on_tpu() or os.environ.get("SPBLAS_FORCE_ROUTE_SPGEMM")):
+        return None
+    if jnp.issubdtype(a.dtype, jnp.complexfloating):
+        return None
+    a_len = a.capacity + 1
+    b_len = b.capacity + (d.capacity if d is not None else 0)
+    rows = (-(-a_len // 128) + -(-b_len // 128) + -(-c_capacity // 128))
+    if rows > 18_000:
+        return None
+    valid = np.asarray(valid_s)
+    slot = np.asarray(slot_all)
+    keep = valid & (slot < c_capacity)
+    if keep.sum() > 8_000_000:
+        return None
+    sa = np.asarray(src_a_s)[keep].astype(np.int64)
+    sb = np.asarray(src_b_s)[keep].astype(np.int64)
+    isd = np.asarray(is_d_s)[keep]
+    slots = slot[keep].astype(np.int64)
+    sa = np.where(isd, a.capacity, sa)       # D gathers the constant 1
+    sb = np.where(isd, b.capacity + sb, sb)  # D region sits after B
+    from spblas_tpu.kernels.route_mul import build_route_mul_plan
+    order = np.argsort(slots, kind="stable")
+    return build_route_mul_plan(slots[order], sa[order], sb[order],
+                                a_len, b_len, c_capacity)
 
 
 # ------------------------------------------------------------------ #
@@ -213,11 +277,15 @@ def spgemm_compute(a_view, b_view, d_view=None,
             f"requested capacity {c_capacity}")
     c_colind, slot_all = _structure_fill(cols_s, heads, slots, valid_s,
                                          int(c_capacity))
+    route = _try_build_route(src_a_s, src_b_s, is_d_s, valid_s, slot_all,
+                             a, b, d, int(c_capacity))
     plan = SpgemmPlan(src_a=src_a_s, src_b=src_b_s, is_d=is_d_s,
                       valid=valid_s, slot=slot_all,
                       c_rowptr=c_rowptr, c_colind=c_colind,
                       c_nnz=nnz_dev, shape=(m, n),
-                      has_d=d is not None)
+                      has_d=d is not None, route=route,
+                      a_capacity=a.capacity, b_capacity=b.capacity,
+                      d_capacity=d.capacity if d is not None else 0)
     return OperationInfo(result_shape=(m, n), result_nnz=nnz,
                          result_capacity=int(c_capacity), plan=plan)
 
