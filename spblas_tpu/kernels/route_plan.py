@@ -77,15 +77,29 @@ class RoutePlan:
     slab_base: jax.Array    # (nchunks,) int32  x slab offset (sublane rows)
     y_base: jax.Array       # (nchunks,) int32  y window offset (sublane rows)
     val_src: jax.Array      # (nchunks, 8, 128) int32  CSR entry idx (-1 pad)
+    aux_plan: object            # nested RoutePlan reducing aux slots
+    hot_cols: jax.Array         # (nhot,) int32 replicated hot columns
     g: int = dataclasses.field(metadata=dict(static=True))
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     x_rows: int = dataclasses.field(metadata=dict(static=True))
     y_rows: int = dataclasses.field(metadata=dict(static=True))
+    aux_len: int = dataclasses.field(metadata=dict(static=True))
+    n_pad: int = dataclasses.field(metadata=dict(static=True))
     fill: float = dataclasses.field(metadata=dict(static=True))
 
     @property
     def nchunks(self) -> int:
         return int(self.tile1.shape[0])
+
+    @property
+    def aux_rows(self) -> int:
+        # extra pane rows past y_rows for hot-row segment sums
+        return (self.aux_len + LANES - 1) // LANES + SUBS \
+            if self.aux_len else 0
+
+    @property
+    def pane_rows(self) -> int:
+        return self.y_rows + self.aux_rows
 
     def update_values(self, values: jax.Array) -> "RoutePlan":
         """Re-target the plan at new CSR values, same sparsity (the
@@ -202,6 +216,9 @@ def _route_permutation(src_pos: np.ndarray, dst_pos: np.ndarray):
 # builder
 # ------------------------------------------------------------------ #
 
+_HOT_COL_THRESHOLD = 96
+
+
 def _pick_g(n: int, max_g: int = 8) -> int:
     """Smallest G whose window covers all of n (fewer select steps),
     else max_g."""
@@ -213,16 +230,19 @@ def _pick_g(n: int, max_g: int = 8) -> int:
 
 def build_route_plan(rowptr, colind, values, shape: Tuple[int, int],
                      nnz: int, g: Optional[int] = None,
-                     dtype=np.float32) -> RoutePlan:
+                     dtype=np.float32, _depth: int = 0) -> RoutePlan:
     """Build the ROUTE plan from host CSR arrays (the inspector half of
-    the two-phase protocol; O(nnz log nnz) host work)."""
+    the two-phase protocol; O(nnz log nnz) host work).
+
+    Rows needing more than one segment in a cell send the extra segment
+    sums to an *aux region* past y; a recursively-built (~8x smaller)
+    plan reduces aux back into y.  This removes the one-segment-per-row
+    packing stall that collapsed fill on power-law patterns."""
+    assert _depth < 8, "aux recursion runaway"
     m, n = shape
     rowptr = np.asarray(rowptr).astype(np.int64)
     colind = np.asarray(colind).astype(np.int64)[:nnz]
     values = np.asarray(values)[:nnz]
-    if g is None:
-        g = _pick_g(n)
-    window = g * SLOTS
 
     rows = np.repeat(np.arange(m, dtype=np.int64),
                      np.diff(np.minimum(rowptr, nnz)))
@@ -231,6 +251,33 @@ def build_route_plan(rowptr, colind, values, shape: Tuple[int, int],
     rows, cols = rows[order], cols[order]
     ent = order.astype(np.int64)
 
+    # hot columns would overflow the 128-per-sublane-class gather budget
+    # (one class per (col>>7)&7).  Replicate each hot column 8x in a
+    # pane extension — one copy per class — and spread its elements
+    # round-robin over the copies.
+    n_pad = -(-n // SLOTS) * SLOTS if n else SLOTS
+    hot_cols = np.zeros(0, np.int64)
+    if nnz:
+        coldeg = np.bincount(cols, minlength=n)
+        hot_cols = np.flatnonzero(coldeg > _HOT_COL_THRESHOLD)
+    if len(hot_cols):
+        hid = np.full(n, -1, np.int64)
+        hid[hot_cols] = np.arange(len(hot_cols))
+        ishot = hid[cols] >= 0
+        t = hid[cols[ishot]]
+        rr = np.arange(ishot.sum()) % SUBS
+        cols = cols.copy()
+        cols[ishot] = (n_pad + (t // LANES) * SLOTS + rr * LANES
+                       + (t % LANES))
+        order = np.lexsort((cols, rows))
+        rows, cols, ent = rows[order], cols[order], ent[order]
+    n_ext = n_pad + -(-len(hot_cols) // LANES) * SLOTS if len(hot_cols) \
+        else n
+
+    if g is None:
+        g = _pick_g(n_ext)
+    window = g * SLOTS
+
     # cells: row-major over (stripe, window); within a cell keep
     # (row, col) order
     stripe = rows // ROW_WINDOW
@@ -238,8 +285,8 @@ def build_route_plan(rowptr, colind, values, shape: Tuple[int, int],
     cell_order = np.lexsort((cols, rows, cellc, stripe))
     rows, cols, ent = rows[cell_order], cols[cell_order], ent[cell_order]
 
-    out = _PlanAccum()
-    ncells_cols = n // window + 1
+    out = _PlanAccum((m + LANES - 1) // LANES + SUBS)
+    ncells_cols = n_ext // window + 2
     cell_key = stripe[cell_order] * ncells_cols + cellc[cell_order]
     if len(rows):
         bounds = np.flatnonzero(np.diff(cell_key)) + 1
@@ -258,8 +305,20 @@ def build_route_plan(rowptr, colind, values, shape: Tuple[int, int],
     if not out.t1:
         out.append_empty()
 
-    x_rows = (n + LANES - 1) // LANES + SUBS * g
+    x_rows = (n_ext + LANES - 1) // LANES + SUBS * g
     y_rows = (m + LANES - 1) // LANES + SUBS
+    aux_plan = None
+    aux_len = out.aux_n
+    if aux_len:
+        slots_r = np.array([s_ for s_, _ in out.aux_map], np.int64)
+        rows_r = np.array([r_ for _, r_ in out.aux_map], np.int64)
+        order2 = np.lexsort((slots_r, rows_r))
+        rows_r, slots_r = rows_r[order2], slots_r[order2]
+        rp2 = np.zeros(m + 1, np.int64)
+        np.add.at(rp2[1:], rows_r, 1)
+        aux_plan = build_route_plan(
+            np.cumsum(rp2), slots_r, np.ones(len(slots_r), np.float32),
+            (m, aux_len), len(slots_r), _depth=_depth + 1)
     fill = nnz / max(len(out.t1) * SLOTS, 1)
     return RoutePlan(
         tile1=jnp.asarray(np.stack(out.t1)),
@@ -268,13 +327,19 @@ def build_route_plan(rowptr, colind, values, shape: Tuple[int, int],
         slab_base=jnp.asarray(np.array(out.sb, np.int32)),
         y_base=jnp.asarray(np.array(out.yb, np.int32)),
         val_src=jnp.asarray(np.stack(out.src)),
-        g=g, shape=(m, n), x_rows=x_rows, y_rows=y_rows, fill=float(fill))
+        aux_plan=aux_plan,
+        hot_cols=jnp.asarray(hot_cols.astype(np.int32)),
+        g=g, shape=(m, n), x_rows=x_rows, y_rows=y_rows,
+        aux_len=aux_len, n_pad=n_pad, fill=float(fill))
 
 
 class _PlanAccum:
-    def __init__(self):
+    def __init__(self, y_rows):
         self.t1, self.t3, self.val, self.src = [], [], [], []
         self.sb, self.yb = [], []
+        self.y_rows = y_rows          # aux region starts here (pane rows)
+        self.aux_n = 0                # allocated aux slots (incl. align)
+        self.aux_map = []             # (slot, global row) for real slots
 
     def append_empty(self):
         self.t1.append(np.zeros((SUBS, LANES), np.int32))
@@ -287,37 +352,45 @@ class _PlanAccum:
 
 def _emit_cell(r, c, v, ent, g, out: _PlanAccum, slab_base, y_base):
     """Pack one cell (local rows in [0,1024), local cols in [0, g*1024))
-    into chunks: greedy segment packing under three budgets — slot count,
-    one-segment-per-row, and the gather-side lane-run count."""
+    into chunks.
+
+    Segments are <=8-element runs of one row.  The FIRST segment of each
+    row targets the row's real y slot (direct pool); later segments
+    target fresh aux slots (aux pool) reduced by the recursive aux plan.
+    Budgets per chunk: scatter first-fit into 128 lane-column stacks of
+    depth 8, and 128 slots per gather sublane class."""
     ncell = len(r)
-    # segments: runs of <=8 elements of one row (stream is row-major)
     row_change = np.empty(ncell, bool)
     row_change[0] = True
     row_change[1:] = r[1:] != r[:-1]
     pos_in_row = np.arange(ncell) - np.maximum.accumulate(
         np.where(row_change, np.arange(ncell), 0))
     new_seg = row_change | (pos_in_row % SUBS == 0)
-    seg_id = np.cumsum(new_seg) - 1
     seg_start = np.flatnonzero(new_seg)
     nseg = len(seg_start)
     seg_end = np.concatenate([seg_start[1:], [ncell]])
     seg_len = seg_end - seg_start
     seg_row = r[seg_start]
+    seg_is_first = row_change[seg_start]
 
-    remaining = list(range(nseg))
+    direct = np.flatnonzero(seg_is_first)
+    auxseg = np.flatnonzero(~seg_is_first)
+    _pack_pool(direct, False, r, c, v, ent, seg_start, seg_end, seg_len,
+               seg_row, out, slab_base, y_base)
+    _pack_pool(auxseg, True, r, c, v, ent, seg_start, seg_end, seg_len,
+               seg_row, out, slab_base, y_base)
+
+
+def _pack_pool(pool, is_aux, r, c, v, ent, seg_start, seg_end, seg_len,
+               seg_row, out: _PlanAccum, slab_base, y_base):
+    remaining = list(pool)
     while remaining:
-        # budgets: scatter = real first-fit into 128 lane-column stacks
-        # of depth 8; gather = 128 slots per slab-sublane class
         class_cnt = np.zeros(SUBS, np.int64)
         lane_fill = np.zeros(LANES, np.int64)
-        rows_used = set()
         chosen, place_lane, place_off = [], [], []
         leftover = []
         for s_ in remaining:
             sl = int(seg_len[s_])
-            if int(seg_row[s_]) in rows_used:
-                leftover.append(s_)
-                continue
             cseg = c[seg_start[s_]:seg_end[s_]]
             cls = np.bincount((cseg // LANES) % SUBS, minlength=SUBS)
             if (class_cnt + cls > LANES).any():
@@ -327,50 +400,63 @@ def _emit_cell(r, c, v, ent, g, out: _PlanAccum, slab_base, y_base):
             if not len(fit):
                 leftover.append(s_)
                 continue
+            if not is_aux and len(chosen) >= SLOTS:
+                leftover.append(s_)
+                continue
             lane = int(fit[0])
             place_lane.append(lane)
             place_off.append(int(lane_fill[lane]))
             lane_fill[lane] += sl
             class_cnt += cls
-            rows_used.add(int(seg_row[s_]))
             chosen.append(s_)
         assert chosen, "chunk packing made no progress"
+        if is_aux:
+            # allocate a 128-aligned aux-slot block, fully inside one
+            # 1024-slot window (the chunk writes one (8,128) tile)
+            start = -(-out.aux_n // LANES) * LANES
+            if start % SLOTS + len(chosen) > SLOTS:
+                start = -(-start // SLOTS) * SLOTS
+            win = (start // SLOTS) * SLOTS
+            tgt = start - win + np.arange(len(chosen))
+            yb = out.y_rows + win // LANES
+            for k2, s_ in enumerate(chosen):
+                gr = y_base * LANES + int(seg_row[s_])
+                out.aux_map.append((start + k2, gr))
+            out.aux_n = start + len(chosen)
+        else:
+            tgt = seg_row[np.array(chosen)]
+            yb = y_base
         idx = np.concatenate([np.arange(seg_start[s_], seg_end[s_])
                               for s_ in chosen])
         seg_local = np.repeat(np.arange(len(chosen)),
                               seg_len[np.array(chosen)])
-        _emit_chunk(r[idx], c[idx], v[idx], ent[idx], seg_local,
+        _emit_chunk(c[idx], v[idx], ent[idx], seg_local,
                     np.array(place_lane, np.int64),
-                    np.array(place_off, np.int64), out)
+                    np.array(place_off, np.int64),
+                    np.asarray(tgt, np.int64), out)
         out.sb.append(slab_base)
-        out.yb.append(y_base)
+        out.yb.append(yb)
         remaining = leftover
 
 
-def _emit_chunk(r, c, v, ent, seg, scat_lane, scat_off,
+def _emit_chunk(c, v, ent, seg, scat_lane, scat_off, tgt,
                 out: _PlanAccum):
-    """Pack one chunk (<=1024 elements, one segment per row); scatter
-    placements (lane, depth offset per segment) come from the cell cut."""
-    ne = len(r)
+    """Pack one chunk; scatter placements (lane, depth offset) and the
+    per-segment window-local target slot come from the pool packer."""
+    ne = len(c)
     nseg = int(seg[-1]) + 1
 
     seg_sizes = np.bincount(seg, minlength=nseg)
     seg_first = np.concatenate([[0], np.cumsum(seg_sizes)[:-1]])
-    seg_rows = r[seg_first]
 
     within = np.arange(ne) - seg_first[seg]
     scat_pos = (scat_off[seg] + within) * LANES + scat_lane[seg]
 
-    # ---- gather layout: bucket by x lane into <=8-deep runs ----------- #
+    # ---- gather layout ------------------------------------------------ #
     xl = c % LANES
     xs = c // LANES                      # slab sublane, [0, 8g)
-    oct_ = xs // SUBS                    # slab octant, [0, g)
+    oct_ = xs // SUBS
     s7 = xs % SUBS
-    # gather layout: the element's tile SUBLANE equals its slab sublane
-    # low bits (s7); the lane-gather then uses a fully per-element lane
-    # index, and the octant select is elementwise — no column-constancy
-    # constraint.  Capacity: 128 slots per sublane class (the cell cut
-    # guarantees each class fits).
     gat_pos = np.zeros(ne, np.int64)
     class_fill = np.zeros(SUBS, np.int64)
     for k in range(ne):
@@ -379,7 +465,6 @@ def _emit_chunk(r, c, v, ent, seg, scat_lane, scat_off,
         class_fill[cls] += 1
     assert class_fill.max() <= LANES, "gather class overflow"
 
-    # ---- packed tiles ------------------------------------------------- #
     gu, gl = gat_pos // LANES, gat_pos % LANES
     lfield = np.zeros((SUBS, LANES), np.int64)
     ofield = np.zeros((SUBS, LANES), np.int64)
@@ -400,16 +485,14 @@ def _emit_chunk(r, c, v, ent, seg, scat_lane, scat_off,
         np.concatenate([scat_pos, allpos[~in_s]]))
 
     # ---- reduce fields (at scatter positions) ------------------------- #
-    # dist = within-segment position: the segmented-prefix shift-add at
-    # step d only adds the value d sublanes up when dist >= d
     dfield = np.zeros((SUBS, LANES), np.int64)
     su, sl_ = scat_pos // LANES, scat_pos % LANES
     dfield[su, sl_] = within
     last_sub = scat_off + seg_sizes - 1
 
-    # ---- permute2: segment-end positions -> y slots ------------------- #
+    # ---- permute2: segment-end positions -> window-local targets ------ #
     src2 = last_sub * LANES + scat_lane
-    dst2 = (seg_rows // LANES) * LANES + (seg_rows % LANES)
+    dst2 = tgt
     in_s2 = np.zeros(SLOTS, bool)
     in_s2[src2] = True
     in_d2 = np.zeros(SLOTS, bool)
@@ -436,19 +519,26 @@ def _emit_chunk(r, c, v, ent, seg, scat_lane, scat_off,
 # ------------------------------------------------------------------ #
 
 def pack_x(x: np.ndarray, plan: RoutePlan) -> np.ndarray:
-    """x (n,) -> padded (x_rows, 128) layout the kernel consumes."""
+    """x (n,) -> padded (x_rows, 128) pane, hot-column replicas filled."""
     n = plan.shape[1]
-    x2 = np.zeros((plan.x_rows, LANES), np.asarray(x).dtype)
-    x2.reshape(-1)[:n] = np.asarray(x)
+    x = np.asarray(x)
+    x2 = np.zeros((plan.x_rows, LANES), x.dtype)
+    flat = x2.reshape(-1)
+    flat[:n] = x
+    hot = np.asarray(plan.hot_cols)
+    for t, col in enumerate(hot):
+        base = plan.n_pad + (t // LANES) * SLOTS + (t % LANES)
+        flat[base:base + SLOTS:LANES] = x[col]
     return x2
 
 
 def route_spmv_numpy(plan: RoutePlan, x: np.ndarray) -> np.ndarray:
-    """Exact numpy mirror of the Pallas kernel semantics."""
+    """Exact numpy mirror of the Pallas kernel semantics (including the
+    recursive aux reduction)."""
     m, n = plan.shape
     g = plan.g
     x2 = pack_x(x, plan).astype(np.float32)
-    y2 = np.zeros((plan.y_rows, LANES), np.float32)
+    y2 = np.zeros((plan.pane_rows, LANES), np.float32)
 
     t1 = np.asarray(plan.tile1)
     t3 = np.asarray(plan.tile3)
@@ -490,4 +580,9 @@ def route_spmv_numpy(plan: RoutePlan, x: np.ndarray) -> np.ndarray:
         RS = RS[ii, p2]
         RS = RS[p3, jj]
         y2[yb[k]:yb[k] + SUBS] += RS * vA
-    return y2.reshape(-1)[:m]
+    y = y2.reshape(-1)[:m]
+    if plan.aux_plan is not None:
+        aux = y2.reshape(-1)[plan.y_rows * LANES:
+                             plan.y_rows * LANES + plan.aux_len]
+        y = y + route_spmv_numpy(plan.aux_plan, aux)
+    return y

@@ -132,8 +132,20 @@ def route_spmv(plan: RoutePlan, x: jax.Array,
     m, n = plan.shape
     g = plan.g
     xdt = x.dtype
-    x2 = jnp.pad(x.astype(jnp.float32),
-                 (0, plan.x_rows * LANES - n)).reshape(plan.x_rows, LANES)
+    flat = jnp.pad(x.astype(jnp.float32),
+                   (0, plan.x_rows * LANES - n))
+    nhot = plan.hot_cols.shape[0]
+    if nhot:
+        # hot-column replicas: one copy per sublane class (small scatter)
+        hv = x.astype(jnp.float32)[plan.hot_cols]
+        t = jnp.arange(nhot, dtype=jnp.int32)
+        pos = plan.n_pad + (t // LANES) * (SUBS * LANES) + (t % LANES)
+        idx = (pos[None, :]
+               + LANES * jnp.arange(SUBS, dtype=jnp.int32)[:, None]
+               ).reshape(-1)
+        flat = flat.at[idx].set(jnp.broadcast_to(hv, (SUBS, nhot)
+                                                 ).reshape(-1))
+    x2 = flat.reshape(plan.x_rows, LANES)
 
     # pad the chunk streams to a CB multiple (pad chunks have vA=0 and
     # contribute nothing; their slab/y bases point at row 0)
@@ -169,13 +181,19 @@ def route_spmv(plan: RoutePlan, x: jax.Array,
     y2 = pl.pallas_call(
         functools.partial(_route_kernel, g=g),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.y_rows, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((plan.pane_rows, LANES),
+                                       jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nsteps * CB * SUBS * LANES,
             bytes_accessed=nsteps * CB * SUBS * LANES * 12
-            + (plan.x_rows + plan.y_rows) * LANES * 4,
+            + (plan.x_rows + plan.pane_rows) * LANES * 4,
             transcendentals=0,
         ),
     )(sb, yb, t1, t3, val, x2)
-    return y2.reshape(-1)[:m].astype(xdt)
+    y = y2.reshape(-1)[:m]
+    if plan.aux_plan is not None:
+        aux = jax.lax.dynamic_slice(
+            y2.reshape(-1), (plan.y_rows * LANES,), (plan.aux_len,))
+        y = y + route_spmv(plan.aux_plan, aux, interpret=interpret)
+    return y.astype(xdt)
