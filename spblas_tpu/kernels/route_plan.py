@@ -285,52 +285,107 @@ def build_route_plan(rowptr, colind, values, shape: Tuple[int, int],
     cell_order = np.lexsort((cols, rows, cellc, stripe))
     rows, cols, ent = rows[cell_order], cols[cell_order], ent[cell_order]
 
-    out = _PlanAccum((m + LANES - 1) // LANES + SUBS)
+    y_rows = (m + LANES - 1) // LANES + SUBS
     ncells_cols = n_ext // window + 2
     cell_key = stripe[cell_order] * ncells_cols + cellc[cell_order]
+    vals_sorted = values[ent] if len(values) else np.zeros(0, dtype)
+
+    packed = None
     if len(rows):
         bounds = np.flatnonzero(np.diff(cell_key)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(rows)]])
-        for a, b in zip(starts, ends):
-            r = rows[a:b]
-            c = cols[a:b]
-            sb = int((c[0] // window) * (window // LANES))
-            yb = int((r[0] // ROW_WINDOW) * (ROW_WINDOW // LANES))
-            _emit_cell(r - (r[0] // ROW_WINDOW) * ROW_WINDOW,
-                       c - (c[0] // window) * window,
-                       values[ent[a:b]] if len(values) else
-                       np.zeros(0, dtype), ent[a:b], g, out, sb, yb)
-
-    if not out.t1:
+        packed = _pack_all(rows, cols, vals_sorted, ent, starts, ends,
+                           g, window, y_rows)
+    if packed is None:
+        out = _PlanAccum(y_rows)
         out.append_empty()
+        packed = (np.stack(out.t1), np.stack(out.t3),
+                  np.stack(out.val), np.stack(out.src),
+                  np.array(out.sb, np.int32), np.array(out.yb, np.int32),
+                  0, np.zeros(0, np.int64), np.zeros(0, np.int64))
+
+    (t1_a, t3_a, vt_a, st_a, sb_a, yb_a, aux_n, aux_slots,
+     aux_rows_g) = packed
 
     x_rows = (n_ext + LANES - 1) // LANES + SUBS * g
-    y_rows = (m + LANES - 1) // LANES + SUBS
     aux_plan = None
-    aux_len = out.aux_n
+    aux_len = int(aux_n)
     if aux_len:
-        slots_r = np.array([s_ for s_, _ in out.aux_map], np.int64)
-        rows_r = np.array([r_ for _, r_ in out.aux_map], np.int64)
-        order2 = np.lexsort((slots_r, rows_r))
-        rows_r, slots_r = rows_r[order2], slots_r[order2]
+        order2 = np.lexsort((aux_slots, aux_rows_g))
+        rows_r, slots_r = aux_rows_g[order2], aux_slots[order2]
         rp2 = np.zeros(m + 1, np.int64)
         np.add.at(rp2[1:], rows_r, 1)
         aux_plan = build_route_plan(
             np.cumsum(rp2), slots_r, np.ones(len(slots_r), np.float32),
             (m, aux_len), len(slots_r), _depth=_depth + 1)
-    fill = nnz / max(len(out.t1) * SLOTS, 1)
+    fill = nnz / max(t1_a.shape[0] * SLOTS, 1)
     return RoutePlan(
-        tile1=jnp.asarray(np.stack(out.t1)),
-        tile3=jnp.asarray(np.stack(out.t3)),
-        val=jnp.asarray(np.stack(out.val).astype(dtype)),
-        slab_base=jnp.asarray(np.array(out.sb, np.int32)),
-        y_base=jnp.asarray(np.array(out.yb, np.int32)),
-        val_src=jnp.asarray(np.stack(out.src)),
+        tile1=jnp.asarray(t1_a),
+        tile3=jnp.asarray(t3_a),
+        val=jnp.asarray(vt_a.astype(dtype)),
+        slab_base=jnp.asarray(sb_a),
+        y_base=jnp.asarray(yb_a),
+        val_src=jnp.asarray(st_a),
         aux_plan=aux_plan,
         hot_cols=jnp.asarray(hot_cols.astype(np.int32)),
         g=g, shape=(m, n), x_rows=x_rows, y_rows=y_rows,
         aux_len=aux_len, n_pad=n_pad, fill=float(fill))
+
+
+def _pack_all(rows, cols, vals_sorted, ent, starts, ends, g, window,
+              y_rows):
+    """Pack all cells into chunks — native fast path with python
+    fallback.  Returns (t1, t3, val, src, sb, yb, aux_n, aux_slots,
+    aux_rows_global)."""
+    from spblas_tpu import native
+
+    ne = len(rows)
+    ncells = len(starts)
+    cell_start = np.concatenate([starts, [ne]]).astype(np.int64)
+    lrow = (rows % ROW_WINDOW).astype(np.int32)
+    lcol = (cols % window).astype(np.int32)
+    cell_sb = ((cols[starts] // window) * (window // LANES)).astype(
+        np.int32)
+    cell_yb = ((rows[starts] // ROW_WINDOW)
+               * (ROW_WINDOW // LANES)).astype(np.int32)
+
+    nat = native.route_pack(ne, ncells, cell_start, lrow, lcol)
+    if nat is not None:
+        (nch, elem_chunk, elem_gatpos, t1_a, t3_a, chunk_cell,
+         chunk_auxwin, aux_n, aux_slot, aux_lrow, aux_cell) = nat
+        vt_a = np.zeros((nch, SUBS, LANES), np.float32)
+        st_a = np.full((nch, SUBS, LANES), -1, np.int32)
+        gu = elem_gatpos >> 7
+        gl = elem_gatpos & 127
+        vt_a[elem_chunk, gu, gl] = vals_sorted
+        st_a[elem_chunk, gu, gl] = ent
+        sb_a = cell_sb[chunk_cell]
+        yb_a = np.where(chunk_auxwin < 0, cell_yb[chunk_cell],
+                        y_rows + chunk_auxwin * SUBS).astype(np.int32)
+        aux_rows_g = (cell_yb[aux_cell].astype(np.int64) * LANES
+                      + aux_lrow)
+        return (t1_a.copy(), t3_a.copy(), vt_a, st_a, sb_a, yb_a,
+                aux_n, aux_slot.astype(np.int64), aux_rows_g)
+
+    # python fallback
+    out = _PlanAccum(y_rows)
+    for a, b in zip(starts, ends):
+        r = rows[a:b]
+        c = cols[a:b]
+        _emit_cell(r - (r[0] // ROW_WINDOW) * ROW_WINDOW,
+                   c - (c[0] // window) * window,
+                   vals_sorted[a:b], ent[a:b], g, out,
+                   int(cell_sb[np.searchsorted(starts, a)]),
+                   int(cell_yb[np.searchsorted(starts, a)]))
+    if not out.t1:
+        out.append_empty()
+    aux_slots = np.array([s_ for s_, _ in out.aux_map], np.int64)
+    aux_rows_g = np.array([r_ for _, r_ in out.aux_map], np.int64)
+    return (np.stack(out.t1), np.stack(out.t3), np.stack(out.val),
+            np.stack(out.src), np.array(out.sb, np.int32),
+            np.array(out.yb, np.int32), out.aux_n, aux_slots,
+            aux_rows_g)
 
 
 class _PlanAccum:

@@ -22,6 +22,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "spblas_host.cpp")
+_SRC2 = os.path.join(_HERE, "src", "route_pack.cpp")
 _LIB = os.path.join(_HERE, "libspblas_host.so")
 
 _lock = threading.Lock()
@@ -31,7 +32,7 @@ _build_failed = False
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-std=c++17", _SRC, "-o", _LIB]
+           "-std=c++17", _SRC, _SRC2, "-o", _LIB]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -50,7 +51,8 @@ def get_lib():
         if _lib is not None or _build_failed:
             return _lib
         if not os.path.exists(_LIB) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                os.path.getmtime(_LIB) < max(os.path.getmtime(_SRC),
+                                             os.path.getmtime(_SRC2))):
             if not _build():
                 _build_failed = True
                 return None
@@ -88,6 +90,11 @@ def _declare(lib):
     lib.spblas_coo_to_csr.argtypes = [i64, i64, i32p, i32p, f64p, i64p]
     lib.spblas_rcm.restype = i64
     lib.spblas_rcm.argtypes = [i64, i64, i64p, i32p, i64p]
+    lib.spblas_route_pack.restype = i64
+    lib.spblas_route_pack.argtypes = [
+        i64, i64, i64p, i32p, i32p, i64,
+        i32p, i32p, i32p, i32p, i32p, i32p, i64p, i32p, i32p, i32p,
+        i64p]
 
 
 # ------------------------------------------------------------------ #
@@ -316,3 +323,48 @@ def rcm(m, nnz, rowptr, colind):
     perm = np.zeros(m, np.int64)
     h = int(lib.spblas_rcm(m, nnz, rowptr, colind, perm))
     return perm, h
+
+
+def route_pack(ne, ncells, cell_start, lrow, lcol):
+    """Native ROUTE chunk packing (kernels/route_plan.py hot loop).
+
+    Returns (nchunks, elem_chunk, elem_gatpos, t1, t3, chunk_cell,
+    chunk_auxwin, aux_n, aux_slot, aux_lrow, aux_cell) or None when the
+    native library is unavailable (callers fall back to the python
+    packer)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cell_start = np.ascontiguousarray(cell_start, np.int64)
+    lrow = np.ascontiguousarray(lrow, np.int32)
+    lcol = np.ascontiguousarray(lcol, np.int32)
+    max_chunks = int(ne // 1024 + 4 * ncells + 16)
+    for _ in range(4):
+        elem_chunk = np.zeros(max(ne, 1), np.int32)
+        elem_gatpos = np.zeros(max(ne, 1), np.int32)
+        t1 = np.zeros(max_chunks * 1024, np.int32)
+        t3 = np.zeros(max_chunks * 1024, np.int32)
+        chunk_cell = np.zeros(max_chunks, np.int32)
+        chunk_auxwin = np.zeros(max_chunks, np.int32)
+        aux_n = np.zeros(1, np.int64)
+        aux_slot = np.zeros(max(ne, 1), np.int32)
+        aux_lrow = np.zeros(max(ne, 1), np.int32)
+        aux_cell = np.zeros(max(ne, 1), np.int32)
+        aux_cnt = np.zeros(1, np.int64)
+        rc = lib.spblas_route_pack(
+            ne, ncells, cell_start, lrow, lcol, max_chunks,
+            elem_chunk, elem_gatpos, t1, t3, chunk_cell, chunk_auxwin,
+            aux_n, aux_slot, aux_lrow, aux_cell, aux_cnt)
+        if rc == -1:
+            max_chunks *= 4
+            continue
+        if rc < 0:
+            return None
+        nch = int(rc)
+        na = int(aux_cnt[0])
+        return (nch, elem_chunk, elem_gatpos,
+                t1[: nch * 1024].reshape(nch, 8, 128),
+                t3[: nch * 1024].reshape(nch, 8, 128),
+                chunk_cell[:nch], chunk_auxwin[:nch], int(aux_n[0]),
+                aux_slot[:na], aux_lrow[:na], aux_cell[:na])
+    return None

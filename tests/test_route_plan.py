@@ -135,3 +135,24 @@ def test_route_plan_update_values():
     got = rp.route_spmv_numpy(plan2, x)
     want = _dense_oracle(rowptr, colind, new_vals, (m, n), int(a.nnz), x)
     assert_close(got, want, factor=64, abs_floor=1e-4)
+
+
+def test_route_plan_python_fallback_matches(monkeypatch):
+    """The no-toolchain python packer builds equivalent (valid) plans."""
+    from spblas_tpu import native
+    m = n = 2000
+    a = gen.generate_csr(m, n, 20000, seed=21)
+    rowptr = np.asarray(a.rowptr)
+    colind = np.asarray(a.colind)
+    values = np.asarray(a.values)
+    x = np.random.default_rng(2).standard_normal(n).astype(np.float32)
+    want = _dense_oracle(rowptr, colind, values, (m, n), int(a.nnz), x)
+
+    plan_nat = rp.build_route_plan(rowptr, colind, values, (m, n),
+                                   int(a.nnz))
+    monkeypatch.setattr(native, "route_pack", lambda *args: None)
+    plan_py = rp.build_route_plan(rowptr, colind, values, (m, n),
+                                  int(a.nnz))
+    for plan in (plan_nat, plan_py):
+        got = rp.route_spmv_numpy(plan, x)
+        assert_close(got, want, factor=64, abs_floor=1e-4)
