@@ -43,6 +43,8 @@ def _collect(plan, prefix, arrays, static, classes):
         key = f"{prefix}{f.name}"
         if f.metadata.get("static"):
             static[key] = _to_jsonable(v)
+        elif v is None:
+            pass  # omitted -> dataclass default (None) on reload
         elif dataclasses.is_dataclass(v):
             _collect(v, key + "/", arrays, static, classes)  # nested plan
         else:
