@@ -100,9 +100,11 @@ def build_route_mul_plan(slots, src_a, src_b, a_len: int, b_len: int,
         bounds = np.flatnonzero(np.diff(kys)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(slots)]])
-        for a, b in zip(starts, ends):
-            _emit_mul_cell(slots[a:b], src_a[a:b], src_b[a:b],
-                           win_a, win_b, g_a, g_b, out)
+        if not _pack_all_mul_native(slots, src_a, src_b, starts,
+                                    win_a, win_b, out):
+            for a, b in zip(starts, ends):
+                _emit_mul_cell(slots[a:b], src_a[a:b], src_b[a:b],
+                               win_a, win_b, g_a, g_b, out)
     if not out.t1:
         out.append_empty()
 
@@ -119,6 +121,38 @@ def build_route_mul_plan(slots, src_a, src_b, a_len: int, b_len: int,
         o_base=jnp.asarray(np.array(out.ob, np.int32)),
         g_a=g_a, g_b=g_b, a_rows=a_rows, b_rows=b_rows,
         out_rows=out_rows, capacity=capacity, fill=float(fill))
+
+
+def _pack_all_mul_native(slots, src_a, src_b, starts, win_a, win_b,
+                         out: "_MulAccum") -> bool:
+    """Pack the whole stream with the native C++ packer; fills `out` and
+    returns True, or returns False when the library is unavailable (the
+    caller then runs the per-cell python packer)."""
+    from spblas_tpu import native
+
+    ne = len(slots)
+    ncells = len(starts)
+    cell_start = np.concatenate([starts, [ne]]).astype(np.int64)
+    lo = (slots % SLOTS).astype(np.int32)
+    la = (src_a % win_a).astype(np.int32)
+    lb = (src_b % win_b).astype(np.int32)
+    nat = native.route_mul_pack(ne, ncells, cell_start, lo, la, lb)
+    if nat is None:
+        return False
+    nch, t1, t2, t3, chunk_cell = nat
+    cell_ab = ((src_a[starts] // win_a)
+               * (win_a // LANES)).astype(np.int64)
+    cell_bb = ((src_b[starts] // win_b)
+               * (win_b // LANES)).astype(np.int64)
+    cell_ob = ((slots[starts] // SLOTS)
+               * (SLOTS // LANES)).astype(np.int64)
+    out.t1.extend(t1)
+    out.t2.extend(t2)
+    out.t3.extend(t3)
+    out.ab.extend(cell_ab[chunk_cell].tolist())
+    out.bb.extend(cell_bb[chunk_cell].tolist())
+    out.ob.extend(cell_ob[chunk_cell].tolist())
+    return True
 
 
 class _MulAccum:

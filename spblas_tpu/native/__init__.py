@@ -95,6 +95,9 @@ def _declare(lib):
         i64, i64, i64p, i32p, i32p, i64,
         i32p, i32p, i32p, i32p, i32p, i32p, i64p, i32p, i32p, i32p,
         i64p]
+    lib.spblas_route_mul_pack.restype = i64
+    lib.spblas_route_mul_pack.argtypes = [
+        i64, i64, i64p, i32p, i32p, i32p, i64, i32p, i32p, i32p, i32p]
 
 
 # ------------------------------------------------------------------ #
@@ -367,4 +370,40 @@ def route_pack(ne, ncells, cell_start, lrow, lcol):
                 t3[: nch * 1024].reshape(nch, 8, 128),
                 chunk_cell[:nch], chunk_auxwin[:nch], int(aux_n[0]),
                 aux_slot[:na], aux_lrow[:na], aux_cell[:na])
+    return None
+
+
+def route_mul_pack(ne, ncells, cell_start, lo, la, lb):
+    """Native ROUTE-mul chunk packing (kernels/route_mul.py hot loop).
+
+    lo/la/lb are the window-local slot / src_a / src_b per element of
+    the cell-sorted SpGEMM expansion stream.  Returns (nchunks, t1, t2,
+    t3, chunk_cell) or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cell_start = np.ascontiguousarray(cell_start, np.int64)
+    lo = np.ascontiguousarray(lo, np.int32)
+    la = np.ascontiguousarray(la, np.int32)
+    lb = np.ascontiguousarray(lb, np.int32)
+    max_chunks = int(ne // 256 + 4 * ncells + 16)
+    for _ in range(4):
+        t1 = np.zeros(max_chunks * 1024, np.int32)
+        t2 = np.zeros(max_chunks * 1024, np.int32)
+        t3 = np.zeros(max_chunks * 1024, np.int32)
+        chunk_cell = np.zeros(max_chunks, np.int32)
+        rc = lib.spblas_route_mul_pack(
+            ne, ncells, cell_start, lo, la, lb, max_chunks,
+            t1, t2, t3, chunk_cell)
+        if rc == -1:
+            max_chunks *= 4
+            continue
+        if rc < 0:
+            return None
+        nch = int(rc)
+        return (nch,
+                t1[: nch * 1024].reshape(nch, 8, 128),
+                t2[: nch * 1024].reshape(nch, 8, 128),
+                t3[: nch * 1024].reshape(nch, 8, 128),
+                chunk_cell[:nch])
     return None

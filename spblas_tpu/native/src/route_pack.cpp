@@ -299,4 +299,213 @@ int64_t spblas_route_pack(
   return nchunks;
 }
 
+// Pack the SpGEMM expansion stream (cell-sorted) into ROUTE-mul chunks
+// (kernels/route_mul.py hot loop).  lo/la/lb are the window-local slot /
+// src_a / src_b per element.  Writes t1/t2/t3 tiles and the owning cell
+// per chunk.  Returns nchunks, -1 if max_chunks too small, -2 on invalid
+// input (packing stall).
+int64_t spblas_route_mul_pack(
+    int64_t ne, int64_t ncells, const int64_t* cell_start,
+    const int32_t* lo, const int32_t* la, const int32_t* lb,
+    int64_t max_chunks, int32_t* t1o, int32_t* t2o, int32_t* t3o,
+    int32_t* chunk_cell) {
+  static thread_local Colorer col;
+  std::vector<Seg> segs;
+  std::vector<int> remaining, leftover, chosen, place_lane, place_off;
+  // committed per-entry gather placement (sublane, lane-column)
+  static thread_local std::vector<int8_t> e_sub, e_col;
+  e_sub.resize((size_t)ne);
+  e_col.resize((size_t)ne);
+  // cols_by_key: key = l_a(7) | oct_a(3)<<7 -> lane-columns carrying that
+  // (l_a, oct_a); cleared lazily per chunk via touched_keys.  The last
+  // chunk's entries survive the loop, so clear everything on entry.
+  static thread_local std::vector<std::vector<int>> cols_by_key;
+  if (cols_by_key.size() < 1024) cols_by_key.resize(1024);
+  for (auto& cv : cols_by_key) cv.clear();
+  std::vector<int> touched_keys;
+
+  int32_t gsrc[SLOTS], gdst[SLOTS];
+  int32_t q1[SLOTS], q2[SLOTS], q3[SLOTS];
+  int64_t nchunks = 0;
+
+  for (int64_t cell = 0; cell < ncells; ++cell) {
+    int64_t a = cell_start[cell], b = cell_start[cell + 1];
+    // segments: runs of one slot, <=8 entries
+    segs.clear();
+    for (int64_t i = a; i < b;) {
+      int64_t j = i + 1;
+      while (j < b && lo[j] == lo[i] && j - i < SUBS) ++j;
+      segs.push_back({(int32_t)i, (int32_t)(j - i), lo[i], false});
+      i = j;
+    }
+    remaining.clear();
+    for (int s = 0; s < (int)segs.size(); ++s) remaining.push_back(s);
+
+    while (!remaining.empty()) {
+      int lane_fill[LANES] = {0};
+      bool slot_used[SLOTS] = {false};
+      uint8_t occ[LANES] = {0};
+      int next_col = 0;
+      for (int k : touched_keys) cols_by_key[k].clear();
+      touched_keys.clear();
+      chosen.clear();
+      place_lane.clear();
+      place_off.clear();
+      leftover.clear();
+      for (int s : remaining) {
+        const Seg& sg = segs[s];
+        // one segment per output slot per chunk (permute2 targets must
+        // be distinct)
+        if (slot_used[sg.row]) {
+          leftover.push_back(s);
+          continue;
+        }
+        // scatter stack first-fit (state-free check, so do it first)
+        int lane = -1;
+        for (int l2 = 0; l2 < LANES; ++l2)
+          if (lane_fill[l2] + sg.len <= SUBS) {
+            lane = l2;
+            break;
+          }
+        if (lane < 0) {
+          leftover.push_back(s);
+          continue;
+        }
+        // gather placement, tentatively (undo on overflow): each entry
+        // needs a lane-column dedicated to its (l_a, oct_a) with its
+        // s7_b sublane free
+        int u_col[SUBS], u_sub[SUBS], u_key[SUBS];
+        int n_undo = 0, n_new = 0;
+        bool good = true;
+        for (int e = sg.start; e < sg.start + sg.len; ++e) {
+          int key = (la[e] % LANES) | (((la[e] / LANES) / SUBS) << 7);
+          int sub = (lb[e] / LANES) % SUBS;
+          int c2 = -1;
+          for (int cc : cols_by_key[key])
+            if (!((occ[cc] >> sub) & 1)) {
+              c2 = cc;
+              break;
+            }
+          if (c2 < 0) {
+            if (next_col >= LANES) {
+              good = false;
+              break;
+            }
+            c2 = next_col++;
+            if (cols_by_key[key].empty()) touched_keys.push_back(key);
+            cols_by_key[key].push_back(c2);
+            u_key[n_new++] = key;
+          }
+          occ[c2] |= (uint8_t)(1 << sub);
+          u_col[n_undo] = c2;
+          u_sub[n_undo] = sub;
+          ++n_undo;
+          e_sub[e] = (int8_t)sub;
+          e_col[e] = (int8_t)c2;
+        }
+        if (!good) {
+          for (int k2 = 0; k2 < n_undo; ++k2)
+            occ[u_col[k2]] &= (uint8_t)~(1 << u_sub[k2]);
+          for (int k2 = n_new - 1; k2 >= 0; --k2) {
+            cols_by_key[u_key[k2]].pop_back();
+            --next_col;
+          }
+          leftover.push_back(s);
+          continue;
+        }
+        place_lane.push_back(lane);
+        place_off.push_back(lane_fill[lane]);
+        lane_fill[lane] += sg.len;
+        slot_used[sg.row] = true;
+        chosen.push_back(s);
+      }
+      if (chosen.empty()) return -2;
+      if (nchunks >= max_chunks) return -1;
+
+      int32_t* T1 = t1o + nchunks * SLOTS;
+      int32_t* T2 = t2o + nchunks * SLOTS;
+      int32_t* T3 = t3o + nchunks * SLOTS;
+      std::memset(T1, 0, SLOTS * 4);
+      std::memset(T2, 0, SLOTS * 4);
+      std::memset(T3, 0, SLOTS * 4);
+      int32_t col_la[LANES] = {0}, col_oa[LANES] = {0};
+      bool used_g[SLOTS] = {false};
+      bool used_s[SLOTS] = {false};
+      static thread_local std::vector<int32_t> gposv, sposv;
+      gposv.clear();
+      sposv.clear();
+      for (size_t k = 0; k < chosen.size(); ++k) {
+        const Seg& sg = segs[chosen[k]];
+        for (int w = 0; w < sg.len; ++w) {
+          int e = sg.start + w;
+          int sub = e_sub[e], c2 = e_col[e];
+          int gpos = sub * LANES + c2;
+          int spos = (place_off[k] + w) * LANES + place_lane[k];
+          T1[gpos] |= (lb[e] % LANES) | (((lb[e] / LANES) / SUBS) << 7);
+          T2[gpos] = (la[e] % LANES) | (((la[e] / LANES) / SUBS) << 7)
+                     | (((la[e] / LANES) % SUBS) << 10);
+          col_la[c2] = la[e] % LANES;
+          col_oa[c2] = (la[e] / LANES) / SUBS;
+          T3[spos] |= w;  // dist
+          used_g[gpos] = true;
+          used_s[spos] = true;
+          gposv.push_back(gpos);
+          sposv.push_back(spos);
+        }
+      }
+      // pad gather slots read (l_a, oct_a) at whatever sublane their
+      // s7_a field (0) points to — broadcast the column constants down
+      for (int p = 0; p < SLOTS; ++p)
+        if (T2[p] == 0)
+          T2[p] = col_la[p % LANES] | (col_oa[p % LANES] << 7);
+      // permute1: gather -> scatter
+      {
+        int n_real = (int)gposv.size();
+        for (int p = 0; p < n_real; ++p) {
+          gsrc[p] = gposv[p];
+          gdst[p] = sposv[p];
+        }
+        int p = n_real;
+        for (int q = 0; q < SLOTS; ++q)
+          if (!used_g[q]) gsrc[p++] = q;
+        p = n_real;
+        for (int q = 0; q < SLOTS; ++q)
+          if (!used_s[q]) gdst[p++] = q;
+        col.route(gsrc, gdst, q1, q2, q3);
+        for (int q = 0; q < SLOTS; ++q)
+          T1[q] |= (q1[q] << 13) | (q2[q] << 16) | (q3[q] << 23);
+      }
+      // permute2: segment ends -> window-local output slots
+      {
+        bool used2[SLOTS] = {false};
+        bool usedd[SLOTS] = {false};
+        int p = 0;
+        for (size_t k = 0; k < chosen.size(); ++k) {
+          const Seg& sg = segs[chosen[k]];
+          int src2 = (place_off[k] + sg.len - 1) * LANES + place_lane[k];
+          gsrc[p] = src2;
+          gdst[p] = sg.row;
+          used2[src2] = true;
+          usedd[sg.row] = true;
+          ++p;
+        }
+        for (int q = 0; q < SLOTS; ++q)
+          if (!used2[q]) gsrc[p++] = q;
+        p = (int)chosen.size();
+        for (int q = 0; q < SLOTS; ++q)
+          if (!usedd[q]) gdst[p++] = q;
+        col.route(gsrc, gdst, q1, q2, q3);
+        for (size_t k = 0; k < chosen.size(); ++k)
+          T3[segs[chosen[k]].row] |= (1 << 3);  // vA
+        for (int q = 0; q < SLOTS; ++q)
+          T3[q] |= (q1[q] << 4) | (q2[q] << 7) | (q3[q] << 14);
+      }
+      chunk_cell[nchunks] = (int32_t)cell;
+      ++nchunks;
+      remaining = leftover;
+    }
+  }
+  return nchunks;
+}
+
 }  // extern "C"

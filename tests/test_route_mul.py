@@ -47,6 +47,30 @@ def test_route_mul_empty():
     np.testing.assert_array_equal(out, np.zeros(16, np.float32))
 
 
+def test_route_mul_native_packer_bit_identical(monkeypatch):
+    """The C++ packer must mirror the python packer exactly (same chunks,
+    same tiles) — run twice to catch cross-call state leaks."""
+    from spblas_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    for trial in range(2):
+        slots, src_a, src_b = _random_stream(rng, 4000, 3, 7000, 9000)
+        cap = 4000
+        p_nat = rm.build_route_mul_plan(slots, src_a, src_b, 7000, 9000,
+                                        cap)
+        with monkeypatch.context() as mp:
+            mp.setattr(rm, "_pack_all_mul_native",
+                       lambda *a, **k: False)
+            p_py = rm.build_route_mul_plan(slots, src_a, src_b, 7000,
+                                           9000, cap)
+        for f in ("tile1", "tile2", "tile3", "a_base", "b_base",
+                  "o_base"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(p_nat, f)),
+                np.asarray(getattr(p_py, f)), err_msg=f"{f} trial{trial}")
+
+
 def test_route_mul_kernel_interpret_matches_simulator():
     import jax.numpy as jnp
     from spblas_tpu.kernels.route_mul_kernel import route_mul
