@@ -1,0 +1,683 @@
+"""ROUTE2 plan: second-generation unstructured-CSR SpMV layout for TPU.
+
+TPU answer to the reference's general CSR SpMV vendor kernels
+(include/spblas/vendor/cusparse/detail/spmv_impl.hpp:26-102,
+vendor/onemkl_sycl/detail/spmv_impl.hpp:38-120), replacing the round-2
+ROUTE v1 design (kernels/route_plan.py) after in-kernel op-cost
+measurements (PERF_NOTES.md round 2b) showed the v1 cost model was
+inverted on v5e:
+
+  lane gather  (take_along_axis axis=1, (8,128))   ~10-14 ns/op
+  sublane gather (take_along_axis axis=0, (8,W))   ~0.3-1.3 ns/op
+  select / add / mul                               ~1 ns/op
+
+v1 spent 8 lane gathers per chunk on the x-window ladder (~110 ns);
+ROUTE2 restructures the chunk pipeline so each (8,128) chunk of 1024
+elements costs ONE lane gather plus cheap ops:
+
+  sel    g-way select ladder over the slab's g*8-sublane window picks
+         each (s7, l) slot's octant: sel[s,j] = slab[oct[s,j]*8+s, j]
+         — g `where`s, no gather.  A slot serves ONE x-column; duplicate
+         readers of that column share it (broadcast), so hot columns
+         cost one slot (v1's hot-column replicas are unnecessary).
+  sub1   t1[a,l] = sel[s1[a,l], l] routes each column's value to its
+         edge-color row a (free sublane gather).
+  lane   t2[a,jd] = t1[a, l[a,jd]] — THE one lane gather: moves values
+         to their scatter lane jd (= target slot & 127) and doubles as
+         the arbitrary lane permutation.
+  sub2   t3[d,jd] = t2[sd2[d,jd], jd] drops values to their scatter
+         depth d (segments stack contiguous depths per lane column).
+  mul    c = t3 * val (values stored in scatter layout).
+  reduce 3-step dist-masked segmented prefix down the 8 depths.
+  pub    RS[i,j] = P[pend[i,j], j] pulls each published segment's end
+         sum to its final slot (tgt>>7, tgt&127); vA masks pads;
+         y[yb:yb+8] += RS.
+
+Placement feasibility is a proper 8-edge-coloring of the bipartite
+multigraph l-lane -> scatter-lane over the chunk's distinct
+(column, scatter-lane) pairs; degrees <= 8 are enforced by the packer
+and the coloring is found by the same Euler-splitting router as v1
+(route_plan._edge_color_regular).  One int32 tile carries all fields
+(24 bits), so kernel-visible plan traffic is 8 B/slot.
+
+Rows with more elements than one segment per cell publish one segment
+per chunk and defer the rest to later chunks of the same cell (y
+accumulates partials); extreme hub rows that exceed a cell's chunk
+supply spill to an aux region reduced by later chunks in the SAME
+dispatch (they gather from the output pane — kernel flag).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from spblas_tpu.kernels.route_plan import LANES, SLOTS, SUBS
+
+ROW_WINDOW = SLOTS            # 1024-row stripes
+
+# tile bit layout (all fields in one int32):
+#   oct  [0:5)   window octant of the slot's x-column  (at (s7, l))
+#   s1   [5:8)   sublane source for the a-routing      (at (a, l))
+#   lf   [8:15)  lane source for the lane gather       (at (a, jd))
+#   sd2  [15:18) sublane source for the depth drop     (at (d, jd))
+#   dist [18:21) within-segment distance               (at (d, jd))
+#   pend [21:24) depth of published segment end        (at final slot)
+#   vA   [24:25) publish mask                          (at final slot)
+B_OCT, B_S1, B_LF, B_SD2, B_DIST, B_PEND, B_VA = 0, 5, 8, 15, 18, 21, 24
+MAX_G = 32                    # oct field width (5 bits)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Route2Plan:
+    """Device-resident ROUTE2 SpMV plan."""
+
+    tile: jax.Array         # (nchunks, 8, 128) int32  all routing fields
+    val: jax.Array          # (nchunks, 8, 128) f32    values, scatter layout
+    slab_base: jax.Array    # (nchunks,) int32  x slab offset (sublane rows)
+    y_base: jax.Array       # (nchunks,) int32  y window offset (sublane rows)
+    src_flag: jax.Array     # (nchunks,) int32  0: gather x pane, 1: y pane
+    val_src: jax.Array      # (nchunks, 8, 128) int32  CSR entry idx (-1 pad)
+    g: int = dataclasses.field(metadata=dict(static=True))
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    x_rows: int = dataclasses.field(metadata=dict(static=True))
+    y_rows: int = dataclasses.field(metadata=dict(static=True))
+    aux_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_aux_chunks: int = dataclasses.field(metadata=dict(static=True))
+    fill: float = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nchunks(self) -> int:
+        return int(self.tile.shape[0])
+
+    @property
+    def pane_rows(self) -> int:
+        return self.y_rows + self.aux_rows
+
+    def update_values(self, values: jax.Array) -> "Route2Plan":
+        """Re-target at new CSR values, same sparsity (vendor
+        optimize-handle reuse contract): one XLA gather on value change."""
+        src = jnp.maximum(self.val_src, 0)
+        v = values[src] * (self.val_src >= 0)
+        return dataclasses.replace(self, val=v.astype(self.val.dtype))
+
+
+# ------------------------------------------------------------------ #
+# builder
+# ------------------------------------------------------------------ #
+
+def _pick_g(n: int, max_g: int = 16) -> int:
+    for g in (1, 2, 4, 8, 16, 32):
+        if g > max_g:
+            break
+        if g * SLOTS >= n:
+            return g
+    return max_g
+
+
+def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
+                      nnz: int, g: Optional[int] = None,
+                      dtype=np.float32) -> Route2Plan:
+    """Build the ROUTE2 plan from host CSR arrays (inspector phase).
+
+    O(nnz log nnz) host work; the hot path is the per-cell chunk packer
+    (native C++ when available, python fallback otherwise).
+    """
+    m, n = shape
+    rowptr = np.asarray(rowptr).astype(np.int64)
+    colind = np.asarray(colind).astype(np.int64)[:nnz]
+    values = np.asarray(values)[:nnz]
+
+    if g is None:
+        g = _pick_g(max(n, 1))
+    window = g * SLOTS
+
+    rows = np.repeat(np.arange(m, dtype=np.int64),
+                     np.diff(np.minimum(rowptr, nnz)))
+    ent = np.arange(nnz, dtype=np.int64)
+
+    # one 8-row pane window per 1024-row stripe (full windows: every
+    # chunk accumulates an (8,128) tile at its stripe base)
+    y_rows = -(-max(m, 1) // ROW_WINDOW) * SUBS
+    state = _BuildState(g, y_rows)
+    _pack_stream(rows, colind, values, ent, g, window, state,
+                 tgt_rows=None)
+
+    # aux levels: reduce spilled segment sums (living in the aux region
+    # of the output pane) back into y, possibly recursively.  Aux chunks
+    # gather from the output pane (src_flag=1); each level only reads
+    # slots written by earlier chunks, so one sequential-grid dispatch
+    # handles everything.
+    n_aux_chunks = 0
+    level = 0
+    while state.aux_pending and level < 8:
+        level += 1
+        aux = state.aux_pending
+        state.aux_pending = []
+        a_slots = np.array([s for s, _ in aux], np.int64)
+        a_rows = np.array([r for _, r in aux], np.int64)
+        order = np.lexsort((a_slots, a_rows))
+        first = len(state.tiles)
+        # aux "columns" are absolute output-pane slot positions
+        _pack_stream(a_rows[order], a_slots[order],
+                     np.ones(len(aux), np.float32),
+                     np.full(len(aux), -1, np.int64),
+                     g, window, state, tgt_rows=None, src_flag=1)
+        n_aux_chunks += len(state.tiles) - first
+    assert not state.aux_pending, "aux recursion runaway"
+
+    if not state.tiles:
+        state.append_empty()
+
+    # align the flag=0 -> flag=1 transition to a CB (=8) chunk-group
+    # boundary: the kernel picks the slab source per group
+    flags_arr = np.array(state.flags)
+    trans = np.flatnonzero(flags_arr == 1)
+    if len(trans):
+        t0 = int(trans[0])
+        pad_n = (-t0) % 8
+        for _ in range(pad_n):
+            state.tiles.insert(t0, np.zeros((SUBS, LANES), np.int32))
+            state.vals.insert(t0, np.zeros((SUBS, LANES), np.float32))
+            state.srcs.insert(t0, np.full((SUBS, LANES), -1, np.int32))
+            state.sb.insert(t0, 0)
+            state.yb.insert(t0, 0)
+            state.flags.insert(t0, 0)
+
+    nchunks = len(state.tiles)
+    fill = nnz / max(nchunks * SLOTS, 1)
+    aux_rows = state.aux_rows()
+    x_rows = max(-(-max(n, 1) // LANES), 1)
+    x_rows = -(-x_rows // (SUBS * g)) * (SUBS * g)
+    return Route2Plan(
+        tile=jnp.asarray(np.stack(state.tiles)),
+        val=jnp.asarray(np.stack(state.vals).astype(dtype)),
+        slab_base=jnp.asarray(np.array(state.sb, np.int32)),
+        y_base=jnp.asarray(np.array(state.yb, np.int32)),
+        src_flag=jnp.asarray(np.array(state.flags, np.int32)),
+        val_src=jnp.asarray(np.stack(state.srcs)),
+        g=g, shape=(m, n), x_rows=x_rows, y_rows=y_rows,
+        aux_rows=aux_rows, n_aux_chunks=n_aux_chunks, fill=float(fill))
+
+
+class _BuildState:
+    def __init__(self, g: int, y_rows: int):
+        self.g = g
+        self.y_rows = y_rows          # aux region starts here (pane rows)
+        self.tiles: List[np.ndarray] = []
+        self.vals: List[np.ndarray] = []
+        self.srcs: List[np.ndarray] = []
+        self.sb: List[int] = []
+        self.yb: List[int] = []
+        self.flags: List[int] = []
+        self.aux_windows: List[np.ndarray] = []  # per-window lane depths
+        self.aux_base = 0             # pane row where aux slots start
+        self.aux_pending: List[Tuple[int, int]] = []  # (abs slot, row)
+
+    @property
+    def aux_n(self) -> int:
+        return len(self.aux_windows) * SLOTS
+
+    def aux_rows(self) -> int:
+        # slack of one full slab (8g rows) so flag=1 chunks can slice
+        # an aligned slab window past the last aux slot
+        return (len(self.aux_windows) * SUBS + SUBS * self.g
+                if self.aux_windows else 0)
+
+    def alloc_aux_slot(self, jd: int) -> int:
+        """Allocate one aux slot whose lane (slot & 127) == jd — the
+        publishing sub-take reads the segment's scatter column, so the
+        slot lane must match.  Returns the absolute pane-relative slot
+        index."""
+        if self.aux_base == 0:
+            self.aux_base = self.y_rows
+        for w, depths in enumerate(self.aux_windows):
+            if depths[jd] < SUBS:
+                d = int(depths[jd])
+                depths[jd] += 1
+                return (self.aux_base * LANES + w * SLOTS
+                        + d * LANES + jd)
+        self.aux_windows.append(np.zeros(LANES, np.int64))
+        self.aux_windows[-1][jd] = 1
+        return (self.aux_base * LANES + (len(self.aux_windows) - 1)
+                * SLOTS + jd)
+
+    def append_empty(self):
+        self.tiles.append(np.zeros((SUBS, LANES), np.int32))
+        self.vals.append(np.zeros((SUBS, LANES), np.float32))
+        self.srcs.append(np.full((SUBS, LANES), -1, np.int32))
+        self.sb.append(0)
+        self.yb.append(0)
+        self.flags.append(0)
+
+
+def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
+                 tgt_rows, src_flag: int = 0, col_base: int = 0):
+    """Sort a (row, col) element stream into cells and pack each cell.
+
+    ``col_base`` offsets columns (used by aux levels whose "columns"
+    are output-pane slots).  Targets are the element rows (direct y
+    accumulation)."""
+    if len(rows) == 0:
+        return
+    cols = cols + col_base
+    stripe = rows // ROW_WINDOW
+    cellc = cols // window
+    order = np.lexsort((cols, rows, cellc, stripe))
+    rows, cols, vals, ent = (rows[order], cols[order], vals[order],
+                             ent[order])
+    cell_key = stripe[order] * (int(cols.max()) // window + 2) \
+        + cellc[order]
+    bounds = np.flatnonzero(np.diff(cell_key)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(rows)]])
+    native_ok = _pack_cells_native(rows, cols, vals, ent, starts, ends,
+                                   g, window, state, src_flag)
+    if native_ok:
+        return
+    for a, b in zip(starts, ends):
+        _pack_cell(rows[a:b], cols[a:b], vals[a:b], ent[a:b], g,
+                   window, state, src_flag)
+
+
+def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
+                       state: _BuildState, src_flag: int) -> bool:
+    """Native C++ cell packer (spblas_host route2_pack); returns False
+    when the library is unavailable."""
+    from spblas_tpu import native
+    if not hasattr(native, "route2_pack"):
+        return False
+    ne = len(rows)
+    ncells = len(starts)
+    cell_start = np.concatenate([starts, [ne]]).astype(np.int64)
+    lrow = (rows % ROW_WINDOW).astype(np.int32)
+    lcol = (cols % window).astype(np.int32)
+    nat = native.route2_pack(ne, ncells, cell_start, lrow, lcol)
+    if nat is None:
+        return False
+    (nch, tiles, chunk_cell, elem_chunk, elem_scat, spill_cnt,
+     spill_elem) = nat
+    cell_sb = ((cols[starts] // window) * (window // LANES)).astype(
+        np.int32)
+    cell_yb = ((rows[starts] // ROW_WINDOW)
+               * (ROW_WINDOW // LANES)).astype(np.int32)
+    vt = np.zeros((nch, SUBS, LANES), np.float32)
+    st = np.full((nch, SUBS, LANES), -1, np.int32)
+    placed = elem_chunk >= 0
+    du = elem_scat[placed] >> 7
+    dl = elem_scat[placed] & 127
+    vt[elem_chunk[placed], du, dl] = vals[placed]
+    st[elem_chunk[placed], du, dl] = ent[placed]
+    state.tiles.extend(tiles)
+    state.vals.extend(vt)
+    state.srcs.extend(st)
+    state.sb.extend(cell_sb[chunk_cell].tolist())
+    state.yb.extend(cell_yb[chunk_cell].tolist())
+    state.flags.extend([src_flag] * nch)
+    # spilled elements: pack per-cell into aux-published chunks
+    if len(spill_elem):
+        for ci in range(len(starts)):
+            sel = spill_elem[(spill_elem >= starts[ci])
+                             & (spill_elem < ends[ci])]
+            if len(sel):
+                _pack_cell(rows[sel], cols[sel], vals[sel], ent[sel],
+                           g, window, state, src_flag, spill_only=True)
+    return True
+
+
+def _pack_cell(r, c, v, ent, g, window, state: _BuildState,
+               src_flag: int, spill_only: bool = False):
+    """Pack one cell's elements (global rows/cols) into chunks.
+
+    Greedy multi-round: each round opens a chunk, walks unplaced
+    segments in (row, col) order and admits those that fit the chunk's
+    sel / edge-degree / depth / publish budgets.  Rows whose segments
+    cannot all publish across the cell's chunks spill their extra
+    segment sums to the aux region."""
+    sb = int((c[0] // window) * (window // LANES))
+    yb = int((r[0] // ROW_WINDOW) * (ROW_WINDOW // LANES))
+    lr = (r % ROW_WINDOW).astype(np.int64)
+    lc = (c % window).astype(np.int64)
+
+    ncell = len(r)
+    # segment formation: contiguous runs of one row, <=8 elements, and
+    # no two DIFFERENT columns congruent mod 1024 inside a segment (the
+    # sel table holds one column per (s7, l) slot; an intra-segment
+    # clash could never place)
+    seg_start_l = []
+    seg_end_l = []
+    i0 = 0
+    while i0 < ncell:
+        row0 = lr[i0]
+        mod_seen = {}
+        j = i0
+        while (j < ncell and lr[j] == row0 and j - i0 < SUBS):
+            key = int(lc[j]) & (SLOTS - 1)
+            prev = mod_seen.get(key)
+            if prev is not None and prev != int(lc[j]):
+                break
+            mod_seen[key] = int(lc[j])
+            j += 1
+        seg_start_l.append(i0)
+        seg_end_l.append(j)
+        i0 = j
+    seg_start = np.array(seg_start_l, np.int64)
+    seg_end = np.array(seg_end_l, np.int64)
+    seg_row = lr[seg_start]
+    # first-fit-DECREASING: long segments claim whole depth columns
+    # first, short ones fill the gaps (classic bin-packing order)
+    ffd = np.argsort(seg_start - seg_end, kind="stable")
+
+    max_open = 24
+
+    def flush(ck):
+        for tile, val, src, yb_c in ck.emit(yb):
+            state.tiles.append(tile)
+            state.vals.append(val)
+            state.srcs.append(src)
+            state.sb.append(sb)
+            state.yb.append(yb_c)
+            state.flags.append(src_flag)
+
+    open_chunks: List[_Chunk] = []
+    for s_ in ffd:
+        row = int(seg_row[s_])
+        idx = np.arange(seg_start[s_], seg_end[s_])
+        placed = False
+        if not spill_only:
+            for ck in open_chunks:
+                if (row not in ck.rows_published
+                        and ck.try_place(lc[idx], row,
+                                         publish_slot=row)):
+                    ck.commit(lc[idx], v[idx], ent[idx], row)
+                    placed = True
+                    break
+        if not placed and len(open_chunks) < max_open:
+            ck = _Chunk()
+            open_chunks.append(ck)
+            if not spill_only:
+                assert ck.try_place(lc[idx], row, publish_slot=row)
+                ck.commit(lc[idx], v[idx], ent[idx], row)
+                placed = True
+        if not placed:
+            # hub-row spill (or spill-only repack): publish this
+            # segment's sum to a lane-matched aux slot instead
+            for ck in open_chunks:
+                if ck.try_place_aux(lc[idx]):
+                    jd = ck._probe[0]
+                    abs_slot = state.alloc_aux_slot(jd)
+                    rel = abs_slot - state.aux_base * LANES
+                    ck.commit_aux(lc[idx], v[idx], ent[idx], rel,
+                                  state.aux_base)
+                    state.aux_pending.append(
+                        (abs_slot, yb * LANES + row))
+                    placed = True
+                    break
+        if not placed:
+            # all open chunks congested: flush the fullest to make room
+            fullest = max(range(len(open_chunks)),
+                          key=lambda i: open_chunks[i].n_elems)
+            flush(open_chunks.pop(fullest))
+            ck = _Chunk()
+            open_chunks.append(ck)
+            if spill_only:
+                assert ck.try_place_aux(lc[idx])
+                jd = ck._probe[0]
+                abs_slot = state.alloc_aux_slot(jd)
+                rel = abs_slot - state.aux_base * LANES
+                ck.commit_aux(lc[idx], v[idx], ent[idx], rel,
+                              state.aux_base)
+                state.aux_pending.append((abs_slot, yb * LANES + row))
+            else:
+                assert ck.try_place(lc[idx], row, publish_slot=row)
+                ck.commit(lc[idx], v[idx], ent[idx], row)
+    for ck in open_chunks:
+        if ck.n_elems:
+            flush(ck)
+
+
+class _Chunk:
+    """One (8,128) chunk under construction (python packer).
+
+    Routing feasibility is maintained INCREMENTALLY: each distinct
+    (column, scatter-lane) pair needs a color a in 0..7 such that slot
+    (a, l(c)) carries this column's a-route fields and slot (a, jd)
+    carries its lane-gather source.  Same-column edges reuse their
+    color whenever (a, jd) is free — the lane gather broadcasts — so a
+    hot column costs ONE (a, l) slot however many lanes read it."""
+
+    def __init__(self):
+        self.sel = {}            # (s7, l) -> column
+        self.acol_l = np.zeros((SUBS, LANES), bool)   # (a, l) used
+        self.acol_j = np.zeros((SUBS, LANES), bool)   # (a, jd) used
+        self.col_colors = {}     # column -> list of colors a
+        self.edge_color = {}     # (column, jd) -> a
+        self.depth = np.zeros(LANES, np.int64)
+        self.elems = []          # (col, jd, d, val, ent, dist)
+        self.pubs = []           # (final_slot, jd, pend_depth)
+        self.aux_pubs = []       # (aux_base_pane, rel_slot, jd, pend)
+        self.rows_published = set()
+        self._probe = None
+
+    @property
+    def n_elems(self) -> int:
+        return len(self.elems)
+
+    # -- feasibility ------------------------------------------------- #
+    def _route_segment(self, lcs, jd):
+        """Tentatively route a segment's new edges; returns the list of
+        (c, jd, a, is_new_color) assignments or None when infeasible."""
+        if self.depth[jd] + len(lcs) > SUBS:
+            return None
+        assigns = []
+        taken_j = 0              # colors tentatively taken at this jd
+        for c in lcs:
+            c = int(c)
+            l = c & 127
+            s7 = (c >> 7) & 7
+            have = self.sel.get((s7, l))
+            if have is not None and have != c:
+                return None
+            if (c, jd) in self.edge_color:
+                continue
+            a_found = -1
+            for a in self.col_colors.get(c, ()):
+                if not self.acol_j[a, jd] and not (taken_j >> a) & 1:
+                    a_found = a
+                    break
+            new_color = a_found < 0
+            if new_color:
+                for a in range(SUBS):
+                    if (not self.acol_l[a, l]
+                            and not self.acol_j[a, jd]
+                            and not (taken_j >> a) & 1):
+                        a_found = a
+                        break
+                if a_found < 0:
+                    return None
+            taken_j |= 1 << a_found
+            assigns.append((c, jd, a_found, new_color))
+        return assigns
+
+    def try_place(self, lcs, row, publish_slot):
+        jd = int(publish_slot) & 127
+        assigns = self._route_segment(lcs, jd)
+        if assigns is None:
+            return False
+        self._probe = (jd, int(publish_slot), assigns)
+        return True
+
+    def try_place_aux(self, lcs):
+        # aux published segments can use ANY scatter lane; try the
+        # emptiest ones first
+        order = np.argsort(self.depth)
+        for jd in order[:16]:
+            jd = int(jd)
+            assigns = self._route_segment(lcs, jd)
+            if assigns is not None:
+                self._probe = (jd, None, assigns)
+                return True
+        return False
+
+    # -- commit ------------------------------------------------------ #
+    def _commit_common(self, lcs, vs, ents, jd, assigns):
+        for (c, jd_, a, new_color) in assigns:
+            l = c & 127
+            self.edge_color[(c, jd_)] = a
+            self.acol_j[a, jd_] = True
+            if new_color:
+                self.acol_l[a, l] = True
+                self.col_colors.setdefault(c, []).append(a)
+        d0 = int(self.depth[jd])
+        for k, c in enumerate(lcs):
+            c = int(c)
+            l = c & 127
+            s7 = (c >> 7) & 7
+            self.sel[(s7, l)] = c
+            self.elems.append((c, jd, d0 + k, float(vs[k]),
+                               int(ents[k]), k))
+        self.depth[jd] += len(lcs)
+        return d0 + len(lcs) - 1
+
+    def commit(self, lcs, vs, ents, row):
+        jd, slot, assigns = self._probe
+        pend = self._commit_common(lcs, vs, ents, jd, assigns)
+        self.pubs.append((slot, jd, pend))
+        self.rows_published.add(row)
+
+    def commit_aux(self, lcs, vs, ents, rel_slot, aux_base):
+        jd, _, assigns = self._probe
+        pend = self._commit_common(lcs, vs, ents, jd, assigns)
+        self.aux_pubs.append((aux_base, rel_slot, jd, pend))
+
+    # -- emission ---------------------------------------------------- #
+    def emit(self, yb):
+        """Yield (tile, val, src, y_base) — possibly two chunks when
+        both direct and aux publishes exist (they need different y
+        bases); shared gather/scatter state is duplicated.  In practice
+        the packer keeps aux segments in dedicated chunks, so this
+        yields one chunk."""
+        groups = []
+        if self.pubs or not self.aux_pubs:
+            groups.append(("direct", yb, self.pubs))
+        for (aux_base, rel, jd, pend) in self.aux_pubs:
+            win = rel // SLOTS
+            groups.append(("aux", aux_base + win * SUBS,
+                           [(rel - win * SLOTS, jd, pend)]))
+        # merge aux pubs sharing the same window into one group
+        merged = {}
+        out = []
+        for kind, base, pubs in groups:
+            if kind == "aux":
+                merged.setdefault(base, []).extend(pubs)
+            else:
+                out.append((base, pubs))
+        for base, pubs in merged.items():
+            out.append((base, pubs))
+        if len(out) > 1 and not out[0][1]:
+            out = out[1:]
+
+        results = []
+        tile0, val0, src0 = self._emit_tile()
+        first = True
+        for base, pubs in out:
+            tile = tile0.copy()
+            for (slot, jd, pend) in pubs:
+                fu, fl = slot // LANES, slot % LANES
+                tile[fu, fl] |= (pend << B_PEND) | (1 << B_VA)
+            if first:
+                results.append((tile, val0, src0, base))
+                first = False
+            else:
+                # duplicate chunk re-publishes other windows; values
+                # zeroed so the sums aren't double-counted?  No — the
+                # prefix recomputes from the same gathered values, so
+                # the duplicate carries the same val tile; only the
+                # publish mask differs and y targets a different window.
+                results.append((tile, val0, src0, base))
+        return results
+
+    def _emit_tile(self):
+        tile = np.zeros((SUBS, LANES), np.int64)
+        val = np.zeros((SUBS, LANES), np.float32)
+        src = np.full((SUBS, LANES), -1, np.int32)
+        for (c, jd), a in self.edge_color.items():
+            l = c & 127
+            s7 = (c >> 7) & 7
+            tile[s7, l] |= ((c >> 10) << B_OCT)
+            tile[a, l] |= (s7 << B_S1)
+            tile[a, jd] |= (l << B_LF)
+        for (c, jd, d, v, ent_, dist) in self.elems:
+            a = self.edge_color[(c, jd)]
+            tile[d, jd] |= (a << B_SD2) | (min(dist, 7) << B_DIST)
+            val[d, jd] = v
+            if ent_ >= 0:
+                src[d, jd] = ent_
+        return tile.astype(np.int32), val, src
+
+
+# ------------------------------------------------------------------ #
+# numpy simulator (kernel-semantics oracle)
+# ------------------------------------------------------------------ #
+
+def pack_x2(x: np.ndarray, plan: Route2Plan) -> np.ndarray:
+    n = plan.shape[1]
+    x2 = np.zeros((plan.x_rows, LANES), np.float32)
+    x2.reshape(-1)[:n] = np.asarray(x, np.float32)
+    return x2
+
+
+def route2_spmv_numpy(plan: Route2Plan, x: np.ndarray) -> np.ndarray:
+    """Exact numpy mirror of the ROUTE2 kernel semantics (including
+    in-dispatch aux chunks reading the output pane)."""
+    m, n = plan.shape
+    g = plan.g
+    x2 = pack_x2(x, plan)
+    y2 = np.zeros((plan.pane_rows, LANES), np.float32)
+
+    tiles = np.asarray(plan.tile)
+    vals = np.asarray(plan.val)
+    sbs = np.asarray(plan.slab_base)
+    ybs = np.asarray(plan.y_base)
+    flags = np.asarray(plan.src_flag)
+    jj = np.broadcast_to(np.arange(LANES)[None, :], (SUBS, LANES))
+    ii = np.broadcast_to(np.arange(SUBS)[:, None], (SUBS, LANES))
+
+    for k in range(plan.nchunks):
+        t = tiles[k].astype(np.int64)
+        pane = x2 if flags[k] == 0 else y2
+        sb = int(sbs[k])
+        slab = np.zeros((SUBS * g, LANES), np.float32)
+        avail = min(SUBS * g, pane.shape[0] - sb)
+        if avail > 0:
+            slab[:avail] = pane[sb:sb + avail]
+        oct_ = (t >> B_OCT) & (MAX_G - 1)
+        sel = np.zeros((SUBS, LANES), np.float32)
+        for gg in range(g):
+            sel = np.where(oct_ == gg, slab[gg * SUBS:(gg + 1) * SUBS],
+                           sel)
+        s1 = (t >> B_S1) & 7
+        t1 = sel[s1, jj]
+        lf = (t >> B_LF) & 127
+        t2 = t1[ii, lf]
+        sd2 = (t >> B_SD2) & 7
+        t3 = t2[sd2, jj]
+        c = t3 * vals[k]
+        dist = (t >> B_DIST) & 7
+        P = c.copy()
+        for d in (1, 2, 4):
+            sh = np.roll(P, d, axis=0)
+            sh[:d] = 0
+            P = P + np.where(dist >= d, sh, 0.0)
+        pend = (t >> B_PEND) & 7
+        vA = (t >> B_VA) & 1
+        RS = P[pend, jj] * vA
+        yb = int(ybs[k])
+        y2[yb:yb + SUBS] += RS
+    return y2.reshape(-1)[:m]

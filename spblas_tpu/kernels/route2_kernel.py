@@ -1,0 +1,167 @@
+"""Pallas executor for Route2Plan — one-lane-gather-per-chunk SpMV.
+
+Executes :class:`spblas_tpu.kernels.route2.Route2Plan` in a single
+dispatch (reference capability bar: vendor CSR SpMV kernels,
+include/spblas/vendor/cusparse/detail/spmv_impl.hpp:26-102).  See
+kernels/route2.py for the layout derivation and the measured v5e op
+costs that shaped it (lane gather ~10-14 ns; sublane gather / select /
+mul ~1 ns).
+
+Structure per grid step (CB chunks, double-buffered DMA as in
+kernels/route_spmv.py): tile+val stream from HBM; x pane and output
+pane are VMEM-resident.  Aux chunks (src_flag=1) gather from the
+output pane itself — the sequential TPU grid makes earlier chunks'
+writes visible — so hub-row spill reduction needs no second dispatch.
+Chunk groups are flag-homogeneous (the builder pads to CB boundaries);
+the per-group flag picks the slab source via predication.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spblas_tpu.kernels.route2 import (B_DIST, B_LF, B_OCT, B_PEND,
+                                       B_S1, B_SD2, B_VA, MAX_G,
+                                       LANES, SUBS, Route2Plan)
+from spblas_tpu.types import on_tpu as _on_tpu
+
+CB = 8          # chunks per grid step (the builder aligns flag groups)
+
+
+def _chunk_body(t, val, slab, g):
+    """One (8,128) chunk: sel ladder, a-route, lane gather, depth drop,
+    multiply, segmented prefix, publish."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
+
+    oct_ = (t >> B_OCT) & (MAX_G - 1)
+    sel = jnp.zeros((SUBS, LANES), jnp.float32)
+    for gg in range(g):
+        sel = jnp.where(oct_ == gg, slab[gg * SUBS:(gg + 1) * SUBS], sel)
+
+    t1 = jnp.take_along_axis(sel, (t >> B_S1) & 7, axis=0)
+    t2 = jnp.take_along_axis(t1, (t >> B_LF) & 127, axis=1)   # THE lane op
+    t3 = jnp.take_along_axis(t2, (t >> B_SD2) & 7, axis=0)
+    c = t3 * val
+
+    dist = (t >> B_DIST) & 7
+    P = c
+    for d in (1, 2, 4):
+        shifted = jnp.take_along_axis(P, jnp.maximum(ii - d, 0), axis=0)
+        P = P + jnp.where(dist >= d, shifted, 0.0)
+
+    RS = jnp.take_along_axis(P, (t >> B_PEND) & 7, axis=0)
+    vA = ((t >> B_VA) & 1).astype(jnp.float32)
+    return RS * vA
+
+
+def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
+                   t_buf, v_buf, t_sem, v_sem, *, g: int,
+                   has_aux: bool):
+    k = pl.program_id(0)
+    nk = pl.num_programs(0)
+
+    def dmas(slot, e):
+        return (
+            pltpu.make_async_copy(t_hbm.at[pl.ds(e * CB, CB)],
+                                  t_buf.at[slot], t_sem.at[slot]),
+            pltpu.make_async_copy(v_hbm.at[pl.ds(e * CB, CB)],
+                                  v_buf.at[slot], v_sem.at[slot]),
+        )
+
+    @pl.when(k == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+        for d in dmas(0, 0):
+            d.start()
+
+    slot = jax.lax.rem(k, 2)
+
+    @pl.when(k + 1 < nk)
+    def _():
+        for d in dmas(1 - slot, k + 1):
+            d.start()
+
+    for d in dmas(slot, k):
+        d.wait()
+
+    def group(src_ref):
+        for i in range(CB):
+            ci = k * CB + i
+            slab = src_ref[pl.ds(sb_ref[ci], SUBS * g), :]
+            upd = _chunk_body(t_buf[slot, i], v_buf[slot, i], slab, g)
+            yb = yb_ref[ci]
+            y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + upd
+
+    if has_aux:
+        @pl.when(fl_ref[k * CB] == 0)
+        def _():
+            group(x_ref)
+
+        @pl.when(fl_ref[k * CB] != 0)
+        def _():
+            group(y_ref)
+    else:
+        group(x_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def route2_spmv(plan: Route2Plan, x: jax.Array,
+                interpret: bool | None = None) -> jax.Array:
+    """y = A @ x through a ROUTE2 plan (single Pallas dispatch)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    m, n = plan.shape
+    g = plan.g
+    xdt = x.dtype
+    x2 = jnp.pad(x.astype(jnp.float32),
+                 (0, plan.x_rows * LANES - n)).reshape(plan.x_rows, LANES)
+
+    nc = plan.nchunks
+    nsteps = -(-nc // CB)
+    pad = nsteps * CB - nc
+    t = jnp.pad(plan.tile, ((0, pad), (0, 0), (0, 0)))
+    v = jnp.pad(plan.val, ((0, pad), (0, 0), (0, 0)))
+    sb = jnp.pad(plan.slab_base, (0, pad))
+    yb = jnp.pad(plan.y_base, (0, pad))
+    fl = jnp.pad(plan.src_flag, (0, pad), mode="edge")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,          # slab_base, y_base, src_flag
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # tile
+            pl.BlockSpec(memory_space=pl.ANY),      # val
+            pl.BlockSpec((plan.x_rows, LANES), lambda k, *_: (0, 0),
+                         memory_space=pltpu.VMEM),  # x resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, CB, SUBS, LANES), jnp.int32),
+            pltpu.VMEM((2, CB, SUBS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    # the output pane doubles as the aux gather source; keep it at
+    # least one slab tall so padded/aux chunk slab slices stay in range
+    out_rows = max(plan.pane_rows, SUBS * g)
+    y2 = pl.pallas_call(
+        functools.partial(_route2_kernel, g=g,
+                          has_aux=plan.n_aux_chunks > 0),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES),
+                                       jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nsteps * CB * SUBS * LANES,
+            bytes_accessed=nsteps * CB * SUBS * LANES * 8
+            + (plan.x_rows + plan.pane_rows) * LANES * 4,
+            transcendentals=0,
+        ),
+    )(sb, yb, fl, t, v, x2)
+    return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(xdt)

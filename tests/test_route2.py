@@ -1,0 +1,104 @@
+"""ROUTE2 plan/kernel tests — dense oracle + numpy kernel-semantics
+oracle (reference capability bar: vendor CSR SpMV,
+include/spblas/vendor/cusparse/detail/spmv_impl.hpp:26-102)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spblas_tpu.kernels.route2 import (build_route2_plan,
+                                       route2_spmv_numpy)
+from spblas_tpu.kernels.route2_kernel import route2_spmv
+from tests.util import assert_close
+
+
+def _random_csr(m, n, nnz, seed=0, skew=False):
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, m, nnz)
+    if skew:
+        rows[: nnz // 10] = rng.integers(0, max(m // 100, 1), nnz // 10)
+        cols = (rng.zipf(1.5, nnz) - 1) % n
+    else:
+        cols = rng.integers(0, n, nnz)
+    import scipy.sparse as sp
+    v = rng.standard_normal(nnz).astype(np.float32)
+    a = sp.coo_matrix((v, (rows, cols)), shape=(m, n)).tocsr()
+    a.sum_duplicates()
+    return a
+
+
+CASES = [
+    (300, 300, 3000, False),
+    (2000, 1500, 20000, False),
+    (1024, 1024, 30000, True),      # zipf columns + hub rows
+    (5000, 9000, 40000, False),     # wide, g=16
+    (100, 100, 60, False),          # nearly empty
+]
+
+
+@pytest.mark.parametrize("m,n,nnz,skew", CASES)
+def test_route2_simulator_matches_dense(m, n, nnz, skew):
+    a = _random_csr(m, n, nnz, seed=m + nnz, skew=skew)
+    plan = build_route2_plan(a.indptr, a.indices, a.data, (m, n), a.nnz)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(n).astype(np.float32)
+    assert_close(route2_spmv_numpy(plan, x), a @ x)
+
+
+@pytest.mark.parametrize("m,n,nnz,skew", CASES)
+def test_route2_kernel_matches_dense(m, n, nnz, skew):
+    a = _random_csr(m, n, nnz, seed=m + nnz, skew=skew)
+    plan = build_route2_plan(a.indptr, a.indices, a.data, (m, n), a.nnz)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(route2_spmv(plan, jnp.asarray(x)))
+    assert_close(y, a @ x)
+
+
+def test_route2_update_values_reuse():
+    a = _random_csr(500, 500, 4000, seed=9)
+    plan = build_route2_plan(a.indptr, a.indices, a.data, a.shape,
+                             a.nnz)
+    rng = np.random.default_rng(3)
+    new_vals = rng.standard_normal(a.nnz).astype(np.float32)
+    plan2 = plan.update_values(jnp.asarray(new_vals))
+    a2 = a.copy()
+    a2.data = new_vals
+    x = rng.standard_normal(500).astype(np.float32)
+    assert_close(np.asarray(route2_spmv(plan2, jnp.asarray(x))), a2 @ x)
+
+
+def test_route2_empty_and_single():
+    import scipy.sparse as sp
+    a = sp.csr_matrix((64, 64), dtype=np.float32)
+    plan = build_route2_plan(a.indptr, a.indices, a.data, (64, 64), 0)
+    x = np.ones(64, np.float32)
+    assert np.abs(route2_spmv_numpy(plan, x)).max() == 0.0
+
+    b = sp.csr_matrix(([2.5], ([3], [60])), shape=(64, 64),
+                      dtype=np.float32)
+    plan = build_route2_plan(b.indptr, b.indices, b.data, (64, 64), 1)
+    y = route2_spmv_numpy(plan, x)
+    assert y[3] == pytest.approx(2.5)
+    assert np.abs(np.delete(y, 3)).max() == 0.0
+
+
+def test_route2_hub_row_aux_spill():
+    """One extreme hub row (degree >> cell chunk supply) exercises the
+    aux spill + in-dispatch reduction path."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(4)
+    m = n = 2048
+    rows = np.concatenate([np.zeros(1500, np.int64),
+                           rng.integers(0, m, 2000)])
+    cols = np.concatenate([rng.permutation(n)[:1500],
+                           rng.integers(0, n, 2000)])
+    v = rng.standard_normal(len(rows)).astype(np.float32)
+    a = sp.coo_matrix((v, (rows, cols)), shape=(m, n)).tocsr()
+    a.sum_duplicates()
+    plan = build_route2_plan(a.indptr, a.indices, a.data, (m, n), a.nnz)
+    x = rng.standard_normal(n).astype(np.float32)
+    assert_close(route2_spmv_numpy(plan, x), a @ x)
+    assert_close(np.asarray(route2_spmv(plan, jnp.asarray(x))), a @ x)
