@@ -84,8 +84,10 @@ class Route2Plan:
     y_base: jax.Array       # (nchunks,) int32  y window offset (sublane rows)
     src_flag: jax.Array     # (nchunks,) int32  0: gather x pane, 1: y pane
     val_src: jax.Array      # (nchunks, 8, 128) int32  CSR entry idx (-1 pad)
+    ext_cols: jax.Array     # (K,) int32 columns copied to the extension
     g: int = dataclasses.field(metadata=dict(static=True))
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nat_slots: int = dataclasses.field(metadata=dict(static=True))
     x_rows: int = dataclasses.field(metadata=dict(static=True))
     y_rows: int = dataclasses.field(metadata=dict(static=True))
     aux_rows: int = dataclasses.field(metadata=dict(static=True))
@@ -121,6 +123,58 @@ def _pick_g(n: int, max_g: int = 16) -> int:
     return max_g
 
 
+def _rebalance_classes(rows, cols, window: int, nat_slots: int):
+    """Pick columns to remap into the extension region.
+
+    Per (stripe, window) cell: distinct columns per mod-1024 class above
+    the cell's budget T are marked for global remap (keeping the cell's
+    heaviest columns natural — their duplicate reads amortize the sel
+    slot).  Remapped columns get sequential extension positions, whose
+    classes are perfectly balanced by construction.
+    """
+    if len(cols) == 0:
+        return cols, np.zeros(0, np.int64)
+    stripe = rows // ROW_WINDOW
+    cellc = cols // window
+    cls = cols % SLOTS
+    cell_id = stripe * (int(cellc.max()) + 1) + cellc
+    # distinct (cell, class, col) with element counts
+    key = (cell_id * np.int64(SLOTS) + cls)
+    order = np.lexsort((cols, key))
+    k_s, c_s = key[order], cols[order]
+    newpair = np.empty(len(c_s), bool)
+    newpair[0] = True
+    newpair[1:] = (k_s[1:] != k_s[:-1]) | (c_s[1:] != c_s[:-1])
+    pair_start = np.flatnonzero(newpair)
+    pair_key = k_s[pair_start]
+    pair_col = c_s[pair_start]
+    pair_cnt = np.diff(np.concatenate([pair_start, [len(c_s)]]))
+    # cell element counts -> per-cell class budget T
+    cell_of_pair = pair_key // SLOTS
+    cell_sizes = np.bincount(cell_id, minlength=int(cell_id.max()) + 1)
+    T = np.maximum(4, 2 * cell_sizes[cell_of_pair] // SLOTS + 1)
+    # rank pairs within (cell, class) by count desc; remap rank >= T
+    order2 = np.lexsort((-pair_cnt, pair_key))
+    pk = pair_key[order2]
+    rank = np.arange(len(pk)) - np.maximum.accumulate(
+        np.where(np.concatenate([[True], pk[1:] != pk[:-1]]),
+                 np.arange(len(pk)), 0))
+    # remap the class tail (rank >= T) and any non-heaviest column
+    # whose in-cell element count is big enough to matter (>= 16):
+    # two heavy columns sharing a class would otherwise serialize
+    # chunks on their sel conflict
+    cnt2 = pair_cnt[order2]
+    remap_mask = (rank >= T[order2]) | ((rank >= 1) & (cnt2 >= 16))
+    remap_cols = np.unique(pair_col[order2][remap_mask])
+    if len(remap_cols) == 0:
+        return cols, np.zeros(0, np.int64)
+    ext_idx = np.full(int(cols.max()) + 1, -1, np.int64)
+    ext_idx[remap_cols] = np.arange(len(remap_cols))
+    is_r = ext_idx[cols] >= 0
+    cols = np.where(is_r, nat_slots + ext_idx[cols], cols)
+    return cols, remap_cols
+
+
 def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
                       nnz: int, g: Optional[int] = None,
                       dtype=np.float32) -> Route2Plan:
@@ -135,12 +189,28 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
     values = np.asarray(values)[:nnz]
 
     if g is None:
-        g = _pick_g(max(n, 1))
+        # target ~2k elements per (1024-row x window) cell: smaller
+        # windows waste no ladder selects, larger ones amortize cell
+        # tails.  cells/nnz ~ m*n/(1024*window*nnz).
+        want = max(1, (2 * m * n) // (max(nnz, 1) * SLOTS * SLOTS) + 1)
+        g = 1
+        while g < want and g < 16:
+            g *= 2
+        g = min(g, _pick_g(max(n, 1)))
     window = g * SLOTS
 
     rows = np.repeat(np.arange(m, dtype=np.int64),
                      np.diff(np.minimum(rowptr, nnz)))
     ent = np.arange(nnz, dtype=np.int64)
+
+    # class rebalancing: power-law index patterns pile distinct columns
+    # into a few (s7, l) sel classes (class = col mod 1024), forcing one
+    # chunk per column.  Columns overflowing a cell's class budget are
+    # remapped to a class-balanced extension region of the x pane,
+    # filled per apply by one small XLA gather.
+    nat_slots = -(-max(n, 1) // window) * window
+    colind, ext_cols = _rebalance_classes(rows, colind, window,
+                                          nat_slots)
 
     # one 8-row pane window per 1024-row stripe (full windows: every
     # chunk accumulates an (8,128) tile at its stripe base)
@@ -193,7 +263,8 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
     nchunks = len(state.tiles)
     fill = nnz / max(nchunks * SLOTS, 1)
     aux_rows = state.aux_rows()
-    x_rows = max(-(-max(n, 1) // LANES), 1)
+    total_slots = nat_slots + len(ext_cols)
+    x_rows = max(-(-total_slots // LANES), 1)
     x_rows = -(-x_rows // (SUBS * g)) * (SUBS * g)
     return Route2Plan(
         tile=jnp.asarray(np.stack(state.tiles)),
@@ -202,8 +273,10 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
         y_base=jnp.asarray(np.array(state.yb, np.int32)),
         src_flag=jnp.asarray(np.array(state.flags, np.int32)),
         val_src=jnp.asarray(np.stack(state.srcs)),
-        g=g, shape=(m, n), x_rows=x_rows, y_rows=y_rows,
-        aux_rows=aux_rows, n_aux_chunks=n_aux_chunks, fill=float(fill))
+        ext_cols=jnp.asarray(ext_cols.astype(np.int32)),
+        g=g, shape=(m, n), nat_slots=int(nat_slots), x_rows=x_rows,
+        y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
+        fill=float(fill))
 
 
 class _BuildState:
@@ -385,6 +458,17 @@ def _pack_cell(r, c, v, ent, g, window, state: _BuildState,
             state.yb.append(yb_c)
             state.flags.append(src_flag)
 
+    def place_aux(ck, idx, row):
+        jd = ck._probe[0]
+        abs_slot = state.alloc_aux_slot(jd)
+        rel = abs_slot - state.aux_base * LANES
+        ck.commit_aux(lc[idx], v[idx], ent[idx], rel, state.aux_base)
+        state.aux_pending.append((abs_slot, yb * LANES + row))
+
+    # open-chunk pool: chunks are never force-flushed to make room (a
+    # congested segment always fits a FRESH chunk, so evicting a
+    # half-full one only wastes fill); instead chunks retire when cold
+    # (many consecutive rejects) and the pool is pruned coldest-first.
     open_chunks: List[_Chunk] = []
     for s_ in ffd:
         row = int(seg_row[s_])
@@ -398,45 +482,36 @@ def _pack_cell(r, c, v, ent, g, window, state: _BuildState,
                     ck.commit(lc[idx], v[idx], ent[idx], row)
                     placed = True
                     break
-        if not placed and len(open_chunks) < max_open:
-            ck = _Chunk()
-            open_chunks.append(ck)
-            if not spill_only:
-                assert ck.try_place(lc[idx], row, publish_slot=row)
-                ck.commit(lc[idx], v[idx], ent[idx], row)
-                placed = True
-        if not placed:
-            # hub-row spill (or spill-only repack): publish this
-            # segment's sum to a lane-matched aux slot instead
+                ck.cold += 1
+        if not placed and len(open_chunks) >= max_open:
+            # pool at budget: prefer aux (spreads skew-congested rows
+            # across lanes) over evicting a warm half-full chunk
             for ck in open_chunks:
                 if ck.try_place_aux(lc[idx]):
-                    jd = ck._probe[0]
-                    abs_slot = state.alloc_aux_slot(jd)
-                    rel = abs_slot - state.aux_base * LANES
-                    ck.commit_aux(lc[idx], v[idx], ent[idx], rel,
-                                  state.aux_base)
-                    state.aux_pending.append(
-                        (abs_slot, yb * LANES + row))
+                    place_aux(ck, idx, row)
                     placed = True
                     break
         if not placed:
-            # all open chunks congested: flush the fullest to make room
-            fullest = max(range(len(open_chunks)),
-                          key=lambda i: open_chunks[i].n_elems)
-            flush(open_chunks.pop(fullest))
+            if len(open_chunks) >= max_open:
+                coldest = max(range(len(open_chunks)),
+                              key=lambda i2: open_chunks[i2].cold)
+                flush(open_chunks.pop(coldest))
             ck = _Chunk()
             open_chunks.append(ck)
             if spill_only:
                 assert ck.try_place_aux(lc[idx])
-                jd = ck._probe[0]
-                abs_slot = state.alloc_aux_slot(jd)
-                rel = abs_slot - state.aux_base * LANES
-                ck.commit_aux(lc[idx], v[idx], ent[idx], rel,
-                              state.aux_base)
-                state.aux_pending.append((abs_slot, yb * LANES + row))
+                place_aux(ck, idx, row)
             else:
                 assert ck.try_place(lc[idx], row, publish_slot=row)
                 ck.commit(lc[idx], v[idx], ent[idx], row)
+        # retire saturated chunks
+        keep = []
+        for c2 in open_chunks:
+            if c2.n_elems >= SLOTS - 8:
+                flush(c2)
+            else:
+                keep.append(c2)
+        open_chunks = keep
     for ck in open_chunks:
         if ck.n_elems:
             flush(ck)
@@ -463,6 +538,7 @@ class _Chunk:
         self.pubs = []           # (final_slot, jd, pend_depth)
         self.aux_pubs = []       # (aux_base_pane, rel_slot, jd, pend)
         self.rows_published = set()
+        self.cold = 0            # consecutive rejects (pool pruning)
         self._probe = None
 
     @property
@@ -527,6 +603,7 @@ class _Chunk:
 
     # -- commit ------------------------------------------------------ #
     def _commit_common(self, lcs, vs, ents, jd, assigns):
+        self.cold = 0
         for (c, jd_, a, new_color) in assigns:
             l = c & 127
             self.edge_color[(c, jd_)] = a
@@ -628,8 +705,13 @@ class _Chunk:
 
 def pack_x2(x: np.ndarray, plan: Route2Plan) -> np.ndarray:
     n = plan.shape[1]
+    x = np.asarray(x, np.float32)
     x2 = np.zeros((plan.x_rows, LANES), np.float32)
-    x2.reshape(-1)[:n] = np.asarray(x, np.float32)
+    flat = x2.reshape(-1)
+    flat[:n] = x
+    ext = np.asarray(plan.ext_cols)
+    if len(ext):
+        flat[plan.nat_slots:plan.nat_slots + len(ext)] = x[ext]
     return x2
 
 

@@ -118,8 +118,18 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
     m, n = plan.shape
     g = plan.g
     xdt = x.dtype
-    x2 = jnp.pad(x.astype(jnp.float32),
-                 (0, plan.x_rows * LANES - n)).reshape(plan.x_rows, LANES)
+    xf = x.astype(jnp.float32)
+    next_ = plan.ext_cols.shape[0]
+    if next_:
+        # extension region: class-rebalanced column copies (one gather)
+        flat = jnp.concatenate([
+            jnp.pad(xf, (0, plan.nat_slots - n)),
+            xf[plan.ext_cols],
+        ])
+    else:
+        flat = xf
+    x2 = jnp.pad(flat, (0, plan.x_rows * LANES - flat.shape[0])
+                 ).reshape(plan.x_rows, LANES)
 
     nc = plan.nchunks
     nsteps = -(-nc // CB)
