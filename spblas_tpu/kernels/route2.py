@@ -361,46 +361,50 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
 
 def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
                        state: _BuildState, src_flag: int) -> bool:
-    """Native C++ cell packer (spblas_host route2_pack); returns False
-    when the library is unavailable."""
+    """Native C++ cell packer (native/src/route2_pack.cpp); returns
+    False when the library is unavailable."""
     from spblas_tpu import native
-    if not hasattr(native, "route2_pack"):
-        return False
     ne = len(rows)
     ncells = len(starts)
     cell_start = np.concatenate([starts, [ne]]).astype(np.int64)
     lrow = (rows % ROW_WINDOW).astype(np.int32)
     lcol = (cols % window).astype(np.int32)
-    nat = native.route2_pack(ne, ncells, cell_start, lrow, lcol)
+    nat = native.route2_pack(ne, ncells, cell_start, lrow, lcol,
+                             aux_windows_in=len(state.aux_windows))
     if nat is None:
         return False
-    (nch, tiles, chunk_cell, elem_chunk, elem_scat, spill_cnt,
-     spill_elem) = nat
+    (nch, tiles, chunk_cell, chunk_auxwin, chunk_group, elem_group,
+     elem_scat, n_windows, aux_slot, aux_lrow, aux_cell) = nat
     cell_sb = ((cols[starts] // window) * (window // LANES)).astype(
         np.int32)
     cell_yb = ((rows[starts] // ROW_WINDOW)
                * (ROW_WINDOW // LANES)).astype(np.int32)
-    vt = np.zeros((nch, SUBS, LANES), np.float32)
-    st = np.full((nch, SUBS, LANES), -1, np.int32)
-    placed = elem_chunk >= 0
-    du = elem_scat[placed] >> 7
-    dl = elem_scat[placed] & 127
-    vt[elem_chunk[placed], du, dl] = vals[placed]
-    st[elem_chunk[placed], du, dl] = ent[placed]
+    # group val/src tiles (chunk copies share their group's values)
+    ngroup = int(chunk_group.max()) + 1 if nch else 0
+    vt = np.zeros((max(ngroup, 1), SUBS, LANES), np.float32)
+    st = np.full((max(ngroup, 1), SUBS, LANES), -1, np.int32)
+    du = elem_scat >> 7
+    dl = elem_scat & 127
+    vt[elem_group, du, dl] = vals
+    st[elem_group, du, dl] = np.where(ent >= 0, ent, -1)
+    # sync the python aux allocator: mark the native call's windows
+    # as closed (levels never reopen earlier windows)
+    if state.aux_windows == [] and n_windows:
+        state.aux_base = state.y_rows
+    while len(state.aux_windows) < n_windows:
+        state.aux_windows.append(np.full(LANES, SUBS, np.int64))
+    yb = np.where(chunk_auxwin < 0, cell_yb[chunk_cell],
+                  state.aux_base + chunk_auxwin * SUBS).astype(np.int32)
     state.tiles.extend(tiles)
-    state.vals.extend(vt)
-    state.srcs.extend(st)
+    state.vals.extend(vt[chunk_group])
+    state.srcs.extend(st[chunk_group])
     state.sb.extend(cell_sb[chunk_cell].tolist())
-    state.yb.extend(cell_yb[chunk_cell].tolist())
+    state.yb.extend(yb.tolist())
     state.flags.extend([src_flag] * nch)
-    # spilled elements: pack per-cell into aux-published chunks
-    if len(spill_elem):
-        for ci in range(len(starts)):
-            sel = spill_elem[(spill_elem >= starts[ci])
-                             & (spill_elem < ends[ci])]
-            if len(sel):
-                _pack_cell(rows[sel], cols[sel], vals[sel], ent[sel],
-                           g, window, state, src_flag, spill_only=True)
+    for k in range(len(aux_slot)):
+        state.aux_pending.append(
+            (state.aux_base * LANES + int(aux_slot[k]),
+             int(cell_yb[aux_cell[k]]) * LANES + int(aux_lrow[k])))
     return True
 
 

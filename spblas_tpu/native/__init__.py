@@ -23,6 +23,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "spblas_host.cpp")
 _SRC2 = os.path.join(_HERE, "src", "route_pack.cpp")
+_SRC3 = os.path.join(_HERE, "src", "route2_pack.cpp")
 _LIB = os.path.join(_HERE, "libspblas_host.so")
 
 _lock = threading.Lock()
@@ -32,7 +33,7 @@ _build_failed = False
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-std=c++17", _SRC, _SRC2, "-o", _LIB]
+           "-std=c++17", _SRC, _SRC2, _SRC3, "-o", _LIB]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -52,7 +53,8 @@ def get_lib():
             return _lib
         if not os.path.exists(_LIB) or (
                 os.path.getmtime(_LIB) < max(os.path.getmtime(_SRC),
-                                             os.path.getmtime(_SRC2))):
+                                             os.path.getmtime(_SRC2),
+                                             os.path.getmtime(_SRC3))):
             if not _build():
                 _build_failed = True
                 return None
@@ -98,6 +100,10 @@ def _declare(lib):
     lib.spblas_route_mul_pack.restype = i64
     lib.spblas_route_mul_pack.argtypes = [
         i64, i64, i64p, i32p, i32p, i32p, i64, i32p, i32p, i32p, i32p]
+    lib.spblas_route2_pack.restype = i64
+    lib.spblas_route2_pack.argtypes = [
+        i64, i64, i64p, i32p, i32p, i64, i64, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, i32p, i32p, i64p, i64p, i32p, i32p]
 
 
 # ------------------------------------------------------------------ #
@@ -370,6 +376,52 @@ def route_pack(ne, ncells, cell_start, lrow, lcol):
                 t3[: nch * 1024].reshape(nch, 8, 128),
                 chunk_cell[:nch], chunk_auxwin[:nch], int(aux_n[0]),
                 aux_slot[:na], aux_lrow[:na], aux_cell[:na])
+    return None
+
+
+def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
+                spill_only=False):
+    """Native ROUTE2 chunk packing (kernels/route2.py hot loop).
+
+    Returns (nch, tiles(nch,8,128), chunk_cell, chunk_auxwin,
+    chunk_group, elem_group, elem_scat, n_aux_windows, aux_slot,
+    aux_lrow, aux_cell) or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cell_start = np.ascontiguousarray(cell_start, np.int64)
+    lrow = np.ascontiguousarray(lrow, np.int32)
+    lcol = np.ascontiguousarray(lcol, np.int32)
+    max_chunks = int(ne // 256 + 4 * ncells + 16)
+    for _ in range(4):
+        tiles = np.zeros(max_chunks * 1024, np.int32)
+        chunk_cell = np.zeros(max_chunks, np.int32)
+        chunk_auxwin = np.zeros(max_chunks, np.int32)
+        chunk_group = np.zeros(max_chunks, np.int32)
+        elem_group = np.zeros(max(ne, 1), np.int32)
+        elem_scat = np.zeros(max(ne, 1), np.int32)
+        aux_info = np.zeros(2, np.int64)
+        aux_slot = np.zeros(max(ne, 1), np.int64)
+        aux_lrow = np.zeros(max(ne, 1), np.int32)
+        aux_cell = np.zeros(max(ne, 1), np.int32)
+        rc = lib.spblas_route2_pack(
+            ne, ncells, cell_start, lrow, lcol, max_chunks,
+            int(aux_windows_in), int(spill_only),
+            tiles, chunk_cell, chunk_auxwin, chunk_group,
+            elem_group, elem_scat, aux_info, aux_slot, aux_lrow,
+            aux_cell)
+        if rc == -1:
+            max_chunks *= 4
+            continue
+        if rc < 0:
+            return None
+        nch = int(rc)
+        na = int(aux_info[0])
+        return (nch, tiles[: nch * 1024].reshape(nch, 8, 128),
+                chunk_cell[:nch], chunk_auxwin[:nch],
+                chunk_group[:nch], elem_group, elem_scat,
+                int(aux_info[1]), aux_slot[:na], aux_lrow[:na],
+                aux_cell[:na])
     return None
 
 

@@ -1,0 +1,455 @@
+// Native ROUTE2 chunk packer — the hot loop of
+// spblas_tpu/kernels/route2.py::_pack_cell, semantics-identical to the
+// python packer (FFD segment order, open-chunk pool with retire-coldest,
+// incremental greedy edge coloring, lane-matched aux slots).
+//
+// Tile bit layout (must match route2.py):
+//   oct  [0:5)   at (s7, l)      s1  [5:8)  at (a, l)
+//   lf   [8:15)  at (a, jd)      sd2 [15:18) at (d, jd)
+//   dist [18:21) at (d, jd)      pend[21:24) at final slot
+//   vA   [24:25) at final slot
+//
+// Interface (all buffers caller-allocated):
+//   returns nchunks, or -1 when max_chunks was too small (caller grows
+//   and retries), or -2 on internal error.
+
+#include <array>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr int LANES = 128;
+constexpr int SUBS = 8;
+constexpr int SLOTS = 1024;
+constexpr int MAX_OPEN = 24;
+
+constexpr int B_OCT = 0, B_S1 = 5, B_LF = 8, B_SD2 = 15, B_DIST = 18,
+              B_PEND = 21, B_VA = 24;
+
+struct Pub { int32_t slot; int16_t jd; int16_t pend; };
+struct AuxPub { int64_t abs_slot; int16_t jd; int16_t pend;
+                int32_t lrow; int32_t cell; };
+struct Elem { int32_t col; int32_t idx; int16_t jd; int8_t d;
+              int8_t dist; };
+
+// global aux allocator: per window, per lane depth
+struct AuxAlloc {
+  std::vector<std::array<int8_t, LANES>> windows;
+  int64_t alloc(int jd) {
+    for (size_t w = 0; w < windows.size(); ++w) {
+      if (windows[w][jd] < SUBS) {
+        int d = windows[w][jd]++;
+        return (int64_t)w * SLOTS + d * LANES + jd;
+      }
+    }
+    windows.emplace_back();
+    windows.back().fill(0);
+    windows.back()[jd] = 1;
+    return (int64_t)(windows.size() - 1) * SLOTS + jd;
+  }
+};
+
+struct Chunk {
+  int32_t sel_col[SLOTS];          // -1 empty
+  uint8_t acl[LANES], acj[LANES];  // bitmask over colors a
+  int8_t depth[LANES];
+  uint64_t rows_pub[16];           // bitmask over 1024 local rows
+  // edge hash: key = col*128+jd -> color; colcolor hash: col -> mask
+  static constexpr int EH = 4096;  // power of two, >= 2*1024
+  int64_t eh_key[EH]; int8_t eh_val[EH];
+  static constexpr int CH = 2048;
+  int32_t ch_key[CH]; uint8_t ch_val[CH];
+  std::vector<Elem> elems;
+  std::vector<Pub> pubs;
+  std::vector<AuxPub> aux_pubs;
+  int64_t cold = 0;
+
+  void reset() {
+    std::memset(sel_col, -1, sizeof sel_col);
+    std::memset(acl, 0, sizeof acl);
+    std::memset(acj, 0, sizeof acj);
+    std::memset(depth, 0, sizeof depth);
+    std::memset(rows_pub, 0, sizeof rows_pub);
+    std::memset(eh_key, -1, sizeof eh_key);
+    std::memset(ch_key, -1, sizeof ch_key);
+    elems.clear(); pubs.clear(); aux_pubs.clear();
+    cold = 0;
+  }
+  bool row_published(int r) const {
+    return (rows_pub[r >> 6] >> (r & 63)) & 1;
+  }
+  void set_row_published(int r) { rows_pub[r >> 6] |= 1ull << (r & 63); }
+
+  int eh_find(int64_t key) const {
+    int h = (int)((key * 0x9E3779B97F4A7C15ull) >> 52) & (EH - 1);
+    while (eh_key[h] != -1) {
+      if (eh_key[h] == key) return eh_val[h];
+      h = (h + 1) & (EH - 1);
+    }
+    return -1;
+  }
+  void eh_insert(int64_t key, int a) {
+    int h = (int)((key * 0x9E3779B97F4A7C15ull) >> 52) & (EH - 1);
+    while (eh_key[h] != -1) {
+      if (eh_key[h] == key) { eh_val[h] = (int8_t)a; return; }
+      h = (h + 1) & (EH - 1);
+    }
+    eh_key[h] = key; eh_val[h] = (int8_t)a;
+  }
+  uint8_t ch_get(int32_t col) const {
+    int h = (int)((uint32_t)col * 2654435761u >> 21) & (CH - 1);
+    while (ch_key[h] != -1) {
+      if (ch_key[h] == col) return ch_val[h];
+      h = (h + 1) & (CH - 1);
+    }
+    return 0;
+  }
+  void ch_or(int32_t col, uint8_t bit) {
+    int h = (int)((uint32_t)col * 2654435761u >> 21) & (CH - 1);
+    while (ch_key[h] != -1) {
+      if (ch_key[h] == col) { ch_val[h] |= bit; return; }
+      h = (h + 1) & (CH - 1);
+    }
+    ch_key[h] = col; ch_val[h] = bit;
+  }
+
+  // tentative routing of one segment; returns #assigns or -1
+  int route_segment(const int32_t* cols, int len, int jd,
+                    int32_t* as_col, int8_t* as_a, uint8_t* as_new) {
+    if (depth[jd] + len > SUBS) return -1;
+    int n = 0;
+    uint8_t taken_j = 0;
+    for (int k = 0; k < len; ++k) {
+      int32_t c = cols[k];
+      int l = c & 127, s7 = (c >> 7) & 7;
+      int32_t have = sel_col[s7 * LANES + l];
+      if (have != -1 && have != c) return -1;
+      int64_t ekey = (int64_t)c * 128 + jd;
+      if (eh_find(ekey) >= 0) continue;
+      bool dup = false;                 // same col twice in segment?
+      for (int t = 0; t < n; ++t)
+        if (as_col[t] == c) { dup = true; break; }
+      if (dup) continue;
+      uint8_t colors = ch_get(c);
+      int a_found = -1;
+      uint8_t free_j = (uint8_t)~(acj[jd] | taken_j);
+      uint8_t reuse = colors & free_j;
+      uint8_t isnew = 0;
+      if (reuse) {
+        a_found = __builtin_ctz(reuse);
+      } else {
+        uint8_t avail = (uint8_t)(~acl[l]) & free_j;
+        if (!avail) return -1;
+        a_found = __builtin_ctz(avail);
+        isnew = 1;
+      }
+      taken_j |= (uint8_t)(1 << a_found);
+      as_col[n] = c; as_a[n] = (int8_t)a_found; as_new[n] = isnew;
+      ++n;
+    }
+    return n;
+  }
+
+  int commit(const int32_t* cols, const int32_t* idxs, int len, int jd,
+             const int32_t* as_col, const int8_t* as_a,
+             const uint8_t* as_new, int nas) {
+    cold = 0;
+    for (int t = 0; t < nas; ++t) {
+      int32_t c = as_col[t];
+      int l = c & 127;
+      int a = as_a[t];
+      eh_insert((int64_t)c * 128 + jd, a);
+      acj[jd] |= (uint8_t)(1 << a);
+      if (as_new[t]) {
+        acl[l] |= (uint8_t)(1 << a);
+        ch_or(c, (uint8_t)(1 << a));
+      }
+    }
+    int d0 = depth[jd];
+    for (int k = 0; k < len; ++k) {
+      int32_t c = cols[k];
+      sel_col[((c >> 7) & 7) * LANES + (c & 127)] = c;
+      elems.push_back({c, idxs[k], (int16_t)jd, (int8_t)(d0 + k),
+                       (int8_t)(k > 7 ? 7 : k)});
+    }
+    depth[jd] = (int8_t)(d0 + len);
+    return d0 + len - 1;
+  }
+};
+
+struct Out {
+  int32_t* tiles;            // max_chunks * 1024
+  int32_t* chunk_cell;
+  int32_t* chunk_auxwin;     // -1 direct, else aux window index
+  int32_t* chunk_group;      // shared val-tile group
+  int32_t* elem_chunk;       // per element: GROUP index (val tile)
+  int32_t* elem_scat;        // per element: d*128 + jd
+  int64_t max_chunks;
+  int64_t nch = 0, ngroup = 0;
+  bool overflow = false;
+
+  // returns tile pointer for a new chunk or nullptr on overflow
+  int32_t* add(int cell, int auxwin, int group) {
+    if (nch >= max_chunks) { overflow = true; return nullptr; }
+    chunk_cell[nch] = cell;
+    chunk_auxwin[nch] = auxwin;
+    chunk_group[nch] = group;
+    int32_t* t = tiles + nch * SLOTS;
+    std::memset(t, 0, SLOTS * sizeof(int32_t));
+    ++nch;
+    return t;
+  }
+};
+
+bool flush_chunk(Chunk& ck, int cell, Out& out,
+                 std::vector<AuxPub>* aux_pending) {
+  if (ck.elems.empty() && ck.pubs.empty() && ck.aux_pubs.empty())
+    return true;
+  int group = (int)out.ngroup++;
+  // base tile: gather/route/scatter fields (shared by all copies)
+  int32_t base[SLOTS];
+  std::memset(base, 0, sizeof base);
+  for (int h = 0; h < Chunk::EH; ++h) {
+    if (ck.eh_key[h] == -1) continue;
+    int64_t key = ck.eh_key[h];
+    int a = ck.eh_val[h];
+    int32_t c = (int32_t)(key >> 7);
+    int jd = (int)(key & 127);
+    int l = c & 127, s7 = (c >> 7) & 7;
+    base[s7 * LANES + l] |= (int32_t)((c >> 10) << B_OCT);
+    base[a * LANES + l] |= (int32_t)(s7 << B_S1);
+    base[a * LANES + jd] |= (int32_t)(l << B_LF);
+  }
+  for (const Elem& e : ck.elems) {
+    int64_t ekey = (int64_t)e.col * 128 + e.jd;
+    int a = ck.eh_find(ekey);
+    base[e.d * LANES + e.jd] |=
+        (int32_t)((a << B_SD2) | (e.dist << B_DIST));
+  }
+  // direct copy
+  if (!ck.pubs.empty() || ck.aux_pubs.empty()) {
+    int32_t* t = out.add(cell, -1, group);
+    if (!t) return false;
+    std::memcpy(t, base, sizeof base);
+    for (const Pub& p : ck.pubs)
+      t[p.slot] |= (int32_t)((p.pend << B_PEND) | (1 << B_VA));
+  }
+  // aux copies, one per distinct window
+  if (!ck.aux_pubs.empty()) {
+    std::vector<std::pair<int64_t, const AuxPub*>> bywin;
+    for (const AuxPub& p : ck.aux_pubs)
+      bywin.push_back({p.abs_slot / SLOTS, &p});
+    std::sort(bywin.begin(), bywin.end(),
+              [](auto& a, auto& b) { return a.first < b.first; });
+    size_t i = 0;
+    while (i < bywin.size()) {
+      int64_t w = bywin[i].first;
+      int32_t* t = out.add(cell, (int32_t)w, group);
+      if (!t) return false;
+      std::memcpy(t, base, sizeof base);
+      for (; i < bywin.size() && bywin[i].first == w; ++i) {
+        const AuxPub* p = bywin[i].second;
+        int local = (int)(p->abs_slot - w * SLOTS);
+        t[local] |= (int32_t)((p->pend << B_PEND) | (1 << B_VA));
+      }
+    }
+  }
+  // element group/scatter maps
+  for (const Elem& e : ck.elems) {
+    out.elem_chunk[e.idx] = group;
+    out.elem_scat[e.idx] = e.d * LANES + e.jd;
+  }
+  if (aux_pending)
+    for (AuxPub p : ck.aux_pubs) {
+      p.cell = cell;
+      aux_pending->push_back(p);
+    }
+  return true;
+}
+
+}  // namespace
+
+extern "C" int64_t spblas_route2_pack(
+    int64_t ne, int64_t ncells, const int64_t* cell_start,
+    const int32_t* lrow, const int32_t* lcol, int64_t max_chunks,
+    int64_t aux_windows_in, int32_t spill_only,
+    int32_t* tiles, int32_t* chunk_cell, int32_t* chunk_auxwin,
+    int32_t* chunk_group, int32_t* elem_chunk, int32_t* elem_scat,
+    int64_t* aux_info,            // out: [0]=n_pending [1]=n_windows
+    int64_t* aux_slot,            // out per pending: absolute slot
+    int32_t* aux_lrow,            // out per pending: local row
+    int32_t* aux_cell) {          // out per pending: cell index
+  Out out{tiles, chunk_cell, chunk_auxwin, chunk_group, elem_chunk,
+          elem_scat, max_chunks};
+  AuxAlloc aux;
+  for (int64_t w = 0; w < aux_windows_in; ++w) {
+    aux.windows.emplace_back();
+    aux.windows.back().fill(SUBS);   // prior levels' windows are closed
+  }
+  std::vector<AuxPub> pending;
+
+  std::vector<Chunk> pool_store(MAX_OPEN + 1);
+  for (auto& c : pool_store) c.reset();
+
+  std::vector<int> seg_start, seg_len, seg_row, seg_order;
+  for (int64_t cell = 0; cell < ncells; ++cell) {
+    int64_t a0 = cell_start[cell], a1 = cell_start[cell + 1];
+    if (a0 >= a1) continue;
+    // --- segment formation (<=8 per row run, distinct mod-1024) ---
+    seg_start.clear(); seg_len.clear(); seg_row.clear();
+    {
+      int64_t i = a0;
+      while (i < a1) {
+        int32_t row = lrow[i];
+        int64_t j = i;
+        uint32_t seen_cls[8];     // tiny ring of (cls, col) pairs
+        int32_t seen_col[8];
+        int ns = 0;
+        while (j < a1 && lrow[j] == row && j - i < SUBS) {
+          uint32_t cls = (uint32_t)(lcol[j] & (SLOTS - 1));
+          bool clash = false;
+          for (int t = 0; t < ns; ++t)
+            if (seen_cls[t] == cls && seen_col[t] != lcol[j]) {
+              clash = true; break;
+            }
+          if (clash) break;
+          seen_cls[ns] = cls; seen_col[ns] = lcol[j]; ++ns;
+          ++j;
+        }
+        seg_start.push_back((int)(i - a0));
+        seg_len.push_back((int)(j - i));
+        seg_row.push_back(row);
+        i = j;
+      }
+    }
+    int nseg = (int)seg_start.size();
+    seg_order.resize(nseg);
+    for (int s = 0; s < nseg; ++s) seg_order[s] = s;
+    std::stable_sort(seg_order.begin(), seg_order.end(),
+                     [&](int x, int y) {
+                       return seg_len[x] > seg_len[y];
+                     });
+
+    std::vector<int> open;          // indices into pool_store
+    std::vector<int> freelist;
+    for (int i2 = 0; i2 <= MAX_OPEN; ++i2) freelist.push_back(i2);
+
+    int32_t segc[SUBS]; int32_t segi[SUBS];
+    int32_t as_col[SUBS]; int8_t as_a[SUBS]; uint8_t as_new[SUBS];
+
+    auto flush_at = [&](int pos) -> bool {
+      int id = open[pos];
+      bool ok = flush_chunk(pool_store[id], (int)cell, out, &pending);
+      pool_store[id].reset();
+      freelist.push_back(id);
+      open.erase(open.begin() + pos);
+      return ok;
+    };
+
+    for (int oi = 0; oi < nseg; ++oi) {
+      int s = seg_order[oi];
+      int len = seg_len[s];
+      int row = seg_row[s];
+      for (int k = 0; k < len; ++k) {
+        segc[k] = lcol[a0 + seg_start[s] + k];
+        segi[k] = (int32_t)(a0 + seg_start[s] + k);
+      }
+      int jd = row & 127;
+      bool placed = false;
+      if (!spill_only) {
+        for (size_t p = 0; p < open.size(); ++p) {
+          Chunk& ck = pool_store[open[p]];
+          if (ck.row_published(row)) { ck.cold++; continue; }
+          int nas = ck.route_segment(segc, len, jd, as_col, as_a,
+                                     as_new);
+          if (nas >= 0) {
+            int pend = ck.commit(segc, segi, len, jd, as_col, as_a,
+                                 as_new, nas);
+            ck.pubs.push_back({row, (int16_t)jd, (int16_t)pend});
+            ck.set_row_published(row);
+            placed = true;
+            break;
+          }
+          ck.cold++;
+        }
+      }
+      if (!placed && (int)open.size() >= MAX_OPEN) {
+        // aux relief: lane-matched slot at the emptiest lanes
+        for (size_t p = 0; p < open.size() && !placed; ++p) {
+          Chunk& ck = pool_store[open[p]];
+          // try 16 emptiest lanes
+          int lanes[LANES];
+          for (int l2 = 0; l2 < LANES; ++l2) lanes[l2] = l2;
+          std::partial_sort(lanes, lanes + 16, lanes + LANES,
+                            [&](int x, int y) {
+                              return ck.depth[x] < ck.depth[y];
+                            });
+          for (int t = 0; t < 16; ++t) {
+            int jd2 = lanes[t];
+            int nas = ck.route_segment(segc, len, jd2, as_col, as_a,
+                                       as_new);
+            if (nas >= 0) {
+              int pend = ck.commit(segc, segi, len, jd2, as_col,
+                                   as_a, as_new, nas);
+              int64_t slot = aux.alloc(jd2);
+              ck.aux_pubs.push_back({slot, (int16_t)jd2,
+                                     (int16_t)pend, row, 0});
+              placed = true;
+              break;
+            }
+          }
+        }
+      }
+      if (!placed) {
+        if ((int)open.size() >= MAX_OPEN) {
+          // evict coldest
+          size_t coldest = 0;
+          for (size_t p = 1; p < open.size(); ++p)
+            if (pool_store[open[p]].cold >
+                pool_store[open[coldest]].cold)
+              coldest = p;
+          if (!flush_at((int)coldest)) return out.overflow ? -1 : -2;
+        }
+        int id = freelist.back(); freelist.pop_back();
+        Chunk& ck = pool_store[id];
+        open.push_back(id);
+        if (spill_only) {
+          int nas = ck.route_segment(segc, len, jd, as_col, as_a,
+                                     as_new);
+          if (nas < 0) return -2;
+          int pend = ck.commit(segc, segi, len, jd, as_col, as_a,
+                               as_new, nas);
+          int64_t slot = aux.alloc(jd);
+          ck.aux_pubs.push_back({slot, (int16_t)jd, (int16_t)pend,
+                                 row, 0});
+        } else {
+          int nas = ck.route_segment(segc, len, jd, as_col, as_a,
+                                     as_new);
+          if (nas < 0) return -2;
+          int pend = ck.commit(segc, segi, len, jd, as_col, as_a,
+                               as_new, nas);
+          ck.pubs.push_back({row, (int16_t)jd, (int16_t)pend});
+          ck.set_row_published(row);
+        }
+      }
+      // retire saturated
+      for (int p = (int)open.size() - 1; p >= 0; --p)
+        if ((int)pool_store[open[p]].elems.size() >= SLOTS - 8)
+          if (!flush_at(p)) return out.overflow ? -1 : -2;
+    }
+    for (int p = (int)open.size() - 1; p >= 0; --p)
+      if (!flush_at(p)) return out.overflow ? -1 : -2;
+  }
+  if (out.overflow) return -1;
+  aux_info[0] = (int64_t)pending.size();
+  aux_info[1] = (int64_t)aux.windows.size();
+  for (size_t i = 0; i < pending.size(); ++i) {
+    aux_slot[i] = pending[i].abs_slot;
+    aux_lrow[i] = pending[i].lrow;
+    aux_cell[i] = pending[i].cell;
+  }
+  return out.nch;
+}
