@@ -142,28 +142,29 @@ def section_headline_xla(m=409_600, half_bw=50, iters=300):
     return {"nnz_s": nnz / sec, "nnz": nnz, "path": "xla_dia"}
 
 
-def section_spmv_general_route(m=100_000, deg=10, iters=50):
-    """Unstructured uniform-random SpMV through the ROUTE Pallas plan
-    (the round-2 kernel; VERDICT item 1)."""
+def section_spmv_general_route(m=1_000_000, deg=10, iters=100):
+    """Unstructured uniform-random SpMV through the ROUTE2 Pallas plan
+    (the round-2 kernel, rev 2; VERDICT item 1)."""
     import numpy as np
     import jax, jax.numpy as jnp
-    from spblas_tpu.kernels.route_plan import build_route_plan
-    from spblas_tpu.kernels.route_spmv import route_spmv
+    from spblas_tpu.kernels.route2 import build_route2_plan
+    from spblas_tpu.kernels.route2_kernel import route2_spmv
     from spblas_tpu.utils.generate import generate_csr
 
     nnz = m * deg
     a = generate_csr(m, m, nnz, seed=3)
-    plan = build_route_plan(np.asarray(a.rowptr), np.asarray(a.colind),
-                            np.asarray(a.values), (m, m), int(a.nnz))
+    plan = build_route2_plan(np.asarray(a.rowptr), np.asarray(a.colind),
+                             np.asarray(a.values), (m, m), int(a.nnz))
 
     def step(plan, x):
-        y = route_spmv(plan, x)
+        y = route2_spmv(plan, x)
         return y * jax.lax.rsqrt(jnp.sum(y * y) / m + 1e-9)
 
     sec = _time_chained(step, plan,
                         jnp.ones((m,), jnp.float32), iters=iters)
     return {"nnz_s": int(a.nnz) / sec, "nnz": int(a.nnz),
-            "fill": plan.fill, "chunks": plan.nchunks, "path": "route"}
+            "fill": plan.fill, "chunks": plan.nchunks,
+            "path": "route2"}
 
 
 def section_spmv_general_xla(m=20_000, deg=10, iters=10):
@@ -256,26 +257,26 @@ def section_spmm_banded(m=409_600, half_bw=50, k=256, iters=20):
 
 
 def section_spmv_rmat(m=131_072, deg=16, iters=50):
-    """Power-law (RMAT) pattern through the ROUTE plan — the
+    """Power-law (RMAT) pattern through the ROUTE2 plan — the
     SuiteSparse-class skewed-degree case."""
     import numpy as np
     import jax, jax.numpy as jnp
-    from spblas_tpu.kernels.route_plan import build_route_plan
-    from spblas_tpu.kernels.route_spmv import route_spmv
+    from spblas_tpu.kernels.route2 import build_route2_plan
+    from spblas_tpu.kernels.route2_kernel import route2_spmv
     from spblas_tpu.utils.generate import generate_rmat_csr
 
     a = generate_rmat_csr(m, m * deg, seed=5)
-    plan = build_route_plan(np.asarray(a.rowptr), np.asarray(a.colind),
-                            np.asarray(a.values), a.shape, int(a.nnz))
+    plan = build_route2_plan(np.asarray(a.rowptr), np.asarray(a.colind),
+                             np.asarray(a.values), a.shape, int(a.nnz))
 
     def step(plan, x):
-        y = route_spmv(plan, x)
+        y = route2_spmv(plan, x)
         return y * jax.lax.rsqrt(jnp.sum(y * y) / m + 1e-9)
 
     sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
                         iters=iters)
     return {"nnz_s": int(a.nnz) / sec, "nnz": int(a.nnz),
-            "fill": plan.fill, "path": "route"}
+            "fill": plan.fill, "path": "route2"}
 
 
 SECTIONS = {

@@ -10,7 +10,7 @@ but the difference between roofline and uselessness):
   banded, on TPU          → banded-panel MXU plan (dense 128-row windows)
   banded, elsewhere       → DIA shift-mul-accumulate (zero index traffic)
   general, on TPU         → ROUTE chunked in-register-gather plan
-                            (kernels/route_plan.py, round 2)
+                            (kernels/route2.py, round 2)
   general, elsewhere      → ELL/SELL padded-row plan
 
 Measured thresholds (PERF_NOTES.md): permuted-band pays two keyed
@@ -115,17 +115,19 @@ def build_matvec_plan(a) -> Tuple[str, object]:
 
 
 def _try_route(a):
-    """ROUTE plan for general sparsity when x and y fit VMEM residency
-    (kernels/route_plan.py; the round-2 unstructured-CSR path)."""
+    """ROUTE2 plan for general sparsity when x and y fit VMEM residency
+    (kernels/route2.py; one lane-gather per chunk — the round-2
+    unstructured-CSR path, rev 2)."""
     import numpy as np
-    from spblas_tpu.kernels.route_plan import build_route_plan
+    from spblas_tpu.kernels.route2 import build_route2_plan
 
     m, n = a.shape
     rows = -(-n // 128) + -(-m // 128)
     if rows > _ROUTE_VMEM_ROWS:
         return None
-    return build_route_plan(np.asarray(a.rowptr), np.asarray(a.colind),
-                            np.asarray(a.values), (m, n), int(a.nnz))
+    return build_route2_plan(np.asarray(a.rowptr),
+                             np.asarray(a.colind),
+                             np.asarray(a.values), (m, n), int(a.nnz))
 
 
 def _try_bsr(a):
@@ -175,8 +177,8 @@ def plan_spmv(plan: Tuple[str, object], x: jax.Array) -> jax.Array:
         xp = jnp.pad(x, (0, bsr.shape[1] - n))
         return bsr_spmv(bsr, xp)[:m]
     if kind == "route":
-        from spblas_tpu.kernels.route_spmv import route_spmv
-        return route_spmv(p, x)
+        from spblas_tpu.kernels.route2_kernel import route2_spmv
+        return route2_spmv(p, x)
     if kind == "dia":
         return dia_spmv(p, x)
     return ell_spmv(p, x)
@@ -217,8 +219,8 @@ def plan_spmm(plan: Tuple[str, object], b: jax.Array) -> jax.Array:
         # interim: column-at-a-time through the SpMV kernel (a fused
         # ROUTE SpMM kernel is the planned upgrade; correctness first)
         import jax.numpy as jnp
-        from spblas_tpu.kernels.route_spmv import route_spmv
-        cols = jax.lax.map(lambda col: route_spmv(p, col), b.T)
+        from spblas_tpu.kernels.route2_kernel import route2_spmv
+        cols = jax.lax.map(lambda col: route2_spmv(p, col), b.T)
         return jnp.transpose(cols)
     if kind == "dia":
         return dia_spmm(p, b)
