@@ -704,6 +704,520 @@ class _Chunk:
 
 
 # ------------------------------------------------------------------ #
+# ROUTE2-mul: fused SpGEMM numeric (dual gather chains)
+# ------------------------------------------------------------------ #
+#
+# c[slot] += A_arr[sa] * B_arr[sb] over the slot-sorted expansion
+# stream (rocSPARSE reuse contract, vendor/rocsparse/
+# multiply_spgemm.hpp:178-214).  Each chunk runs TWO gather chains —
+# the B chain in tile1 (plus the shared scatter/reduce/publish
+# fields), the A chain in tile2 — both landing at the same scatter
+# slots, multiplied there, then reduced/published exactly like SpMV.
+# No val tile: values come fresh from the A/B panes every call, so
+# value updates are free.
+#
+# tile2 bits: oct_a [0:5) at (s7a, la) | s1_a [5:8) at (aA, la)
+#             lf_a [8:15) at (aA, jd)  | sd2_a [15:18) at (d, jd)
+
+B2_OCT, B2_S1, B2_LF, B2_SD2 = 0, 5, 8, 15
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Route2MulPlan:
+    """Device-resident fused SpGEMM numeric plan."""
+
+    tile1: jax.Array        # (nchunks, 8, 128) int32  B chain + common
+    tile2: jax.Array        # (nchunks, 8, 128) int32  A chain
+    a_base: jax.Array       # (nchunks,) int32  A slab offset
+    b_base: jax.Array       # (nchunks,) int32  B (or out) slab offset
+    src_flag: jax.Array     # (nchunks,) int32  0: B pane, 1: out pane
+    y_base: jax.Array       # (nchunks,) int32  out window offset
+    g_a: int = dataclasses.field(metadata=dict(static=True))
+    g_b: int = dataclasses.field(metadata=dict(static=True))
+    a_rows: int = dataclasses.field(metadata=dict(static=True))
+    b_rows: int = dataclasses.field(metadata=dict(static=True))
+    y_rows: int = dataclasses.field(metadata=dict(static=True))
+    aux_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_aux_chunks: int = dataclasses.field(metadata=dict(static=True))
+    capacity: int = dataclasses.field(metadata=dict(static=True))
+    fill: float = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nchunks(self) -> int:
+        return int(self.tile1.shape[0])
+
+    @property
+    def pane_rows(self) -> int:
+        return self.y_rows + self.aux_rows
+
+
+class _GatherSide:
+    """Gather-chain state of one chunk for one operand pane."""
+
+    __slots__ = ("sel", "acl", "acj", "col_colors", "edge_color")
+
+    def __init__(self):
+        self.sel = {}
+        self.acl = np.zeros((SUBS, LANES), bool)
+        self.acj = np.zeros((SUBS, LANES), bool)
+        self.col_colors = {}
+        self.edge_color = {}
+
+    def route(self, lcs, jd, taken_j0=0):
+        """Tentative routing; returns (assigns, taken_j) or None."""
+        assigns = []
+        taken_j = taken_j0
+        for c in lcs:
+            c = int(c)
+            l = c & 127
+            s7 = (c >> 7) & 7
+            have = self.sel.get((s7, l))
+            if have is not None and have != c:
+                return None
+            if (c, jd) in self.edge_color:
+                continue
+            if any(a_[0] == c for a_ in assigns):
+                continue
+            a_found = -1
+            for a in self.col_colors.get(c, ()):
+                if not self.acj[a, jd] and not (taken_j >> a) & 1:
+                    a_found = a
+                    break
+            new_color = a_found < 0
+            if new_color:
+                for a in range(SUBS):
+                    if (not self.acl[a, l] and not self.acj[a, jd]
+                            and not (taken_j >> a) & 1):
+                        a_found = a
+                        break
+                if a_found < 0:
+                    return None
+            taken_j |= 1 << a_found
+            assigns.append((c, a_found, new_color))
+        return assigns, taken_j
+
+    def commit(self, lcs, jd, assigns):
+        for (c, a, new_color) in assigns:
+            l = c & 127
+            self.edge_color[(c, jd)] = a
+            self.acj[a, jd] = True
+            if new_color:
+                self.acl[a, l] = True
+                self.col_colors.setdefault(c, []).append(a)
+        for c in lcs:
+            c = int(c)
+            self.sel[((c >> 7) & 7, c & 127)] = c
+
+    def emit_into(self, tile, b_oct, b_s1, b_lf, b_sd2, elems,
+                  which):
+        for (c, jd), a in self.edge_color.items():
+            l = c & 127
+            s7 = (c >> 7) & 7
+            tile[s7, l] |= ((c >> 10) << b_oct)
+            tile[a, l] |= (s7 << b_s1)
+            tile[a, jd] |= (l << b_lf)
+        for e in elems:
+            (ca, cb, jd, d, dist) = e
+            c = ca if which == 0 else cb
+            a = self.edge_color[(c, jd)]
+            tile[d, jd] |= (a << b_sd2)
+
+
+class _MulChunk:
+    """One chunk with two gather chains (A and B)."""
+
+    def __init__(self):
+        self.A = _GatherSide()
+        self.B = _GatherSide()
+        self.depth = np.zeros(LANES, np.int64)
+        self.elems = []          # (ca, cb, jd, d, dist)
+        self.pubs = []           # (slot_local, jd, pend)
+        self.aux_pubs = []       # (aux_base, rel_slot, jd, pend)
+        self.slots_published = set()
+        self.cold = 0
+        self._probe = None
+
+    @property
+    def n_elems(self):
+        return len(self.elems)
+
+    def _route(self, cas, cbs, jd):
+        if self.depth[jd] + len(cas) > SUBS:
+            return None
+        ra = self.A.route(cas, jd)
+        if ra is None:
+            return None
+        rb = self.B.route(cbs, jd)
+        if rb is None:
+            return None
+        return ra[0], rb[0]
+
+    def try_place(self, cas, cbs, slot_local):
+        jd = int(slot_local) & 127
+        r = self._route(cas, cbs, jd)
+        if r is None:
+            return False
+        self._probe = (jd, int(slot_local), r)
+        return True
+
+    def try_place_aux(self, cas, cbs):
+        order = np.argsort(self.depth)
+        for jd in order[:16]:
+            jd = int(jd)
+            r = self._route(cas, cbs, jd)
+            if r is not None:
+                self._probe = (jd, None, r)
+                return True
+        return False
+
+    def _commit_common(self, cas, cbs, jd, r):
+        self.cold = 0
+        asa, asb = r
+        self.A.commit(cas, jd, asa)
+        self.B.commit(cbs, jd, asb)
+        d0 = int(self.depth[jd])
+        for k in range(len(cas)):
+            self.elems.append((int(cas[k]), int(cbs[k]), jd, d0 + k,
+                               min(k, 7)))
+        self.depth[jd] += len(cas)
+        return d0 + len(cas) - 1
+
+    def commit(self, cas, cbs):
+        jd, slot, r = self._probe
+        pend = self._commit_common(cas, cbs, jd, r)
+        self.pubs.append((slot, jd, pend))
+        self.slots_published.add(slot)
+
+    def commit_aux(self, cas, cbs, rel_slot, aux_base):
+        jd, _, r = self._probe
+        pend = self._commit_common(cas, cbs, jd, r)
+        self.aux_pubs.append((aux_base, rel_slot, jd, pend))
+
+    def emit(self, yb):
+        t1 = np.zeros((SUBS, LANES), np.int64)
+        t2 = np.zeros((SUBS, LANES), np.int64)
+        self.B.emit_into(t1, B_OCT, B_S1, B_LF, B_SD2, self.elems, 1)
+        self.A.emit_into(t2, B2_OCT, B2_S1, B2_LF, B2_SD2, self.elems,
+                         0)
+        for (_, _, jd, d, dist) in self.elems:
+            t1[d, jd] |= (dist << B_DIST)
+        out = []
+        if self.pubs or not self.aux_pubs:
+            out.append((yb, self.pubs))
+        merged = {}
+        for (aux_base, rel, jd, pend) in self.aux_pubs:
+            win = rel // SLOTS
+            merged.setdefault(aux_base + win * SUBS, []).append(
+                (rel - win * SLOTS, jd, pend))
+        out.extend(merged.items())
+        results = []
+        for base, pubs in out:
+            tt = t1.copy()
+            for (slot, jd, pend) in pubs:
+                tt[slot // LANES, slot % LANES] |= \
+                    (pend << B_PEND) | (1 << B_VA)
+            results.append((tt.astype(np.int32), t2.astype(np.int32),
+                            base))
+        return results
+
+
+def build_route2_mul_plan(slots, src_a, src_b, a_len: int, b_len: int,
+                          capacity: int) -> Route2MulPlan:
+    """Build the fused numeric plan from the slot-sorted (valid-only)
+    expansion stream.  a_len/b_len size the A/B panes (A has the
+    constant-1 slot appended at index a_len-1 by the caller)."""
+    slots = np.asarray(slots, np.int64)
+    src_a = np.asarray(src_a, np.int64)
+    src_b = np.asarray(src_b, np.int64)
+
+    def pick_g(length, count):
+        want = max(1, (2 * length) // max(count, 1) // SLOTS + 1)
+        g = 1
+        while g < want and g < 32:
+            g *= 2
+        while g * SLOTS < length and g < 32:
+            g *= 2
+        return g
+
+    g_a = pick_g(a_len, 1)      # A is CSR-local per stripe: cover it
+    g_a = 1
+    while g_a * SLOTS < a_len and g_a < 32:
+        g_a *= 2
+    g_b = 1
+    while g_b * SLOTS < b_len and g_b < 32:
+        g_b *= 2
+    win_a = g_a * SLOTS
+    win_b = g_b * SLOTS
+
+    y_rows = -(-max(capacity, 1) // ROW_WINDOW) * SUBS
+    stripe = slots // ROW_WINDOW
+    ka = src_a // win_a
+    kb = src_b // win_b
+    order = np.lexsort((slots, ka, kb, stripe))
+    slots, src_a, src_b = slots[order], src_a[order], src_b[order]
+    cell_key = ((stripe[order] * (int(ka.max()) + 2 if len(ka) else 1)
+                 + ka[order]) * (int(kb.max()) + 2 if len(kb) else 1)
+                + kb[order])
+
+    state = _MulBuildState(max(g_a, g_b), y_rows)
+    if len(slots):
+        bounds = np.flatnonzero(np.diff(cell_key)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(slots)]])
+        for s0, s1 in zip(starts, ends):
+            _pack_mul_cell(slots[s0:s1], src_a[s0:s1], src_b[s0:s1],
+                           win_a, win_b, state)
+
+    # aux levels: single-gather reduction chunks reading the out pane;
+    # the A chain reads the constant-1 slot (index a_len-1)
+    n_aux_chunks = 0
+    level = 0
+    while state.aux_pending and level < 8:
+        level += 1
+        aux = state.aux_pending
+        state.aux_pending = []
+        a_slots = np.array([s for s, _ in aux], np.int64)
+        tgts = np.array([t for _, t in aux], np.int64)
+        order2 = np.lexsort((a_slots, tgts))
+        first = len(state.t1)
+        # out-pane slots play the B-column role; windows sized win_b
+        for s0, s1 in _cell_ranges(tgts[order2], a_slots[order2],
+                                   win_b):
+            _pack_mul_cell(tgts[order2][s0:s1],
+                           np.full(s1 - s0, a_len - 1, np.int64),
+                           a_slots[order2][s0:s1],
+                           win_a, win_b, state, src_flag=1)
+        n_aux_chunks += len(state.t1) - first
+    assert not state.aux_pending, "route2-mul aux runaway"
+
+    if not state.t1:
+        state.append_empty()
+
+    # align the flag transition to CB groups
+    flags_arr = np.array(state.flags)
+    trans = np.flatnonzero(flags_arr == 1)
+    if len(trans):
+        t0 = int(trans[0])
+        for _ in range((-t0) % 8):
+            state.t1.insert(t0, np.zeros((SUBS, LANES), np.int32))
+            state.t2.insert(t0, np.zeros((SUBS, LANES), np.int32))
+            state.ab.insert(t0, 0)
+            state.bb.insert(t0, 0)
+            state.yb.insert(t0, 0)
+            state.flags.insert(t0, 0)
+
+    nchunks = len(state.t1)
+    a_rows = -(-max(a_len, 1) // LANES)
+    a_rows = -(-a_rows // (SUBS * g_a)) * (SUBS * g_a)
+    b_rows = -(-max(b_len, 1) // LANES)
+    b_rows = -(-b_rows // (SUBS * g_b)) * (SUBS * g_b)
+    return Route2MulPlan(
+        tile1=jnp.asarray(np.stack(state.t1)),
+        tile2=jnp.asarray(np.stack(state.t2)),
+        a_base=jnp.asarray(np.array(state.ab, np.int32)),
+        b_base=jnp.asarray(np.array(state.bb, np.int32)),
+        src_flag=jnp.asarray(np.array(state.flags, np.int32)),
+        y_base=jnp.asarray(np.array(state.yb, np.int32)),
+        g_a=g_a, g_b=g_b, a_rows=a_rows, b_rows=b_rows, y_rows=y_rows,
+        aux_rows=(len(state.aux_windows) * SUBS + SUBS * max(g_a, g_b)
+                  if state.aux_windows else 0),
+        n_aux_chunks=n_aux_chunks, capacity=capacity,
+        fill=len(slots) / max(nchunks * SLOTS, 1))
+
+
+def _cell_ranges(primary, secondary, win):
+    key = primary // ROW_WINDOW * (int(secondary.max()) // win + 2
+                                   if len(secondary) else 1) \
+        + secondary // win
+    bounds = np.flatnonzero(np.diff(key)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(primary)]])
+    return zip(starts, ends)
+
+
+class _MulBuildState:
+    def __init__(self, g, y_rows):
+        self.g = g
+        self.y_rows = y_rows
+        self.t1, self.t2 = [], []
+        self.ab, self.bb, self.yb = [], [], []
+        self.flags = []
+        self.aux_windows = []
+        self.aux_base = 0
+        self.aux_pending = []
+
+    def alloc_aux_slot(self, jd: int) -> int:
+        if self.aux_base == 0:
+            self.aux_base = self.y_rows
+        for w, depths in enumerate(self.aux_windows):
+            if depths[jd] < SUBS:
+                d = int(depths[jd])
+                depths[jd] += 1
+                return (self.aux_base * LANES + w * SLOTS
+                        + d * LANES + jd)
+        self.aux_windows.append(np.zeros(LANES, np.int64))
+        self.aux_windows[-1][jd] = 1
+        return (self.aux_base * LANES
+                + (len(self.aux_windows) - 1) * SLOTS + jd)
+
+    def append_empty(self):
+        self.t1.append(np.zeros((SUBS, LANES), np.int32))
+        self.t2.append(np.zeros((SUBS, LANES), np.int32))
+        self.ab.append(0)
+        self.bb.append(0)
+        self.yb.append(0)
+        self.flags.append(0)
+
+
+def _pack_mul_cell(slots, sa, sb, win_a, win_b, state: _MulBuildState,
+                   src_flag: int = 0):
+    ab = int((sa[0] // win_a) * (win_a // LANES))
+    bb = int((sb[0] // win_b) * (win_b // LANES))
+    yb = int((slots[0] // ROW_WINDOW) * (ROW_WINDOW // LANES))
+    ls = (slots % ROW_WINDOW).astype(np.int64)
+    la = (sa % win_a).astype(np.int64)
+    lb = (sb % win_b).astype(np.int64)
+
+    n = len(ls)
+    # segments: runs of one slot, <=8, distinct-mod-1024 on both sides
+    seg_start_l, seg_end_l = [], []
+    i0 = 0
+    while i0 < n:
+        s0 = ls[i0]
+        seen_a, seen_b = {}, {}
+        j = i0
+        while j < n and ls[j] == s0 and j - i0 < SUBS:
+            ka_ = int(la[j]) & (SLOTS - 1)
+            kb_ = int(lb[j]) & (SLOTS - 1)
+            pa = seen_a.get(ka_)
+            pb = seen_b.get(kb_)
+            if (pa is not None and pa != int(la[j])) or \
+               (pb is not None and pb != int(lb[j])):
+                break
+            seen_a[ka_] = int(la[j])
+            seen_b[kb_] = int(lb[j])
+            j += 1
+        seg_start_l.append(i0)
+        seg_end_l.append(j)
+        i0 = j
+    seg_start = np.array(seg_start_l, np.int64)
+    seg_end = np.array(seg_end_l, np.int64)
+    seg_slot = ls[seg_start]
+    ffd = np.argsort(seg_start - seg_end, kind="stable")
+
+    def flush(ck):
+        for (t1, t2, base) in ck.emit(yb):
+            state.t1.append(t1)
+            state.t2.append(t2)
+            state.ab.append(ab)
+            state.bb.append(bb)
+            state.yb.append(base)
+            state.flags.append(src_flag)
+
+    def place_aux(ck, idx, slot_l):
+        jd = ck._probe[0]
+        abs_slot = state.alloc_aux_slot(jd)
+        rel = abs_slot - state.aux_base * LANES
+        ck.commit_aux(la[idx], lb[idx], rel, state.aux_base)
+        state.aux_pending.append((abs_slot, yb * LANES + slot_l))
+
+    open_chunks: List[_MulChunk] = []
+    for s_ in ffd:
+        slot_l = int(seg_slot[s_])
+        idx = np.arange(seg_start[s_], seg_end[s_])
+        placed = False
+        for ck in open_chunks:
+            if (slot_l not in ck.slots_published
+                    and ck.try_place(la[idx], lb[idx], slot_l)):
+                ck.commit(la[idx], lb[idx])
+                placed = True
+                break
+            ck.cold += 1
+        if not placed and len(open_chunks) >= 24:
+            for ck in open_chunks:
+                if ck.try_place_aux(la[idx], lb[idx]):
+                    place_aux(ck, idx, slot_l)
+                    placed = True
+                    break
+        if not placed:
+            if len(open_chunks) >= 24:
+                coldest = max(range(len(open_chunks)),
+                              key=lambda i2: open_chunks[i2].cold)
+                flush(open_chunks.pop(coldest))
+            ck = _MulChunk()
+            open_chunks.append(ck)
+            assert ck.try_place(la[idx], lb[idx], slot_l)
+            ck.commit(la[idx], lb[idx])
+        keep = []
+        for c2 in open_chunks:
+            if c2.n_elems >= SLOTS - 8:
+                flush(c2)
+            else:
+                keep.append(c2)
+        open_chunks = keep
+    for ck in open_chunks:
+        if ck.n_elems:
+            flush(ck)
+
+
+def route2_mul_numpy(plan: Route2MulPlan, a_arr, b_arr) -> np.ndarray:
+    """Exact numpy mirror of the route2_mul kernel."""
+    A = np.zeros((plan.a_rows, LANES), np.float32)
+    A.reshape(-1)[: len(a_arr)] = np.asarray(a_arr, np.float32)
+    B = np.zeros((plan.b_rows, LANES), np.float32)
+    B.reshape(-1)[: len(b_arr)] = np.asarray(b_arr, np.float32)
+    O = np.zeros((plan.pane_rows, LANES), np.float32)
+    t1s = np.asarray(plan.tile1)
+    t2s = np.asarray(plan.tile2)
+    abs_ = np.asarray(plan.a_base)
+    bbs = np.asarray(plan.b_base)
+    ybs = np.asarray(plan.y_base)
+    fls = np.asarray(plan.src_flag)
+    jj = np.broadcast_to(np.arange(LANES)[None, :], (SUBS, LANES))
+    ii = np.broadcast_to(np.arange(SUBS)[:, None], (SUBS, LANES))
+
+    def chain(t, slab, g, b_oct, b_s1, b_lf, b_sd2):
+        oct_ = (t >> b_oct) & (MAX_G - 1)
+        sel = np.zeros((SUBS, LANES), np.float32)
+        for gg in range(g):
+            sel = np.where(oct_ == gg, slab[gg * SUBS:(gg + 1) * SUBS],
+                           sel)
+        u = sel[(t >> b_s1) & 7, jj]
+        u = u[ii, (t >> b_lf) & 127]
+        return u[(t >> b_sd2) & 7, jj]
+
+    def slab_of(pane, base, g):
+        s = np.zeros((SUBS * g, LANES), np.float32)
+        avail = min(SUBS * g, pane.shape[0] - base)
+        if avail > 0:
+            s[:avail] = pane[base:base + avail]
+        return s
+
+    for k in range(plan.nchunks):
+        t1 = t1s[k].astype(np.int64)
+        t2 = t2s[k].astype(np.int64)
+        paneB = B if fls[k] == 0 else O
+        tA = chain(t2, slab_of(A, int(abs_[k]), plan.g_a), plan.g_a,
+                   B2_OCT, B2_S1, B2_LF, B2_SD2)
+        tB = chain(t1, slab_of(paneB, int(bbs[k]), plan.g_b), plan.g_b,
+                   B_OCT, B_S1, B_LF, B_SD2)
+        c = tA * tB
+        dist = (t1 >> B_DIST) & 7
+        P = c.copy()
+        for d in (1, 2, 4):
+            sh = np.roll(P, d, axis=0)
+            sh[:d] = 0
+            P = P + np.where(dist >= d, sh, 0.0)
+        pend = (t1 >> B_PEND) & 7
+        vA = (t1 >> B_VA) & 1
+        RS = P[pend, jj] * vA
+        yb = int(ybs[k])
+        O[yb:yb + SUBS] += RS
+    return O.reshape(-1)[: plan.capacity]
+
+
+# ------------------------------------------------------------------ #
 # numpy simulator (kernel-semantics oracle)
 # ------------------------------------------------------------------ #
 

@@ -25,9 +25,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spblas_tpu.kernels.route2 import (B_DIST, B_LF, B_OCT, B_PEND,
+from spblas_tpu.kernels.route2 import (B2_LF, B2_OCT, B2_S1, B2_SD2,
+                                       B_DIST, B_LF, B_OCT, B_PEND,
                                        B_S1, B_SD2, B_VA, MAX_G,
-                                       LANES, SUBS, Route2Plan)
+                                       LANES, SUBS, Route2MulPlan,
+                                       Route2Plan)
 from spblas_tpu.types import on_tpu as _on_tpu
 
 CB = 8          # chunks per grid step (the builder aligns flag groups)
@@ -175,3 +177,146 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
         ),
     )(sb, yb, fl, t, v, x2)
     return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(xdt)
+
+
+# ------------------------------------------------------------------ #
+# ROUTE2-mul: fused SpGEMM numeric (dual gather chains)
+# ------------------------------------------------------------------ #
+
+def _gather_chain(t, slab, g, b_oct, b_s1, b_lf, b_sd2):
+    oct_ = (t >> b_oct) & (MAX_G - 1)
+    sel = jnp.zeros((SUBS, LANES), jnp.float32)
+    for gg in range(g):
+        sel = jnp.where(oct_ == gg, slab[gg * SUBS:(gg + 1) * SUBS],
+                        sel)
+    u = jnp.take_along_axis(sel, (t >> b_s1) & 7, axis=0)
+    u = jnp.take_along_axis(u, (t >> b_lf) & 127, axis=1)
+    return jnp.take_along_axis(u, (t >> b_sd2) & 7, axis=0)
+
+
+def _mul_chunk_body(t1, t2, slabA, slabB, g_a, g_b):
+    ii = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
+    tA = _gather_chain(t2, slabA, g_a, B2_OCT, B2_S1, B2_LF, B2_SD2)
+    tB = _gather_chain(t1, slabB, g_b, B_OCT, B_S1, B_LF, B_SD2)
+    c = tA * tB
+    dist = (t1 >> B_DIST) & 7
+    P = c
+    for d in (1, 2, 4):
+        shifted = jnp.take_along_axis(P, jnp.maximum(ii - d, 0), axis=0)
+        P = P + jnp.where(dist >= d, shifted, 0.0)
+    RS = jnp.take_along_axis(P, (t1 >> B_PEND) & 7, axis=0)
+    vA = ((t1 >> B_VA) & 1).astype(jnp.float32)
+    return RS * vA
+
+
+def _route2_mul_kernel(ab_ref, bb_ref, yb_ref, fl_ref, t1_hbm, t2_hbm,
+                       a_ref, b_ref, y_ref, t1_buf, t2_buf, s1, s2, *,
+                       g_a: int, g_b: int, has_aux: bool):
+    k = pl.program_id(0)
+    nk = pl.num_programs(0)
+
+    def dmas(slot, e):
+        return (
+            pltpu.make_async_copy(t1_hbm.at[pl.ds(e * CB, CB)],
+                                  t1_buf.at[slot], s1.at[slot]),
+            pltpu.make_async_copy(t2_hbm.at[pl.ds(e * CB, CB)],
+                                  t2_buf.at[slot], s2.at[slot]),
+        )
+
+    @pl.when(k == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+        for d in dmas(0, 0):
+            d.start()
+
+    slot = jax.lax.rem(k, 2)
+
+    @pl.when(k + 1 < nk)
+    def _():
+        for d in dmas(1 - slot, k + 1):
+            d.start()
+
+    for d in dmas(slot, k):
+        d.wait()
+
+    def group(srcB_ref):
+        for i in range(CB):
+            ci = k * CB + i
+            slabA = a_ref[pl.ds(ab_ref[ci], SUBS * g_a), :]
+            slabB = srcB_ref[pl.ds(bb_ref[ci], SUBS * g_b), :]
+            upd = _mul_chunk_body(t1_buf[slot, i], t2_buf[slot, i],
+                                  slabA, slabB, g_a, g_b)
+            yb = yb_ref[ci]
+            y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + upd
+
+    if has_aux:
+        @pl.when(fl_ref[k * CB] == 0)
+        def _():
+            group(b_ref)
+
+        @pl.when(fl_ref[k * CB] != 0)
+        def _():
+            group(y_ref)
+    else:
+        group(b_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def route2_mul(plan: Route2MulPlan, a_arr: jax.Array, b_arr: jax.Array,
+               interpret: bool | None = None) -> jax.Array:
+    """c_values (capacity,) = slot-segment sums of A_arr[sa]*B_arr[sb]
+    in one dispatch (values fresh from the panes — no update step)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    A = jnp.pad(a_arr.astype(jnp.float32),
+                (0, plan.a_rows * LANES - a_arr.shape[0])
+                ).reshape(plan.a_rows, LANES)
+    B = jnp.pad(b_arr.astype(jnp.float32),
+                (0, plan.b_rows * LANES - b_arr.shape[0])
+                ).reshape(plan.b_rows, LANES)
+
+    nc = plan.nchunks
+    nsteps = -(-nc // CB)
+    pad = nsteps * CB - nc
+    t1 = jnp.pad(plan.tile1, ((0, pad), (0, 0), (0, 0)))
+    t2 = jnp.pad(plan.tile2, ((0, pad), (0, 0), (0, 0)))
+    ab = jnp.pad(plan.a_base, (0, pad))
+    bb = jnp.pad(plan.b_base, (0, pad))
+    yb = jnp.pad(plan.y_base, (0, pad))
+    fl = jnp.pad(plan.src_flag, (0, pad), mode="edge")
+
+    out_rows = max(plan.pane_rows, SUBS * plan.g_b)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((plan.a_rows, LANES), lambda k, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan.b_rows, LANES), lambda k, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, CB, SUBS, LANES), jnp.int32),
+            pltpu.VMEM((2, CB, SUBS, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    y2 = pl.pallas_call(
+        functools.partial(_route2_mul_kernel, g_a=plan.g_a,
+                          g_b=plan.g_b,
+                          has_aux=plan.n_aux_chunks > 0),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nsteps * CB * SUBS * LANES,
+            bytes_accessed=nsteps * CB * SUBS * LANES * 8
+            + (plan.a_rows + plan.b_rows + out_rows) * LANES * 4,
+            transcendentals=0,
+        ),
+    )(ab, bb, yb, fl, t1, t2, A, B)
+    return jax.lax.slice(y2.reshape(-1), (0,), (plan.capacity,))
