@@ -191,8 +191,9 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
     if g is None:
         # target ~2k elements per (1024-row x window) cell: smaller
         # windows waste no ladder selects, larger ones amortize cell
-        # tails.  cells/nnz ~ m*n/(1024*window*nnz).
-        want = max(1, (2 * m * n) // (max(nnz, 1) * SLOTS * SLOTS) + 1)
+        # tails.  elements/cell = nnz*1024*window/(m*n), so
+        # g >= 2048*m*n/(nnz*1024*1024) = 2*m*n/(nnz*1024).
+        want = max(1, (2 * m * n) // (max(nnz, 1) * SLOTS) + 1)
         g = 1
         while g < want and g < 16:
             g *= 2

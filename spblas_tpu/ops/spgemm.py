@@ -160,15 +160,20 @@ def _numeric(plan: SpgemmPlan, a_values, b_values, d_values, alpha, beta):
     expansion runs in one Pallas dispatch at in-register gather speed;
     otherwise the XLA gather + scatter-add fallback."""
     if plan.route is not None:
-        from spblas_tpu.kernels.route_mul_kernel import route_mul
+        from spblas_tpu.kernels.route2 import Route2MulPlan
         one = jnp.ones((1,), dtype=a_values.dtype)
         a_arr = jnp.concatenate([alpha * a_values, one])
         if d_values is not None:
             b_arr = jnp.concatenate([b_values, beta * d_values])
         else:
             b_arr = b_values
-        return route_mul(plan.route, a_arr, b_arr).astype(
-            jnp.result_type(a_values.dtype, b_values.dtype))
+        if isinstance(plan.route, Route2MulPlan):
+            from spblas_tpu.kernels.route2_kernel import route2_mul
+            out = route2_mul(plan.route, a_arr, b_arr)
+        else:
+            from spblas_tpu.kernels.route_mul_kernel import route_mul
+            out = route_mul(plan.route, a_arr, b_arr)
+        return out.astype(jnp.result_type(a_values.dtype, b_values.dtype))
     cap = plan.c_capacity
     v_ab = a_values[plan.src_a] * b_values[plan.src_b]
     if d_values is not None:
@@ -215,8 +220,12 @@ def _try_build_route(src_a_s, src_b_s, is_d_s, valid_s, slot_all, a, b,
     slots = slot[keep].astype(np.int64)
     sa = np.where(isd, a.capacity, sa)       # D gathers the constant 1
     sb = np.where(isd, b.capacity + sb, sb)  # D region sits after B
-    from spblas_tpu.kernels.route_mul import build_route_mul_plan
     order = np.argsort(slots, kind="stable")
+    if os.environ.get("SPBLAS_ROUTE_SPGEMM") == "2":
+        from spblas_tpu.kernels.route2 import build_route2_mul_plan
+        return build_route2_mul_plan(slots[order], sa[order], sb[order],
+                                     a_len, b_len, c_capacity)
+    from spblas_tpu.kernels.route_mul import build_route_mul_plan
     return build_route_mul_plan(slots[order], sa[order], sb[order],
                                 a_len, b_len, c_capacity)
 
