@@ -142,9 +142,11 @@ def section_headline_xla(m=409_600, half_bw=50, iters=300):
     return {"nnz_s": nnz / sec, "nnz": nnz, "path": "xla_dia"}
 
 
-def section_spmv_general_route(m=1_000_000, deg=10, iters=100):
+def section_spmv_general_route(m=300_000, deg=10, iters=100):
     """Unstructured uniform-random SpMV through the ROUTE2 Pallas plan
-    (the round-2 kernel, rev 2; VERDICT item 1)."""
+    (the round-2 kernel, rev 2; VERDICT item 1).  m=300k keeps the host
+    plan build inside the section budget; the m=1M point runs in the
+    FULL sweep (section spmv_general_route_1m)."""
     import numpy as np
     import jax, jax.numpy as jnp
     from spblas_tpu.kernels.route2 import build_route2_plan
@@ -284,6 +286,8 @@ SECTIONS = {
     "headline_pallas": section_headline_pallas,
     "headline_xla": section_headline_xla,
     "spmv_general_route": section_spmv_general_route,
+    "spmv_general_route_1m":
+        lambda: section_spmv_general_route(m=1_000_000, iters=50),
     "spmv_general_xla": section_spmv_general_xla,
     "spgemm": section_spgemm,
     "sptrsv": section_sptrsv,
@@ -340,12 +344,13 @@ def main():
     # default-recorded general/spgemm/sptrsv numbers (VERDICT items 3/4)
     defaults = [
         ("spmv_general_route", 540),
+        ("spmv_rmat", 540),
         ("spgemm", 360),
         ("sptrsv", 360),
     ]
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         defaults += [
-            ("spmv_rmat", 540),
+            ("spmv_general_route_1m", 900),
             ("spmv_general_xla", 300),
             ("headline_bf16", 420),
             ("spmm_banded", 420),

@@ -15,13 +15,18 @@ v1 spent 8 lane gathers per chunk on the x-window ladder (~110 ns);
 ROUTE2 restructures the chunk pipeline so each (8,128) chunk of 1024
 elements costs ONE lane gather plus cheap ops:
 
-  sel    g-way select ladder over the slab's g*8-sublane window picks
-         each (s7, l) slot's octant: sel[s,j] = slab[oct[s,j]*8+s, j]
-         — g `where`s, no gather.  A slot serves ONE x-column; duplicate
-         readers of that column share it (broadcast), so hot columns
-         cost one slot (v1's hot-column replicas are unnecessary).
-  sub1   t1[a,l] = sel[s1[a,l], l] routes each column's value to its
-         edge-color row a (free sublane gather).
+  sub1   t1[a,l] = slab[r2[a,l], l] routes each column's slab row
+         directly to its edge-color row a: per octant gg, one (8,128)
+         sublane gather of slab[gg*8:(gg+1)*8] by (r2 & 7) plus one
+         where on (r2 >> 3) == gg.  The r2 index is the FULL slab row
+         (col >> 7), so columns congruent mod 1024 never conflict; any
+         <=8 distinct columns per lane share a chunk.  (The earlier
+         sel-table design keyed slots by col mod 1024 and one octant:
+         sel[s,j] = slab[oct[s,j]*8+s, j]
+         — that class table was the uniform-random fill binder: Poisson
+         class multiplicity ~7 per cell forced ~7 chunks/cell.)
+         Duplicate readers of a column share its slot (broadcast), so
+         hot columns cost one slot.
   lane   t2[a,jd] = t1[a, l[a,jd]] — THE one lane gather: moves values
          to their scatter lane jd (= target slot & 127) and doubles as
          the arbitrary lane permutation.
@@ -62,15 +67,14 @@ from spblas_tpu.kernels.route_plan import LANES, SLOTS, SUBS
 ROW_WINDOW = SLOTS            # 1024-row stripes
 
 # tile bit layout (all fields in one int32):
-#   oct  [0:5)   window octant of the slot's x-column  (at (s7, l))
-#   s1   [5:8)   sublane source for the a-routing      (at (a, l))
+#   r2   [0:8)   full slab row of the routed column    (at (a, l))
 #   lf   [8:15)  lane source for the lane gather       (at (a, jd))
 #   sd2  [15:18) sublane source for the depth drop     (at (d, jd))
 #   dist [18:21) within-segment distance               (at (d, jd))
 #   pend [21:24) depth of published segment end        (at final slot)
 #   vA   [24:25) publish mask                          (at final slot)
-B_OCT, B_S1, B_LF, B_SD2, B_DIST, B_PEND, B_VA = 0, 5, 8, 15, 18, 21, 24
-MAX_G = 32                    # oct field width (5 bits)
+B_R2, B_LF, B_SD2, B_DIST, B_PEND, B_VA = 0, 8, 15, 18, 21, 24
+MAX_G = 32                    # r2 field spans 8g <= 256 slab rows
 
 
 @jax.tree_util.register_dataclass
@@ -123,58 +127,6 @@ def _pick_g(n: int, max_g: int = 16) -> int:
     return max_g
 
 
-def _rebalance_classes(rows, cols, window: int, nat_slots: int):
-    """Pick columns to remap into the extension region.
-
-    Per (stripe, window) cell: distinct columns per mod-1024 class above
-    the cell's budget T are marked for global remap (keeping the cell's
-    heaviest columns natural — their duplicate reads amortize the sel
-    slot).  Remapped columns get sequential extension positions, whose
-    classes are perfectly balanced by construction.
-    """
-    if len(cols) == 0:
-        return cols, np.zeros(0, np.int64)
-    stripe = rows // ROW_WINDOW
-    cellc = cols // window
-    cls = cols % SLOTS
-    cell_id = stripe * (int(cellc.max()) + 1) + cellc
-    # distinct (cell, class, col) with element counts
-    key = (cell_id * np.int64(SLOTS) + cls)
-    order = np.lexsort((cols, key))
-    k_s, c_s = key[order], cols[order]
-    newpair = np.empty(len(c_s), bool)
-    newpair[0] = True
-    newpair[1:] = (k_s[1:] != k_s[:-1]) | (c_s[1:] != c_s[:-1])
-    pair_start = np.flatnonzero(newpair)
-    pair_key = k_s[pair_start]
-    pair_col = c_s[pair_start]
-    pair_cnt = np.diff(np.concatenate([pair_start, [len(c_s)]]))
-    # cell element counts -> per-cell class budget T
-    cell_of_pair = pair_key // SLOTS
-    cell_sizes = np.bincount(cell_id, minlength=int(cell_id.max()) + 1)
-    T = np.maximum(4, 2 * cell_sizes[cell_of_pair] // SLOTS + 1)
-    # rank pairs within (cell, class) by count desc; remap rank >= T
-    order2 = np.lexsort((-pair_cnt, pair_key))
-    pk = pair_key[order2]
-    rank = np.arange(len(pk)) - np.maximum.accumulate(
-        np.where(np.concatenate([[True], pk[1:] != pk[:-1]]),
-                 np.arange(len(pk)), 0))
-    # remap the class tail (rank >= T) and any non-heaviest column
-    # whose in-cell element count is big enough to matter (>= 16):
-    # two heavy columns sharing a class would otherwise serialize
-    # chunks on their sel conflict
-    cnt2 = pair_cnt[order2]
-    remap_mask = (rank >= T[order2]) | ((rank >= 1) & (cnt2 >= 16))
-    remap_cols = np.unique(pair_col[order2][remap_mask])
-    if len(remap_cols) == 0:
-        return cols, np.zeros(0, np.int64)
-    ext_idx = np.full(int(cols.max()) + 1, -1, np.int64)
-    ext_idx[remap_cols] = np.arange(len(remap_cols))
-    is_r = ext_idx[cols] >= 0
-    cols = np.where(is_r, nat_slots + ext_idx[cols], cols)
-    return cols, remap_cols
-
-
 def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
                       nnz: int, g: Optional[int] = None,
                       dtype=np.float32) -> Route2Plan:
@@ -204,14 +156,11 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
                      np.diff(np.minimum(rowptr, nnz)))
     ent = np.arange(nnz, dtype=np.int64)
 
-    # class rebalancing: power-law index patterns pile distinct columns
-    # into a few (s7, l) sel classes (class = col mod 1024), forcing one
-    # chunk per column.  Columns overflowing a cell's class budget are
-    # remapped to a class-balanced extension region of the x pane,
-    # filled per apply by one small XLA gather.
+    # the r2 routing index addresses the full slab row, so no column
+    # class rebalancing is needed; the extension region is retained in
+    # the plan schema but stays empty
     nat_slots = -(-max(n, 1) // window) * window
-    colind, ext_cols = _rebalance_classes(rows, colind, window,
-                                          nat_slots)
+    ext_cols = np.zeros(0, np.int64)
 
     # one 8-row pane window per 1024-row stripe (full windows: every
     # chunk accumulates an (8,128) tile at its stripe base)
@@ -307,20 +256,18 @@ class _BuildState:
     def alloc_aux_slot(self, jd: int) -> int:
         """Allocate one aux slot whose lane (slot & 127) == jd — the
         publishing sub-take reads the segment's scatter column, so the
-        slot lane must match.  Returns the absolute pane-relative slot
-        index."""
+        slot lane must match.  Tail-window-only, keeping successive
+        allocations window-coherent (each extra window a chunk
+        publishes into costs a duplicate chunk emission)."""
         if self.aux_base == 0:
             self.aux_base = self.y_rows
-        for w, depths in enumerate(self.aux_windows):
-            if depths[jd] < SUBS:
-                d = int(depths[jd])
-                depths[jd] += 1
-                return (self.aux_base * LANES + w * SLOTS
-                        + d * LANES + jd)
-        self.aux_windows.append(np.zeros(LANES, np.int64))
-        self.aux_windows[-1][jd] = 1
-        return (self.aux_base * LANES + (len(self.aux_windows) - 1)
-                * SLOTS + jd)
+        if (not self.aux_windows
+                or self.aux_windows[-1][jd] >= SUBS):
+            self.aux_windows.append(np.zeros(LANES, np.int64))
+        w = len(self.aux_windows) - 1
+        d = int(self.aux_windows[w][jd])
+        self.aux_windows[w][jd] += 1
+        return self.aux_base * LANES + w * SLOTS + d * LANES + jd
 
     def append_empty(self):
         self.tiles.append(np.zeros((SUBS, LANES), np.int32))
@@ -424,29 +371,36 @@ def _pack_cell(r, c, v, ent, g, window, state: _BuildState,
     lc = (c % window).astype(np.int64)
 
     ncell = len(r)
-    # segment formation: contiguous runs of one row, <=8 elements, and
-    # no two DIFFERENT columns congruent mod 1024 inside a segment (the
-    # sel table holds one column per (s7, l) slot; an intra-segment
-    # clash could never place)
+    # segment formation: contiguous runs of one row, <=8 elements
+    # (columns are free to collide mod 1024 — r2 addresses full rows).
+    # Rows with more than HUB_T elements in the cell mark segments past
+    # the first as hub spills: their elements all share scatter lane
+    # (row & 127), so direct placement serializes one segment per chunk;
+    # aux segments stack at ANY lane and reduce in-dispatch.
+    HUB_T = 16
     seg_start_l = []
     seg_end_l = []
+    seg_hub_l = []
     i0 = 0
     while i0 < ncell:
         row0 = lr[i0]
-        mod_seen = {}
+        e = i0
+        while e < ncell and lr[e] == row0:
+            e += 1
+        hub = (e - i0) > HUB_T
         j = i0
-        while (j < ncell and lr[j] == row0 and j - i0 < SUBS):
-            key = int(lc[j]) & (SLOTS - 1)
-            prev = mod_seen.get(key)
-            if prev is not None and prev != int(lc[j]):
-                break
-            mod_seen[key] = int(lc[j])
-            j += 1
-        seg_start_l.append(i0)
-        seg_end_l.append(j)
-        i0 = j
+        ord_ = 0
+        while j < e:
+            j2 = min(j + SUBS, e)
+            seg_start_l.append(j)
+            seg_end_l.append(j2)
+            seg_hub_l.append(hub and ord_ > 0)
+            ord_ += 1
+            j = j2
+        i0 = e
     seg_start = np.array(seg_start_l, np.int64)
     seg_end = np.array(seg_end_l, np.int64)
+    seg_hub = np.array(seg_hub_l, bool)
     seg_row = lr[seg_start]
     # first-fit-DECREASING: long segments claim whole depth columns
     # first, short ones fill the gaps (classic bin-packing order)
@@ -479,7 +433,24 @@ def _pack_cell(r, c, v, ent, g, window, state: _BuildState,
         row = int(seg_row[s_])
         idx = np.arange(seg_start[s_], seg_end[s_])
         placed = False
-        if not spill_only:
+        hub = bool(seg_hub[s_]) and not spill_only
+        if hub:
+            for ck in open_chunks:
+                if ck.try_place_aux(lc[idx]):
+                    place_aux(ck, idx, row)
+                    placed = True
+                    break
+            if not placed:
+                if len(open_chunks) >= max_open:
+                    coldest = max(range(len(open_chunks)),
+                                  key=lambda i2: open_chunks[i2].cold)
+                    flush(open_chunks.pop(coldest))
+                ck = _Chunk()
+                open_chunks.append(ck)
+                assert ck.try_place_aux(lc[idx])
+                place_aux(ck, idx, row)
+                placed = True
+        if not placed and not spill_only and not hub:
             for ck in open_chunks:
                 if (row not in ck.rows_published
                         and ck.try_place(lc[idx], row,
@@ -527,13 +498,12 @@ class _Chunk:
 
     Routing feasibility is maintained INCREMENTALLY: each distinct
     (column, scatter-lane) pair needs a color a in 0..7 such that slot
-    (a, l(c)) carries this column's a-route fields and slot (a, jd)
+    (a, l(c)) carries this column's r2 slab row and slot (a, jd)
     carries its lane-gather source.  Same-column edges reuse their
     color whenever (a, jd) is free — the lane gather broadcasts — so a
     hot column costs ONE (a, l) slot however many lanes read it."""
 
     def __init__(self):
-        self.sel = {}            # (s7, l) -> column
         self.acol_l = np.zeros((SUBS, LANES), bool)   # (a, l) used
         self.acol_j = np.zeros((SUBS, LANES), bool)   # (a, jd) used
         self.col_colors = {}     # column -> list of colors a
@@ -561,10 +531,6 @@ class _Chunk:
         for c in lcs:
             c = int(c)
             l = c & 127
-            s7 = (c >> 7) & 7
-            have = self.sel.get((s7, l))
-            if have is not None and have != c:
-                return None
             if (c, jd) in self.edge_color:
                 continue
             a_found = -1
@@ -595,11 +561,18 @@ class _Chunk:
         return True
 
     def try_place_aux(self, lcs):
-        # aux published segments can use ANY scatter lane; try the
-        # emptiest ones first
-        order = np.argsort(self.depth)
-        for jd in order[:16]:
-            jd = int(jd)
+        # aux published segments can use ANY scatter lane; probe from a
+        # rotating start (emptiest-first ties piled onto low lanes and
+        # fragmented the aux windows)
+        h0 = (len(self.elems) * 53 + int(lcs[0])) & 127
+        tried = 0
+        for t in range(LANES):
+            jd = (h0 + t) & 127
+            if self.depth[jd] + len(lcs) > SUBS:
+                continue
+            tried += 1
+            if tried > 24:
+                break
             assigns = self._route_segment(lcs, jd)
             if assigns is not None:
                 self._probe = (jd, None, assigns)
@@ -618,11 +591,7 @@ class _Chunk:
                 self.col_colors.setdefault(c, []).append(a)
         d0 = int(self.depth[jd])
         for k, c in enumerate(lcs):
-            c = int(c)
-            l = c & 127
-            s7 = (c >> 7) & 7
-            self.sel[(s7, l)] = c
-            self.elems.append((c, jd, d0 + k, float(vs[k]),
+            self.elems.append((int(c), jd, d0 + k, float(vs[k]),
                                int(ents[k]), k))
         self.depth[jd] += len(lcs)
         return d0 + len(lcs) - 1
@@ -691,9 +660,7 @@ class _Chunk:
         src = np.full((SUBS, LANES), -1, np.int32)
         for (c, jd), a in self.edge_color.items():
             l = c & 127
-            s7 = (c >> 7) & 7
-            tile[s7, l] |= ((c >> 10) << B_OCT)
-            tile[a, l] |= (s7 << B_S1)
+            tile[a, l] |= ((c >> 7) << B_R2)
             tile[a, jd] |= (l << B_LF)
         for (c, jd, d, v, ent_, dist) in self.elems:
             a = self.edge_color[(c, jd)]
@@ -717,10 +684,10 @@ class _Chunk:
 # No val tile: values come fresh from the A/B panes every call, so
 # value updates are free.
 #
-# tile2 bits: oct_a [0:5) at (s7a, la) | s1_a [5:8) at (aA, la)
-#             lf_a [8:15) at (aA, jd)  | sd2_a [15:18) at (d, jd)
+# tile2 bits: r2_a [0:8) at (aA, la) | lf_a [8:15) at (aA, jd)
+#             sd2_a [15:18) at (d, jd)
 
-B2_OCT, B2_S1, B2_LF, B2_SD2 = 0, 5, 8, 15
+B2_R2, B2_LF, B2_SD2 = 0, 8, 15
 
 
 @jax.tree_util.register_dataclass
@@ -756,10 +723,9 @@ class Route2MulPlan:
 class _GatherSide:
     """Gather-chain state of one chunk for one operand pane."""
 
-    __slots__ = ("sel", "acl", "acj", "col_colors", "edge_color")
+    __slots__ = ("acl", "acj", "col_colors", "edge_color")
 
     def __init__(self):
-        self.sel = {}
         self.acl = np.zeros((SUBS, LANES), bool)
         self.acj = np.zeros((SUBS, LANES), bool)
         self.col_colors = {}
@@ -772,10 +738,6 @@ class _GatherSide:
         for c in lcs:
             c = int(c)
             l = c & 127
-            s7 = (c >> 7) & 7
-            have = self.sel.get((s7, l))
-            if have is not None and have != c:
-                return None
             if (c, jd) in self.edge_color:
                 continue
             if any(a_[0] == c for a_ in assigns):
@@ -806,17 +768,11 @@ class _GatherSide:
             if new_color:
                 self.acl[a, l] = True
                 self.col_colors.setdefault(c, []).append(a)
-        for c in lcs:
-            c = int(c)
-            self.sel[((c >> 7) & 7, c & 127)] = c
 
-    def emit_into(self, tile, b_oct, b_s1, b_lf, b_sd2, elems,
-                  which):
+    def emit_into(self, tile, b_r2, b_lf, b_sd2, elems, which):
         for (c, jd), a in self.edge_color.items():
             l = c & 127
-            s7 = (c >> 7) & 7
-            tile[s7, l] |= ((c >> 10) << b_oct)
-            tile[a, l] |= (s7 << b_s1)
+            tile[a, l] |= ((c >> 7) << b_r2)
             tile[a, jd] |= (l << b_lf)
         for e in elems:
             (ca, cb, jd, d, dist) = e
@@ -898,9 +854,8 @@ class _MulChunk:
     def emit(self, yb):
         t1 = np.zeros((SUBS, LANES), np.int64)
         t2 = np.zeros((SUBS, LANES), np.int64)
-        self.B.emit_into(t1, B_OCT, B_S1, B_LF, B_SD2, self.elems, 1)
-        self.A.emit_into(t2, B2_OCT, B2_S1, B2_LF, B2_SD2, self.elems,
-                         0)
+        self.B.emit_into(t1, B_R2, B_LF, B_SD2, self.elems, 1)
+        self.A.emit_into(t2, B2_R2, B2_LF, B2_SD2, self.elems, 0)
         for (_, _, jd, d, dist) in self.elems:
             t1[d, jd] |= (dist << B_DIST)
         out = []
@@ -1049,18 +1004,16 @@ class _MulBuildState:
         self.aux_pending = []
 
     def alloc_aux_slot(self, jd: int) -> int:
+        # tail-window-only (window coherence; see _BuildState)
         if self.aux_base == 0:
             self.aux_base = self.y_rows
-        for w, depths in enumerate(self.aux_windows):
-            if depths[jd] < SUBS:
-                d = int(depths[jd])
-                depths[jd] += 1
-                return (self.aux_base * LANES + w * SLOTS
-                        + d * LANES + jd)
-        self.aux_windows.append(np.zeros(LANES, np.int64))
-        self.aux_windows[-1][jd] = 1
-        return (self.aux_base * LANES
-                + (len(self.aux_windows) - 1) * SLOTS + jd)
+        if (not self.aux_windows
+                or self.aux_windows[-1][jd] >= SUBS):
+            self.aux_windows.append(np.zeros(LANES, np.int64))
+        w = len(self.aux_windows) - 1
+        d = int(self.aux_windows[w][jd])
+        self.aux_windows[w][jd] += 1
+        return self.aux_base * LANES + w * SLOTS + d * LANES + jd
 
     def append_empty(self):
         self.t1.append(np.zeros((SUBS, LANES), np.int32))
@@ -1081,23 +1034,14 @@ def _pack_mul_cell(slots, sa, sb, win_a, win_b, state: _MulBuildState,
     lb = (sb % win_b).astype(np.int64)
 
     n = len(ls)
-    # segments: runs of one slot, <=8, distinct-mod-1024 on both sides
+    # segments: runs of one slot, <=8 elements (no class constraints —
+    # r2 indices address full slab rows on both sides)
     seg_start_l, seg_end_l = [], []
     i0 = 0
     while i0 < n:
         s0 = ls[i0]
-        seen_a, seen_b = {}, {}
         j = i0
         while j < n and ls[j] == s0 and j - i0 < SUBS:
-            ka_ = int(la[j]) & (SLOTS - 1)
-            kb_ = int(lb[j]) & (SLOTS - 1)
-            pa = seen_a.get(ka_)
-            pb = seen_b.get(kb_)
-            if (pa is not None and pa != int(la[j])) or \
-               (pb is not None and pb != int(lb[j])):
-                break
-            seen_a[ka_] = int(la[j])
-            seen_b[kb_] = int(lb[j])
             j += 1
         seg_start_l.append(i0)
         seg_end_l.append(j)
@@ -1178,13 +1122,9 @@ def route2_mul_numpy(plan: Route2MulPlan, a_arr, b_arr) -> np.ndarray:
     jj = np.broadcast_to(np.arange(LANES)[None, :], (SUBS, LANES))
     ii = np.broadcast_to(np.arange(SUBS)[:, None], (SUBS, LANES))
 
-    def chain(t, slab, g, b_oct, b_s1, b_lf, b_sd2):
-        oct_ = (t >> b_oct) & (MAX_G - 1)
-        sel = np.zeros((SUBS, LANES), np.float32)
-        for gg in range(g):
-            sel = np.where(oct_ == gg, slab[gg * SUBS:(gg + 1) * SUBS],
-                           sel)
-        u = sel[(t >> b_s1) & 7, jj]
+    def chain(t, slab, g, b_r2, b_lf, b_sd2):
+        r2 = (t >> b_r2) & 255
+        u = slab[np.minimum(r2, SUBS * g - 1), jj]
         u = u[ii, (t >> b_lf) & 127]
         return u[(t >> b_sd2) & 7, jj]
 
@@ -1200,9 +1140,9 @@ def route2_mul_numpy(plan: Route2MulPlan, a_arr, b_arr) -> np.ndarray:
         t2 = t2s[k].astype(np.int64)
         paneB = B if fls[k] == 0 else O
         tA = chain(t2, slab_of(A, int(abs_[k]), plan.g_a), plan.g_a,
-                   B2_OCT, B2_S1, B2_LF, B2_SD2)
+                   B2_R2, B2_LF, B2_SD2)
         tB = chain(t1, slab_of(paneB, int(bbs[k]), plan.g_b), plan.g_b,
-                   B_OCT, B_S1, B_LF, B_SD2)
+                   B_R2, B_LF, B_SD2)
         c = tA * tB
         dist = (t1 >> B_DIST) & 7
         P = c.copy()
@@ -1258,13 +1198,8 @@ def route2_spmv_numpy(plan: Route2Plan, x: np.ndarray) -> np.ndarray:
         avail = min(SUBS * g, pane.shape[0] - sb)
         if avail > 0:
             slab[:avail] = pane[sb:sb + avail]
-        oct_ = (t >> B_OCT) & (MAX_G - 1)
-        sel = np.zeros((SUBS, LANES), np.float32)
-        for gg in range(g):
-            sel = np.where(oct_ == gg, slab[gg * SUBS:(gg + 1) * SUBS],
-                           sel)
-        s1 = (t >> B_S1) & 7
-        t1 = sel[s1, jj]
+        r2 = (t >> B_R2) & 255
+        t1 = slab[np.minimum(r2, SUBS * g - 1), jj]
         lf = (t >> B_LF) & 127
         t2 = t1[ii, lf]
         sd2 = (t >> B_SD2) & 7

@@ -25,9 +25,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spblas_tpu.kernels.route2 import (B2_LF, B2_OCT, B2_S1, B2_SD2,
-                                       B_DIST, B_LF, B_OCT, B_PEND,
-                                       B_S1, B_SD2, B_VA, MAX_G,
+from spblas_tpu.kernels.route2 import (B2_LF, B2_R2, B2_SD2,
+                                       B_DIST, B_LF, B_PEND,
+                                       B_R2, B_SD2, B_VA,
                                        LANES, SUBS, Route2MulPlan,
                                        Route2Plan)
 from spblas_tpu.types import on_tpu as _on_tpu
@@ -35,17 +35,26 @@ from spblas_tpu.types import on_tpu as _on_tpu
 CB = 8          # chunks per grid step (the builder aligns flag groups)
 
 
+def _r2_route(r2, slab, g):
+    """t1[a,l] = slab[r2[a,l], l]: per octant, one (8,128) sublane
+    gather by (r2 & 7) + one select on (r2 >> 3) == gg.  The full-row
+    index removes the old sel table's col-mod-1024 class constraint."""
+    lo = r2 & 7
+    hi = r2 >> 3
+    t1 = jnp.zeros((SUBS, LANES), jnp.float32)
+    for gg in range(g):
+        part = jnp.take_along_axis(slab[gg * SUBS:(gg + 1) * SUBS], lo,
+                                   axis=0)
+        t1 = jnp.where(hi == gg, part, t1)
+    return t1
+
+
 def _chunk_body(t, val, slab, g):
-    """One (8,128) chunk: sel ladder, a-route, lane gather, depth drop,
+    """One (8,128) chunk: r2 slab-row route, lane gather, depth drop,
     multiply, segmented prefix, publish."""
     ii = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
 
-    oct_ = (t >> B_OCT) & (MAX_G - 1)
-    sel = jnp.zeros((SUBS, LANES), jnp.float32)
-    for gg in range(g):
-        sel = jnp.where(oct_ == gg, slab[gg * SUBS:(gg + 1) * SUBS], sel)
-
-    t1 = jnp.take_along_axis(sel, (t >> B_S1) & 7, axis=0)
+    t1 = _r2_route((t >> B_R2) & 255, slab, g)
     t2 = jnp.take_along_axis(t1, (t >> B_LF) & 127, axis=1)   # THE lane op
     t3 = jnp.take_along_axis(t2, (t >> B_SD2) & 7, axis=0)
     c = t3 * val
@@ -183,21 +192,16 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
 # ROUTE2-mul: fused SpGEMM numeric (dual gather chains)
 # ------------------------------------------------------------------ #
 
-def _gather_chain(t, slab, g, b_oct, b_s1, b_lf, b_sd2):
-    oct_ = (t >> b_oct) & (MAX_G - 1)
-    sel = jnp.zeros((SUBS, LANES), jnp.float32)
-    for gg in range(g):
-        sel = jnp.where(oct_ == gg, slab[gg * SUBS:(gg + 1) * SUBS],
-                        sel)
-    u = jnp.take_along_axis(sel, (t >> b_s1) & 7, axis=0)
+def _gather_chain(t, slab, g, b_r2, b_lf, b_sd2):
+    u = _r2_route((t >> b_r2) & 255, slab, g)
     u = jnp.take_along_axis(u, (t >> b_lf) & 127, axis=1)
     return jnp.take_along_axis(u, (t >> b_sd2) & 7, axis=0)
 
 
 def _mul_chunk_body(t1, t2, slabA, slabB, g_a, g_b):
     ii = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
-    tA = _gather_chain(t2, slabA, g_a, B2_OCT, B2_S1, B2_LF, B2_SD2)
-    tB = _gather_chain(t1, slabB, g_b, B_OCT, B_S1, B_LF, B_SD2)
+    tA = _gather_chain(t2, slabA, g_a, B2_R2, B2_LF, B2_SD2)
+    tB = _gather_chain(t1, slabB, g_b, B_R2, B_LF, B_SD2)
     c = tA * tB
     dist = (t1 >> B_DIST) & 7
     P = c

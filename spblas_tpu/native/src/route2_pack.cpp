@@ -4,10 +4,11 @@
 // incremental greedy edge coloring, lane-matched aux slots).
 //
 // Tile bit layout (must match route2.py):
-//   oct  [0:5)   at (s7, l)      s1  [5:8)  at (a, l)
-//   lf   [8:15)  at (a, jd)      sd2 [15:18) at (d, jd)
-//   dist [18:21) at (d, jd)      pend[21:24) at final slot
-//   vA   [24:25) at final slot
+//   r2   [0:8)   at (a, l)       lf  [8:15)  at (a, jd)
+//   sd2  [15:18) at (d, jd)      dist[18:21) at (d, jd)
+//   pend [21:24) at final slot   vA  [24:25) at final slot
+// r2 = col >> 7 is the column's FULL slab row; columns congruent
+// mod 1024 no longer conflict (no sel class table).
 //
 // Interface (all buffers caller-allocated):
 //   returns nchunks, or -1 when max_chunks was too small (caller grows
@@ -25,8 +26,14 @@ constexpr int LANES = 128;
 constexpr int SUBS = 8;
 constexpr int SLOTS = 1024;
 constexpr int MAX_OPEN = 24;
+// rows with more than HUB_T elements in one cell route their segments
+// past the first straight to the aux region ACROSS lanes: a hub row's
+// elements all share scatter lane (row & 127), so direct placement
+// serializes one 8-deep segment per chunk (the RMAT fill collapse);
+// aux segments may stack at any lane and reduce in-dispatch.
+constexpr int HUB_T = 16;
 
-constexpr int B_OCT = 0, B_S1 = 5, B_LF = 8, B_SD2 = 15, B_DIST = 18,
+constexpr int B_R2 = 0, B_LF = 8, B_SD2 = 15, B_DIST = 18,
               B_PEND = 21, B_VA = 24;
 
 struct Pub { int32_t slot; int16_t jd; int16_t pend; };
@@ -35,25 +42,24 @@ struct AuxPub { int64_t abs_slot; int16_t jd; int16_t pend;
 struct Elem { int32_t col; int32_t idx; int16_t jd; int8_t d;
               int8_t dist; };
 
-// global aux allocator: per window, per lane depth
+// global aux allocator: per window, per lane depth.  Allocation is
+// TAIL-ONLY and happens at chunk-flush time so one chunk's aux pubs
+// stay window-coherent — each distinct window a chunk publishes into
+// costs a duplicate chunk emission, so coherence is a fill lever.
 struct AuxAlloc {
   std::vector<std::array<int8_t, LANES>> windows;
-  int64_t alloc(int jd) {
-    for (size_t w = 0; w < windows.size(); ++w) {
-      if (windows[w][jd] < SUBS) {
-        int d = windows[w][jd]++;
-        return (int64_t)w * SLOTS + d * LANES + jd;
-      }
+  int64_t alloc_tail(int jd) {
+    if (windows.empty() || windows.back()[jd] >= SUBS) {
+      windows.emplace_back();
+      windows.back().fill(0);
     }
-    windows.emplace_back();
-    windows.back().fill(0);
-    windows.back()[jd] = 1;
-    return (int64_t)(windows.size() - 1) * SLOTS + jd;
+    size_t w = windows.size() - 1;
+    int d = windows[w][jd]++;
+    return (int64_t)w * SLOTS + d * LANES + jd;
   }
 };
 
 struct Chunk {
-  int32_t sel_col[SLOTS];          // -1 empty
   uint8_t acl[LANES], acj[LANES];  // bitmask over colors a
   int8_t depth[LANES];
   uint64_t rows_pub[16];           // bitmask over 1024 local rows
@@ -68,7 +74,6 @@ struct Chunk {
   int64_t cold = 0;
 
   void reset() {
-    std::memset(sel_col, -1, sizeof sel_col);
     std::memset(acl, 0, sizeof acl);
     std::memset(acj, 0, sizeof acj);
     std::memset(depth, 0, sizeof depth);
@@ -116,23 +121,27 @@ struct Chunk {
     ch_key[h] = col; ch_val[h] = bit;
   }
 
-  // tentative routing of one segment; returns #assigns or -1
-  int route_segment(const int32_t* cols, int len, int jd,
-                    int32_t* as_col, int8_t* as_a, uint8_t* as_new) {
-    if (depth[jd] + len > SUBS) return -1;
-    int n = 0;
+  // longest feasible PREFIX of the segment at lane jd (depth- and
+  // color-capped); fills as_* with the prefix's new-edge assignments
+  // and *nas with their count; returns the prefix length 0..len.
+  // All-or-nothing placement made one saturated lane reject whole
+  // segments and cascade near-empty chunks on dense cells.
+  int route_prefix(const int32_t* cols, int len, int jd,
+                   int32_t* as_col, int8_t* as_a, uint8_t* as_new,
+                   int* nas) {
+    int cap = SUBS - depth[jd];
+    if (len > cap) len = cap;
+    int n = 0, p = 0;
     uint8_t taken_j = 0;
     for (int k = 0; k < len; ++k) {
       int32_t c = cols[k];
-      int l = c & 127, s7 = (c >> 7) & 7;
-      int32_t have = sel_col[s7 * LANES + l];
-      if (have != -1 && have != c) return -1;
+      int l = c & 127;
       int64_t ekey = (int64_t)c * 128 + jd;
-      if (eh_find(ekey) >= 0) continue;
-      bool dup = false;                 // same col twice in segment?
+      if (eh_find(ekey) >= 0) { ++p; continue; }
+      bool dup = false;
       for (int t = 0; t < n; ++t)
         if (as_col[t] == c) { dup = true; break; }
-      if (dup) continue;
+      if (dup) { ++p; continue; }
       uint8_t colors = ch_get(c);
       int a_found = -1;
       uint8_t free_j = (uint8_t)~(acj[jd] | taken_j);
@@ -142,15 +151,16 @@ struct Chunk {
         a_found = __builtin_ctz(reuse);
       } else {
         uint8_t avail = (uint8_t)(~acl[l]) & free_j;
-        if (!avail) return -1;
+        if (!avail) break;
         a_found = __builtin_ctz(avail);
         isnew = 1;
       }
       taken_j |= (uint8_t)(1 << a_found);
       as_col[n] = c; as_a[n] = (int8_t)a_found; as_new[n] = isnew;
-      ++n;
+      ++n; ++p;
     }
-    return n;
+    *nas = n;
+    return p;
   }
 
   int commit(const int32_t* cols, const int32_t* idxs, int len, int jd,
@@ -170,9 +180,7 @@ struct Chunk {
     }
     int d0 = depth[jd];
     for (int k = 0; k < len; ++k) {
-      int32_t c = cols[k];
-      sel_col[((c >> 7) & 7) * LANES + (c & 127)] = c;
-      elems.push_back({c, idxs[k], (int16_t)jd, (int8_t)(d0 + k),
+      elems.push_back({cols[k], idxs[k], (int16_t)jd, (int8_t)(d0 + k),
                        (int8_t)(k > 7 ? 7 : k)});
     }
     depth[jd] = (int8_t)(d0 + len);
@@ -205,7 +213,7 @@ struct Out {
 };
 
 bool flush_chunk(Chunk& ck, int cell, Out& out,
-                 std::vector<AuxPub>* aux_pending) {
+                 std::vector<AuxPub>* aux_pending, AuxAlloc* aux) {
   if (ck.elems.empty() && ck.pubs.empty() && ck.aux_pubs.empty())
     return true;
   int group = (int)out.ngroup++;
@@ -218,9 +226,8 @@ bool flush_chunk(Chunk& ck, int cell, Out& out,
     int a = ck.eh_val[h];
     int32_t c = (int32_t)(key >> 7);
     int jd = (int)(key & 127);
-    int l = c & 127, s7 = (c >> 7) & 7;
-    base[s7 * LANES + l] |= (int32_t)((c >> 10) << B_OCT);
-    base[a * LANES + l] |= (int32_t)(s7 << B_S1);
+    int l = c & 127;
+    base[a * LANES + l] |= (int32_t)((c >> 7) << B_R2);
     base[a * LANES + jd] |= (int32_t)(l << B_LF);
   }
   for (const Elem& e : ck.elems) {
@@ -237,8 +244,11 @@ bool flush_chunk(Chunk& ck, int cell, Out& out,
     for (const Pub& p : ck.pubs)
       t[p.slot] |= (int32_t)((p.pend << B_PEND) | (1 << B_VA));
   }
-  // aux copies, one per distinct window
+  // aux copies, one per distinct window (slots allocated here, from
+  // the allocator tail, so this chunk's pubs share windows)
   if (!ck.aux_pubs.empty()) {
+    for (AuxPub& p : ck.aux_pubs)
+      p.abs_slot = aux->alloc_tail(p.jd);
     std::vector<std::pair<int64_t, const AuxPub*>> bywin;
     for (const AuxPub& p : ck.aux_pubs)
       bywin.push_back({p.abs_slot / SLOTS, &p});
@@ -295,34 +305,28 @@ extern "C" int64_t spblas_route2_pack(
   for (auto& c : pool_store) c.reset();
 
   std::vector<int> seg_start, seg_len, seg_row, seg_order;
+  std::vector<uint8_t> seg_hub;
   for (int64_t cell = 0; cell < ncells; ++cell) {
     int64_t a0 = cell_start[cell], a1 = cell_start[cell + 1];
     if (a0 >= a1) continue;
-    // --- segment formation (<=8 per row run, distinct mod-1024) ---
-    seg_start.clear(); seg_len.clear(); seg_row.clear();
+    // --- segment formation (<=8 per row run) + hub marking ---
+    seg_start.clear(); seg_len.clear(); seg_row.clear(); seg_hub.clear();
     {
       int64_t i = a0;
       while (i < a1) {
         int32_t row = lrow[i];
-        int64_t j = i;
-        uint32_t seen_cls[8];     // tiny ring of (cls, col) pairs
-        int32_t seen_col[8];
-        int ns = 0;
-        while (j < a1 && lrow[j] == row && j - i < SUBS) {
-          uint32_t cls = (uint32_t)(lcol[j] & (SLOTS - 1));
-          bool clash = false;
-          for (int t = 0; t < ns; ++t)
-            if (seen_cls[t] == cls && seen_col[t] != lcol[j]) {
-              clash = true; break;
-            }
-          if (clash) break;
-          seen_cls[ns] = cls; seen_col[ns] = lcol[j]; ++ns;
-          ++j;
+        int64_t e = i;
+        while (e < a1 && lrow[e] == row) ++e;
+        int total = (int)(e - i);
+        int ord = 0;
+        for (int64_t st = i; st < e; st += SUBS) {
+          seg_start.push_back((int)(st - a0));
+          seg_len.push_back((int)std::min<int64_t>(SUBS, e - st));
+          seg_row.push_back(row);
+          seg_hub.push_back(total > HUB_T && ord > 0 ? 1 : 0);
+          ++ord;
         }
-        seg_start.push_back((int)(i - a0));
-        seg_len.push_back((int)(j - i));
-        seg_row.push_back(row);
-        i = j;
+        i = e;
       }
     }
     int nseg = (int)seg_start.size();
@@ -342,7 +346,8 @@ extern "C" int64_t spblas_route2_pack(
 
     auto flush_at = [&](int pos) -> bool {
       int id = open[pos];
-      bool ok = flush_chunk(pool_store[id], (int)cell, out, &pending);
+      bool ok = flush_chunk(pool_store[id], (int)cell, out, &pending,
+                            &aux);
       pool_store[id].reset();
       freelist.push_back(id);
       open.erase(open.begin() + pos);
@@ -358,82 +363,108 @@ extern "C" int64_t spblas_route2_pack(
         segi[k] = (int32_t)(a0 + seg_start[s] + k);
       }
       int jd = row & 127;
-      bool placed = false;
-      if (!spill_only) {
-        for (size_t p = 0; p < open.size(); ++p) {
-          Chunk& ck = pool_store[open[p]];
-          if (ck.row_published(row)) { ck.cold++; continue; }
-          int nas = ck.route_segment(segc, len, jd, as_col, as_a,
-                                     as_new);
-          if (nas >= 0) {
-            int pend = ck.commit(segc, segi, len, jd, as_col, as_a,
-                                 as_new, nas);
-            ck.pubs.push_back({row, (int16_t)jd, (int16_t)pend});
-            ck.set_row_published(row);
-            placed = true;
-            break;
-          }
-          ck.cold++;
-        }
-      }
-      if (!placed && (int)open.size() >= MAX_OPEN) {
-        // aux relief: lane-matched slot at the emptiest lanes
-        for (size_t p = 0; p < open.size() && !placed; ++p) {
-          Chunk& ck = pool_store[open[p]];
-          // try 16 emptiest lanes
-          int lanes[LANES];
-          for (int l2 = 0; l2 < LANES; ++l2) lanes[l2] = l2;
-          std::partial_sort(lanes, lanes + 16, lanes + LANES,
-                            [&](int x, int y) {
-                              return ck.depth[x] < ck.depth[y];
-                            });
-          for (int t = 0; t < 16; ++t) {
-            int jd2 = lanes[t];
-            int nas = ck.route_segment(segc, len, jd2, as_col, as_a,
-                                       as_new);
-            if (nas >= 0) {
-              int pend = ck.commit(segc, segi, len, jd2, as_col,
-                                   as_a, as_new, nas);
-              int64_t slot = aux.alloc(jd2);
-              ck.aux_pubs.push_back({slot, (int16_t)jd2,
-                                     (int16_t)pend, row, 0});
-              placed = true;
-              break;
-            }
-          }
-        }
-      }
-      if (!placed) {
+      bool hub = seg_hub[s] != 0;
+      int off = 0;                   // elements of this segment placed
+
+      auto open_fresh = [&]() -> Chunk* {
         if ((int)open.size() >= MAX_OPEN) {
-          // evict coldest
           size_t coldest = 0;
           for (size_t p = 1; p < open.size(); ++p)
             if (pool_store[open[p]].cold >
                 pool_store[open[coldest]].cold)
               coldest = p;
-          if (!flush_at((int)coldest)) return out.overflow ? -1 : -2;
+          if (!flush_at((int)coldest)) return nullptr;
         }
         int id = freelist.back(); freelist.pop_back();
-        Chunk& ck = pool_store[id];
         open.push_back(id);
-        if (spill_only) {
-          int nas = ck.route_segment(segc, len, jd, as_col, as_a,
-                                     as_new);
-          if (nas < 0) return -2;
-          int pend = ck.commit(segc, segi, len, jd, as_col, as_a,
-                               as_new, nas);
-          int64_t slot = aux.alloc(jd);
-          ck.aux_pubs.push_back({slot, (int16_t)jd, (int16_t)pend,
-                                 row, 0});
-        } else {
-          int nas = ck.route_segment(segc, len, jd, as_col, as_a,
-                                     as_new);
-          if (nas < 0) return -2;
-          int pend = ck.commit(segc, segi, len, jd, as_col, as_a,
-                               as_new, nas);
-          ck.pubs.push_back({row, (int16_t)jd, (int16_t)pend});
-          ck.set_row_published(row);
+        return &pool_store[id];
+      };
+
+      // ---- direct publish of the segment head (non-hub, non-spill):
+      // longest prefix into the best chunk, remainder spills to aux
+      if (!hub && !spill_only) {
+        int order_buf[MAX_OPEN + 1];
+        int nopen = (int)open.size();
+        for (int p2 = 0; p2 < nopen; ++p2) order_buf[p2] = p2;
+        std::sort(order_buf, order_buf + nopen, [&](int x, int y) {
+          return pool_store[open[x]].depth[jd] <
+                 pool_store[open[y]].depth[jd];
+        });
+        int nas = 0;
+        for (int p2 = 0; p2 < nopen; ++p2) {
+          Chunk& ck = pool_store[open[order_buf[p2]]];
+          if (ck.row_published(row)) { ck.cold++; continue; }
+          int pr = ck.route_prefix(segc, len, jd, as_col, as_a,
+                                   as_new, &nas);
+          if (pr == len) {
+            int pend = ck.commit(segc, segi, len, jd, as_col, as_a,
+                                 as_new, nas);
+            ck.pubs.push_back({row, (int16_t)jd, (int16_t)pend});
+            ck.set_row_published(row);
+            off = len;
+            break;
+          }
+          ck.cold++;
         }
+        if (off == 0) {
+          // no full fit: take a fresh chunk whole (partial-into-open
+          // would spill the remainder to aux, which measurably hurt
+          // uniform fill; prefix streaming is for hub/aux flows only)
+          Chunk* ckp = open_fresh();
+          if (!ckp) return out.overflow ? -1 : -2;
+          int pr = ckp->route_prefix(segc, len, jd, as_col, as_a,
+                                     as_new, &nas);
+          if (pr < len) return -2;
+          int pend = ckp->commit(segc, segi, len, jd, as_col, as_a,
+                                 as_new, nas);
+          ckp->pubs.push_back({row, (int16_t)jd, (int16_t)pend});
+          ckp->set_row_published(row);
+          off = len;
+        }
+      }
+
+      // ---- aux stream: hub segments, spill_only streams, and any
+      // direct remainder.  Prefix placement at rotating lanes.
+      int h0 = (int)(((uint32_t)(row * 2654435761u) + oi * 97u) >> 8)
+               & 127;
+      while (off < len) {
+        int rem = len - off;
+        int min_pr = rem < 2 ? rem : 2;   // no 1-element dribble: short
+        int placed_p = 0;                 // prefixes explode the aux
+        for (size_t p = 0; p < open.size() && !placed_p; ++p) {
+          Chunk& ck = pool_store[open[p]];
+          int tried = 0;
+          for (int t = 0; t < LANES && tried < 12; ++t) {
+            int jd2 = (h0 + t) & 127;
+            if (ck.depth[jd2] > SUBS - min_pr) continue;
+            ++tried;
+            int nas = 0;
+            int pr = ck.route_prefix(segc + off, rem, jd2, as_col,
+                                     as_a, as_new, &nas);
+            if (pr >= min_pr) {
+              int pend = ck.commit(segc + off, segi + off, pr, jd2,
+                                   as_col, as_a, as_new, nas);
+              ck.aux_pubs.push_back({-1, (int16_t)jd2, (int16_t)pend,
+                                     row, 0});
+              placed_p = pr;
+              break;
+            }
+          }
+        }
+        if (!placed_p) {
+          Chunk* ckp = open_fresh();
+          if (!ckp) return out.overflow ? -1 : -2;
+          int nas = 0;
+          int pr = ckp->route_prefix(segc + off, rem, h0, as_col,
+                                     as_a, as_new, &nas);
+          if (pr <= 0) return -2;
+          int pend = ckp->commit(segc + off, segi + off, pr, h0,
+                                 as_col, as_a, as_new, nas);
+          ckp->aux_pubs.push_back({-1, (int16_t)h0, (int16_t)pend,
+                                   row, 0});
+          placed_p = pr;
+        }
+        off += placed_p;
       }
       // retire saturated
       for (int p = (int)open.size() - 1; p >= 0; --p)
