@@ -7,6 +7,7 @@ from spblas_tpu.kernels.route2_kernel import route2_spmv
 def bench(tag, a, m, nnz, iters=100):
     t0 = time.perf_counter()
     rp, ci, vv = np.asarray(a.rowptr), np.asarray(a.colind), np.asarray(a.values)
+    nnz = int(a.nnz)
     plan = build_route2_plan(rp, ci, vv, (m, m), nnz)
     tb = time.perf_counter() - t0
     print(f"{tag}: build {tb:.1f}s g={plan.g} fill={plan.fill:.3f} nchunks={plan.nchunks}", flush=True)

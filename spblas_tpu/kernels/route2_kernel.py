@@ -36,9 +36,15 @@ CB = 8          # chunks per grid step (the builder aligns flag groups)
 
 
 def _r2_route(r2, slab, g):
-    """t1[a,l] = slab[r2[a,l], l]: per octant, one (8,128) sublane
-    gather by (r2 & 7) + one select on (r2 >> 3) == gg.  The full-row
-    index removes the old sel table's col-mod-1024 class constraint."""
+    """t1[a,l] = slab[r2[a,l], l]: per octant of the materialized
+    (8g,128) slab, one sublane gather by (r2 & 7) + one select on
+    (r2 >> 3) == gg.  (Mosaic's gather lowering requires index shape ==
+    source shape, so a single take across (8g,128) cannot lower; and
+    slicing the g octants straight off the pane ref measured ~30%
+    slower than one materialized slab copy.)  The full-row index
+    removes the old sel table's col-mod-1024 class constraint."""
+    if g == 1:
+        return jnp.take_along_axis(slab, r2 & 7, axis=0)
     lo = r2 & 7
     hi = r2 >> 3
     t1 = jnp.zeros((SUBS, LANES), jnp.float32)
@@ -52,8 +58,6 @@ def _r2_route(r2, slab, g):
 def _chunk_body(t, val, slab, g):
     """One (8,128) chunk: r2 slab-row route, lane gather, depth drop,
     multiply, segmented prefix, publish."""
-    ii = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
-
     t1 = _r2_route((t >> B_R2) & 255, slab, g)
     t2 = jnp.take_along_axis(t1, (t >> B_LF) & 127, axis=1)   # THE lane op
     t3 = jnp.take_along_axis(t2, (t >> B_SD2) & 7, axis=0)
@@ -62,7 +66,9 @@ def _chunk_body(t, val, slab, g):
     dist = (t >> B_DIST) & 7
     P = c
     for d in (1, 2, 4):
-        shifted = jnp.take_along_axis(P, jnp.maximum(ii - d, 0), axis=0)
+        # static sublane rotate + mask (cheaper than a dynamic gather);
+        # wrapped rows are safe: dist >= d implies sublane >= d
+        shifted = jnp.roll(P, d, axis=0)
         P = P + jnp.where(dist >= d, shifted, 0.0)
 
     RS = jnp.take_along_axis(P, (t >> B_PEND) & 7, axis=0)
@@ -199,14 +205,13 @@ def _gather_chain(t, slab, g, b_r2, b_lf, b_sd2):
 
 
 def _mul_chunk_body(t1, t2, slabA, slabB, g_a, g_b):
-    ii = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
     tA = _gather_chain(t2, slabA, g_a, B2_R2, B2_LF, B2_SD2)
     tB = _gather_chain(t1, slabB, g_b, B_R2, B_LF, B_SD2)
     c = tA * tB
     dist = (t1 >> B_DIST) & 7
     P = c
     for d in (1, 2, 4):
-        shifted = jnp.take_along_axis(P, jnp.maximum(ii - d, 0), axis=0)
+        shifted = jnp.roll(P, d, axis=0)
         P = P + jnp.where(dist >= d, shifted, 0.0)
     RS = jnp.take_along_axis(P, (t1 >> B_PEND) & 7, axis=0)
     vA = ((t1 >> B_VA) & 1).astype(jnp.float32)
