@@ -147,26 +147,24 @@ def section_spmv_general_route(m=300_000, deg=10, iters=100):
     (the round-2 kernel, rev 2; VERDICT item 1).  m=300k keeps the host
     plan build inside the section budget; the m=1M point runs in the
     FULL sweep (section spmv_general_route_1m)."""
-    import numpy as np
     import jax, jax.numpy as jnp
-    from spblas_tpu.kernels.route2 import build_route2_plan
-    from spblas_tpu.kernels.route2_kernel import route2_spmv
+    from spblas_tpu.kernels import plans as _plans
     from spblas_tpu.utils.generate import generate_csr
 
     nnz = m * deg
     a = generate_csr(m, m, nnz, seed=3)
-    plan = build_route2_plan(np.asarray(a.rowptr), np.asarray(a.colind),
-                             np.asarray(a.values), (m, m), int(a.nnz))
+    kind, plan = _plans.build_matvec_plan(a)
 
     def step(plan, x):
-        y = route2_spmv(plan, x)
+        y = _plans.plan_spmv((kind, plan), x)
         return y * jax.lax.rsqrt(jnp.sum(y * y) / m + 1e-9)
 
     sec = _time_chained(step, plan,
                         jnp.ones((m,), jnp.float32), iters=iters)
     return {"nnz_s": int(a.nnz) / sec, "nnz": int(a.nnz),
-            "fill": plan.fill, "chunks": plan.nchunks,
-            "path": "route2"}
+            "fill": getattr(plan, "fill", None),
+            "chunks": getattr(plan, "nchunks", None),
+            "path": kind}
 
 
 def section_spmv_general_xla(m=20_000, deg=10, iters=10):
@@ -258,27 +256,47 @@ def section_spmm_banded(m=409_600, half_bw=50, k=256, iters=20):
     return {"flops_s": 2 * nnz * k / sec}
 
 
-def section_spmv_rmat(m=131_072, deg=16, iters=50):
-    """Power-law (RMAT) pattern through the ROUTE2 plan — the
-    SuiteSparse-class skewed-degree case."""
-    import numpy as np
+def section_spmm_general(m=100_000, deg=10, k=256, iters=20):
+    """Unstructured CSR x dense SpMM through the matmul plan (ELL
+    all-dense gather+einsum; VERDICT item 5).  Reference bar:
+    vendor/onemkl_sycl/detail/spmm_impl.hpp:40-200."""
     import jax, jax.numpy as jnp
-    from spblas_tpu.kernels.route2 import build_route2_plan
-    from spblas_tpu.kernels.route2_kernel import route2_spmv
+    from spblas_tpu.kernels import plans as _plans
+    from spblas_tpu.utils.generate import generate_csr
+
+    a = generate_csr(m, m, m * deg, seed=3)
+    kind, plan = _plans.build_matmul_plan(a)
+
+    def step(plan, bmat):
+        c = _plans.plan_spmm((kind, plan), bmat)
+        return c * 1e-3 + 0.5
+
+    b0 = jnp.ones((m, k), jnp.float32)
+    sec = _time_chained(step, plan, b0, iters=iters)
+    fl = 2 * int(a.nnz) * k
+    return {"gflop_s": fl / sec / 1e9, "k": k, "path": kind,
+            "nnz": int(a.nnz)}
+
+
+def section_spmv_rmat(m=131_072, deg=16, iters=50):
+    """Power-law (RMAT) pattern through the plan chooser — the
+    SuiteSparse-class skewed-degree case (hub mass routes to the v1
+    ROUTE kernel, kernels/plans._try_route)."""
+    import jax, jax.numpy as jnp
+    from spblas_tpu.kernels import plans as _plans
     from spblas_tpu.utils.generate import generate_rmat_csr
 
     a = generate_rmat_csr(m, m * deg, seed=5)
-    plan = build_route2_plan(np.asarray(a.rowptr), np.asarray(a.colind),
-                             np.asarray(a.values), a.shape, int(a.nnz))
+    kind, plan = _plans.build_matvec_plan(a)
 
     def step(plan, x):
-        y = route2_spmv(plan, x)
+        y = _plans.plan_spmv((kind, plan), x)
         return y * jax.lax.rsqrt(jnp.sum(y * y) / m + 1e-9)
 
     sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
                         iters=iters)
     return {"nnz_s": int(a.nnz) / sec, "nnz": int(a.nnz),
-            "fill": plan.fill, "path": "route2"}
+            "fill": getattr(plan, "fill", None), "path": kind}
 
 
 SECTIONS = {
@@ -294,6 +312,7 @@ SECTIONS = {
     "headline_bf16": section_headline_bf16,
     "spmm_banded": section_spmm_banded,
     "spmv_rmat": section_spmv_rmat,
+    "spmm_general": section_spmm_general,
 }
 
 
@@ -351,6 +370,7 @@ def main():
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         defaults += [
             ("spmv_general_route_1m", 900),
+            ("spmm_general", 420),
             ("spmv_general_xla", 300),
             ("headline_bf16", 420),
             ("spmm_banded", 420),

@@ -108,26 +108,89 @@ def build_matvec_plan(a) -> Tuple[str, object]:
                         build_permuted_band_plan(a, perm=perm))
         route = _try_route(a)
         if route is not None:
-            return ("route", route)
+            return route
     if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
         return ("dia", build_dia_plan(a))
     return ("ell", build_ell_plan(a))
 
 
-def _try_route(a):
-    """ROUTE2 plan for general sparsity when x and y fit VMEM residency
-    (kernels/route2.py; one lane-gather per chunk — the round-2
-    unstructured-CSR path, rev 2)."""
+def build_matmul_plan(a) -> Tuple[str, object]:
+    """SpMM plan: like :func:`build_matvec_plan` but general sparsity
+    lands on ELL, not ROUTE — the all-dense gather+einsum SpMM runs all
+    k columns in one pass (measured 21 GFLOP/s at k=256 on uniform
+    100k) while column-at-a-time ROUTE replays pay the whole SpMV cost
+    per column."""
+    import jax.numpy as jnp
+
+    a = to_csr(a)
+    m, n = a.shape
+    h = band_halfwidth(a)
+    if not jnp.issubdtype(a.dtype, jnp.complexfloating) and _on_tpu():
+        if _band_fill(a, h) >= _BAND_FILL_THRESHOLD:
+            return ("band", build_band_plan(a))
+        bsr = _try_bsr(a)
+        if bsr is not None:
+            return ("bsr", bsr)
+        if _band_fill(a, h) >= 0.02:
+            return ("band", build_band_plan(a))
+        if m == n:
+            import numpy as np
+            from spblas_tpu import native
+            perm, h2 = native.rcm(
+                m, int(a.nnz), np.asarray(a.rowptr).astype(np.int64),
+                np.asarray(a.colind))
+            if _band_fill(a, h2) >= _BAND_PERM_FILL_THRESHOLD:
+                return ("band_perm",
+                        build_permuted_band_plan(a, perm=perm))
+    if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
+        return ("dia", build_dia_plan(a))
+    return ("ell", build_ell_plan(a))
+
+
+# hub-row mass above this fraction routes to the v1 ROUTE kernel: its
+# second full permutation scatters a row's segments across ANY lanes,
+# so hub rows don't serialize (measured: RMAT 131k deg16 v1 1.22 vs v2
+# 0.60 Gnnz/s).  Low-skew matrices take v2's cheaper chunks (~105 vs
+# ~160 ns marginal; uniform 300k v2 2.12 vs v1 1.49 Gnnz/s).
+_ROUTE_HUB_DEG = 32
+_ROUTE_HUB_FRACTION = 0.15
+
+
+def _hub_fraction(a) -> float:
+    """Fraction of nonzeros living in rows with degree > _ROUTE_HUB_DEG."""
     import numpy as np
-    from spblas_tpu.kernels.route2 import build_route2_plan
+    nnz = int(a.nnz)
+    if nnz == 0:
+        return 0.0
+    deg = np.diff(np.minimum(np.asarray(a.rowptr).astype(np.int64), nnz))
+    return float(deg[deg > _ROUTE_HUB_DEG].sum()) / nnz
+
+
+def _try_route(a):
+    """ROUTE plan for general sparsity when x and y fit VMEM residency.
+
+    Kind "route" = ROUTE2 (kernels/route2.py, one lane gather/chunk);
+    kind "route1" = ROUTE v1 (kernels/route_plan.py, permutation-free
+    placement) for hub-heavy patterns.  Returns (kind, plan) or None."""
+    import numpy as np
 
     m, n = a.shape
     rows = -(-n // 128) + -(-m // 128)
     if rows > _ROUTE_VMEM_ROWS:
         return None
-    return build_route2_plan(np.asarray(a.rowptr),
-                             np.asarray(a.colind),
-                             np.asarray(a.values), (m, n), int(a.nnz))
+    if _hub_fraction(a) > _ROUTE_HUB_FRACTION:
+        from spblas_tpu.kernels.route_plan import build_route_plan
+        return ("route1",
+                build_route_plan(np.asarray(a.rowptr),
+                                 np.asarray(a.colind),
+                                 np.asarray(a.values), (m, n),
+                                 int(a.nnz)))
+    from spblas_tpu.kernels.route2 import build_route2_plan
+    return ("route",
+            build_route2_plan(np.asarray(a.rowptr),
+                              np.asarray(a.colind),
+                              np.asarray(a.values), (m, n),
+                              int(a.nnz)))
 
 
 def _try_bsr(a):
@@ -179,6 +242,9 @@ def plan_spmv(plan: Tuple[str, object], x: jax.Array) -> jax.Array:
     if kind == "route":
         from spblas_tpu.kernels.route2_kernel import route2_spmv
         return route2_spmv(p, x)
+    if kind == "route1":
+        from spblas_tpu.kernels.route_spmv import route_spmv
+        return route_spmv(p, x)
     if kind == "dia":
         return dia_spmv(p, x)
     return ell_spmv(p, x)
@@ -216,11 +282,16 @@ def plan_spmm(plan: Tuple[str, object], b: jax.Array) -> jax.Array:
         bp = jnp.pad(b, ((0, bsr.shape[1] - n), (0, 0)))
         return bsr_spmm(bsr, bp)[:m]
     if kind == "route":
-        # interim: column-at-a-time through the SpMV kernel (a fused
-        # ROUTE SpMM kernel is the planned upgrade; correctness first)
+        # interim: column-at-a-time through the SpMV kernel (spmm
+        # callers prefer build_matmul_plan, whose general path is ELL)
         import jax.numpy as jnp
         from spblas_tpu.kernels.route2_kernel import route2_spmv
         cols = jax.lax.map(lambda col: route2_spmv(p, col), b.T)
+        return jnp.transpose(cols)
+    if kind == "route1":
+        import jax.numpy as jnp
+        from spblas_tpu.kernels.route_spmv import route_spmv
+        cols = jax.lax.map(lambda col: route_spmv(p, col), b.T)
         return jnp.transpose(cols)
     if kind == "dia":
         return dia_spmm(p, b)

@@ -34,7 +34,7 @@ def spmm(a_view, b_view) -> jax.Array:
     opt = _v.get_matrix_opt(a_view)
     if opt is not None and not conj_a and _v.is_sparse(a_view):
         from spblas_tpu.kernels import plans as _plans
-        plan = opt.get_plan("matvec", _plans.build_matvec_plan)
+        plan = opt.get_plan("matmul", _plans.build_matmul_plan)
         c = _plans.plan_spmm(plan, b)
     else:
         c = _spmm_base(a, b, conj_a)
