@@ -69,6 +69,37 @@ def _band_fill(a, h) -> float:
     return int(a.nnz) / float(max(a.shape[0], 1) * w)
 
 
+def _build_band_cx(a):
+    """Complex banded plan: two real band-panel plans over the same
+    structure (re/im planes).  (a+ib)(x+iy) = (ax-by) + i(ay+bx): four
+    real panel SpMVs replace the gather-bound complex fallback."""
+    import dataclasses
+    import jax.numpy as jnp
+    ar = dataclasses.replace(a, values=jnp.real(a.values))
+    ai = dataclasses.replace(a, values=jnp.imag(a.values))
+    return (build_band_plan(ar), build_band_plan(ai))
+
+
+def band_cx_spmv(plans, x):
+    import jax.numpy as jnp
+    pr, pi = plans
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
+    yr = band_spmv(pr, xr) - band_spmv(pi, xi)
+    yi = band_spmv(pr, xi) + band_spmv(pi, xr)
+    return jax.lax.complex(yr, yi)
+
+
+def band_cx_spmm(plans, b):
+    import jax.numpy as jnp
+    pr, pi = plans
+    br = jnp.real(b).astype(jnp.float32)
+    bi = jnp.imag(b).astype(jnp.float32)
+    cr = band_spmm(pr, br) - band_spmm(pi, bi)
+    ci = band_spmm(pr, bi) + band_spmm(pi, br)
+    return jax.lax.complex(cr, ci)
+
+
 def build_matvec_plan(a) -> Tuple[str, object]:
     import jax.numpy as jnp
 
@@ -76,8 +107,13 @@ def build_matvec_plan(a) -> Tuple[str, object]:
     m, n = a.shape
     h = band_halfwidth(a)
     if jnp.issubdtype(a.dtype, jnp.complexfloating):
-        # Pallas band/BSR kernels are real-only; DIA/ELL are jnp-based
-        # and complex-safe
+        # complex64 banded: two real band-panel plans (re/im planes) so
+        # complex structured matrices leave the gather path (VERDICT
+        # round-1 item 10); otherwise DIA/ELL are jnp-based and
+        # complex-safe
+        if (_on_tpu() and a.dtype == jnp.complex64
+                and _band_fill(a, h) >= 0.02):
+            return ("band_cx", _build_band_cx(a))
         if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
             return ("dia", build_dia_plan(a))
         return ("ell", build_ell_plan(a))
@@ -125,6 +161,9 @@ def build_matmul_plan(a) -> Tuple[str, object]:
     a = to_csr(a)
     m, n = a.shape
     h = band_halfwidth(a)
+    if (jnp.issubdtype(a.dtype, jnp.complexfloating) and _on_tpu()
+            and a.dtype == jnp.complex64 and _band_fill(a, h) >= 0.02):
+        return ("band_cx", _build_band_cx(a))
     if not jnp.issubdtype(a.dtype, jnp.complexfloating) and _on_tpu():
         if _band_fill(a, h) >= _BAND_FILL_THRESHOLD:
             return ("band", build_band_plan(a))
@@ -245,6 +284,8 @@ def plan_spmv(plan: Tuple[str, object], x: jax.Array) -> jax.Array:
     if kind == "route1":
         from spblas_tpu.kernels.route_spmv import route_spmv
         return route_spmv(p, x)
+    if kind == "band_cx":
+        return band_cx_spmv(p, x)
     if kind == "dia":
         return dia_spmv(p, x)
     return ell_spmv(p, x)
@@ -293,6 +334,8 @@ def plan_spmm(plan: Tuple[str, object], b: jax.Array) -> jax.Array:
         from spblas_tpu.kernels.route_spmv import route_spmv
         cols = jax.lax.map(lambda col: route_spmv(p, col), b.T)
         return jnp.transpose(cols)
+    if kind == "band_cx":
+        return band_cx_spmm(p, b)
     if kind == "dia":
         return dia_spmm(p, b)
     return ell_spmm(p, b)

@@ -187,10 +187,15 @@ def _numeric(plan: SpgemmPlan, a_values, b_values, d_values, alpha, beta):
         v, mode="drop")
 
 
-def _try_build_route(src_a_s, src_b_s, is_d_s, valid_s, slot_all, a, b,
-                     d, c_capacity: int):
+def _try_build_route(a, b, d, c_capacity: int):
     """Build the fused route numeric engine when the operands fit its
     VMEM-residency and dtype envelope (real f32; A/B/out panes resident).
+
+    The expansion stream is recomputed HOST-SIDE from the CSR arrays:
+    pulling the device-resident sorted streams through the (tunneled)
+    device->host path measured ~60 s at 800k entries, vs ~0.2 s of
+    numpy here.  Slot ids match the device plan because both number the
+    unique (row, col) pairs in the same lexicographic order.
 
     D entries gather a constant 1 from the slot appended after A's
     values and beta*d from the region appended after B's values — the
@@ -209,24 +214,51 @@ def _try_build_route(src_a_s, src_b_s, is_d_s, valid_s, slot_all, a, b,
     rows = (-(-a_len // 128) + -(-b_len // 128) + -(-c_capacity // 128))
     if rows > 18_000:
         return None
-    valid = np.asarray(valid_s)
-    slot = np.asarray(slot_all)
-    keep = valid & (slot < c_capacity)
-    if keep.sum() > 8_000_000:
+
+    m = a.shape[0]
+    a_nnz, b_nnz = int(a.nnz), int(b.nnz)
+    a_rp = np.minimum(np.asarray(a.rowptr).astype(np.int64), a_nnz)
+    a_ci = np.asarray(a.colind)[:a_nnz].astype(np.int64)
+    b_rp = np.minimum(np.asarray(b.rowptr).astype(np.int64), b_nnz)
+    b_ci = np.asarray(b.colind)[:b_nnz].astype(np.int64)
+    rows_a = np.repeat(np.arange(m, dtype=np.int64), np.diff(a_rp))
+    cnt = b_rp[a_ci + 1] - b_rp[a_ci]
+    total = int(cnt.sum())
+    if total > 8_000_000:
         return None
-    sa = np.asarray(src_a_s)[keep].astype(np.int64)
-    sb = np.asarray(src_b_s)[keep].astype(np.int64)
-    isd = np.asarray(is_d_s)[keep]
-    slots = slot[keep].astype(np.int64)
-    sa = np.where(isd, a.capacity, sa)       # D gathers the constant 1
-    sb = np.where(isd, b.capacity + sb, sb)  # D region sits after B
-    order = np.argsort(slots, kind="stable")
+    sa = np.repeat(np.arange(a_nnz, dtype=np.int64), cnt)
+    off = np.concatenate([[0], np.cumsum(cnt)])
+    sb = (np.arange(total, dtype=np.int64)
+          - np.repeat(off[:-1], cnt) + np.repeat(b_rp[a_ci], cnt))
+    rows = np.repeat(rows_a, cnt)
+    cols = b_ci[sb]
+    if d is not None:
+        d_nnz = int(d.nnz)
+        d_rp = np.minimum(np.asarray(d.rowptr).astype(np.int64), d_nnz)
+        d_ci = np.asarray(d.colind)[:d_nnz].astype(np.int64)
+        rows = np.concatenate(
+            [rows, np.repeat(np.arange(m, dtype=np.int64),
+                             np.diff(d_rp))])
+        cols = np.concatenate([cols, d_ci])
+        sa = np.concatenate(
+            [sa, np.full(d_nnz, a.capacity, np.int64)])  # const-1 slot
+        sb = np.concatenate(
+            [sb, b.capacity + np.arange(d_nnz, dtype=np.int64)])
+    order = np.lexsort((cols, rows))
+    rows, cols, sa, sb = rows[order], cols[order], sa[order], sb[order]
+    head = np.empty(len(rows), bool)
+    if len(rows):
+        head[0] = True
+        head[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+    slots = np.cumsum(head) - 1
+    if len(slots) and int(slots[-1]) >= c_capacity:
+        return None
     if os.environ.get("SPBLAS_ROUTE_SPGEMM") == "2":
         from spblas_tpu.kernels.route2 import build_route2_mul_plan
-        return build_route2_mul_plan(slots[order], sa[order], sb[order],
+        return build_route2_mul_plan(slots, sa, sb,
                                      a_len, b_len, c_capacity)
     from spblas_tpu.kernels.route_mul import build_route_mul_plan
-    return build_route_mul_plan(slots[order], sa[order], sb[order],
+    return build_route_mul_plan(slots, sa, sb,
                                 a_len, b_len, c_capacity)
 
 
@@ -236,10 +268,15 @@ def _try_build_route(src_a_s, src_b_s, is_d_s, valid_s, slot_all, a, b,
 
 @traced
 def spgemm_compute(a_view, b_view, d_view=None,
-                   c_capacity: Optional[int] = None) -> OperationInfo:
+                   c_capacity: Optional[int] = None,
+                   reuse: bool = True) -> OperationInfo:
     """Symbolic phase: structure of C = A@B (+ D's structure if given).
 
     One host sync reads result_nnz (mirrors spgemm_impl.hpp:106-117).
+    ``reuse=True`` (the two-phase/inspector contract) additionally
+    builds the fused Pallas numeric engine so repeated fills run at
+    in-register gather speed; one-shot callers pass ``reuse=False`` to
+    skip that host inspection and take the XLA numeric.
     """
     a = to_csr(_v.get_ultimate_base(a_view))
     b = to_csr(_v.get_ultimate_base(b_view))
@@ -286,8 +323,8 @@ def spgemm_compute(a_view, b_view, d_view=None,
             f"requested capacity {c_capacity}")
     c_colind, slot_all = _structure_fill(cols_s, heads, slots, valid_s,
                                          int(c_capacity))
-    route = _try_build_route(src_a_s, src_b_s, is_d_s, valid_s, slot_all,
-                             a, b, d, int(c_capacity))
+    route = (_try_build_route(a, b, d, int(c_capacity))
+             if reuse else None)
     plan = SpgemmPlan(src_a=src_a_s, src_b=src_b_s, is_d=is_d_s,
                       valid=valid_s, slot=slot_all,
                       c_rowptr=c_rowptr, c_colind=c_colind,
@@ -362,7 +399,8 @@ def spgemm(a_view, b_view, c_capacity: Optional[int] = None):
         c = bsr_spgemm(a_base, b_base)
         alpha = alpha_a * alpha_b
         return dataclasses.replace(c, values=c.values * alpha)
-    info = spgemm_compute(a_view, b_view, c_capacity=c_capacity)
+    info = spgemm_compute(a_view, b_view, c_capacity=c_capacity,
+                          reuse=False)
     return spgemm_fill(info, a_view, b_view)
 
 

@@ -138,7 +138,10 @@ def generate_banded_csr(m, n, bandwidth, seed=0, dtype=np.float32,
     cols = np.concatenate(cols_l)
     order = np.lexsort((cols, rows))
     rows, cols = rows[order], cols[order]
-    vals = rng.uniform(-1, 1, len(rows)).astype(dtype)
+    vals = rng.uniform(-1, 1, len(rows))
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        vals = vals + 1j * rng.uniform(-1, 1, len(rows))
+    vals = vals.astype(dtype)
     return CSR.from_arrays(vals, _rows_to_rowptr(rows, m), cols, (m, n),
                            nnz=len(rows), capacity=capacity)
 
