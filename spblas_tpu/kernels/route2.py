@@ -174,23 +174,7 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
     # gather from the output pane (src_flag=1); each level only reads
     # slots written by earlier chunks, so one sequential-grid dispatch
     # handles everything.
-    n_aux_chunks = 0
-    level = 0
-    while state.aux_pending and level < 8:
-        level += 1
-        aux = state.aux_pending
-        state.aux_pending = []
-        a_slots = np.array([s for s, _ in aux], np.int64)
-        a_rows = np.array([r for _, r in aux], np.int64)
-        order = np.lexsort((a_slots, a_rows))
-        first = len(state.tiles)
-        # aux "columns" are absolute output-pane slot positions
-        _pack_stream(a_rows[order], a_slots[order],
-                     np.ones(len(aux), np.float32),
-                     np.full(len(aux), -1, np.int64),
-                     g, window, state, tgt_rows=None, src_flag=1)
-        n_aux_chunks += len(state.tiles) - first
-    assert not state.aux_pending, "aux recursion runaway"
+    n_aux_chunks = _drain_aux(state, g, window)
 
     if not state.tiles:
         state.append_empty()
@@ -227,6 +211,148 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
         g=g, shape=(m, n), nat_slots=int(nat_slots), x_rows=x_rows,
         y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
         fill=float(fill))
+
+
+def _drain_aux(state: "_BuildState", g: int, window: int) -> int:
+    """Pack the pending aux partial sums into reduction chunks (levels
+    recurse until dry).  Returns the number of chunks appended."""
+    n_aux_chunks = 0
+    level = 0
+    while state.aux_pending and level < 8:
+        level += 1
+        aux = state.aux_pending
+        state.aux_pending = []
+        a_slots = np.array([s for s, _ in aux], np.int64)
+        a_rows = np.array([r for _, r in aux], np.int64)
+        order = np.lexsort((a_slots, a_rows))
+        first = len(state.tiles)
+        # aux "columns" are absolute output-pane slot positions
+        _pack_stream(a_rows[order], a_slots[order],
+                     np.ones(len(aux), np.float32),
+                     np.full(len(aux), -1, np.int64),
+                     g, window, state, tgt_rows=None, src_flag=1)
+        n_aux_chunks += len(state.tiles) - first
+    assert not state.aux_pending, "aux recursion runaway"
+    return n_aux_chunks
+
+
+def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
+                            levels, diag_pos, unit_diag: bool,
+                            lower: bool) -> Route2Plan:
+    """ONE-dispatch level-scheduled triangular solve plan.
+
+    Solving (aA) x = b row-wise gives x_i = b_i/(a d_i) - sum_j
+    (a_ij/d_i) x_j, so the whole solve is the fixed accumulation
+    y <- y0 + SUM(-a_ij/d_i * y[j]) with y0 = b/(alpha d): a ROUTE2
+    plan whose chunks ALL gather from the output pane (the aux
+    mechanism, src_flag=1) and are ordered by dependency level — one
+    Pallas dispatch replaces the per-level XLA sweep and its ~ms/level
+    platform cost (reference bar: vendor optimize_trsv,
+    vendor/onemkl_sycl/triangular_solve_impl.hpp:69-70).
+
+    Values are baked (coefficients -a_ij/d_i); rebuild on value change.
+    """
+    m = int(shape[0])
+    rowptr = np.asarray(rowptr).astype(np.int64)
+    colind = np.asarray(colind).astype(np.int64)[:nnz]
+    vals_h = np.asarray(values)[:nnz].astype(np.float64)
+    levels = np.asarray(levels).astype(np.int64)
+    lo = np.minimum(rowptr[:-1], nnz)
+    hi = np.minimum(rowptr[1:], nnz)
+    rows = np.repeat(np.arange(m, dtype=np.int64), hi - lo)
+    ent = np.arange(nnz, dtype=np.int64)
+    off = (colind < rows) if lower else (colind > rows)
+    d = np.ones(m, np.float64)
+    if not unit_diag:
+        d = vals_h[np.asarray(diag_pos).astype(np.int64)]
+    coeff = -(vals_h / d[rows])
+
+    want = max(1, (2 * m * m) // (max(nnz, 1) * SLOTS) + 1)
+    g = 1
+    while g < want and g < 16:
+        g *= 2
+    g = min(g, _pick_g(max(m, 1)))
+    window = g * SLOTS
+
+    y_rows = -(-max(m, 1) // ROW_WINDOW) * SUBS
+    state = _BuildState(g, y_rows)
+
+    # per-level packing: a chunk may only gather rows completed by
+    # earlier chunks, so each level's entries (and its hub-spill
+    # reductions) pack before the next level's
+    e_rows = rows[off]
+    e_cols = colind[off]
+    e_coeff = coeff[off].astype(np.float32)
+    e_ent = ent[off]
+    e_lv = levels[e_rows] if len(e_rows) else np.zeros(0, np.int64)
+    order = np.argsort(e_lv, kind="stable")
+    e_rows, e_cols = e_rows[order], e_cols[order]
+    e_coeff, e_ent, e_lv = e_coeff[order], e_ent[order], e_lv[order]
+    bounds = np.flatnonzero(np.diff(e_lv)) + 1
+    starts = np.concatenate([[0], bounds]) if len(e_lv) else []
+    ends = np.concatenate([bounds, [len(e_lv)]]) if len(e_lv) else []
+    n_aux_chunks = 0
+    for s0, s1 in zip(starts, ends):
+        _pack_stream(e_rows[s0:s1], e_cols[s0:s1], e_coeff[s0:s1],
+                     e_ent[s0:s1], g, window, state, tgt_rows=None,
+                     src_flag=1)
+        n_aux_chunks += _drain_aux(state, g, window)
+
+    if not state.tiles:
+        state.append_empty()
+
+    nchunks = len(state.tiles)
+    aux_rows = state.aux_rows()
+    pane_rows = y_rows + aux_rows
+    x_rows = max(pane_rows, SUBS * g)
+    return Route2Plan(
+        tile=jnp.asarray(np.stack(state.tiles)),
+        val=jnp.asarray(np.stack(state.vals).astype(np.float32)),
+        slab_base=jnp.asarray(np.array(state.sb, np.int32)),
+        y_base=jnp.asarray(np.array(state.yb, np.int32)),
+        src_flag=jnp.asarray(np.array(state.flags, np.int32)),
+        val_src=jnp.asarray(np.stack(state.srcs)),
+        ext_cols=jnp.asarray(np.zeros(0, np.int32)),
+        g=g, shape=(m, m), nat_slots=x_rows * LANES, x_rows=x_rows,
+        y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
+        fill=len(e_rows) / max(nchunks * SLOTS, 1))
+
+
+def route2_solve_numpy(plan: Route2Plan, y0: np.ndarray) -> np.ndarray:
+    """Numpy oracle of the one-dispatch solve: the SpMV simulator with
+    the output pane initialized from y0 and every chunk reading it."""
+    m = plan.shape[0]
+    y2 = np.zeros((max(plan.pane_rows, plan.x_rows), LANES), np.float32)
+    y2.reshape(-1)[:m] = np.asarray(y0, np.float32)
+    g = plan.g
+    tiles = np.asarray(plan.tile)
+    vals = np.asarray(plan.val)
+    sbs = np.asarray(plan.slab_base)
+    ybs = np.asarray(plan.y_base)
+    jj = np.broadcast_to(np.arange(LANES)[None, :], (SUBS, LANES))
+    ii = np.broadcast_to(np.arange(SUBS)[:, None], (SUBS, LANES))
+    for k in range(plan.nchunks):
+        t = tiles[k].astype(np.int64)
+        sb = int(sbs[k])
+        slab = np.zeros((SUBS * g, LANES), np.float32)
+        avail = min(SUBS * g, y2.shape[0] - sb)
+        if avail > 0:
+            slab[:avail] = y2[sb:sb + avail]
+        r2 = (t >> B_R2) & 255
+        t1 = slab[np.minimum(r2, SUBS * g - 1), jj]
+        t2 = t1[ii, (t >> B_LF) & 127]
+        t3 = t2[(t >> B_SD2) & 7, jj]
+        c = t3 * vals[k]
+        dist = (t >> B_DIST) & 7
+        P = c.copy()
+        for dd in (1, 2, 4):
+            sh = np.roll(P, dd, axis=0)
+            sh[:dd] = 0
+            P = P + np.where(dist >= dd, sh, 0.0)
+        RS = P[(t >> B_PEND) & 7, jj] * ((t >> B_VA) & 1)
+        yb = int(ybs[k])
+        y2[yb:yb + SUBS] += RS
+    return y2.reshape(-1)[:m]
 
 
 class _BuildState:

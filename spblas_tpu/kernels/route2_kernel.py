@@ -78,7 +78,7 @@ def _chunk_body(t, val, slab, g):
 
 def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
                    t_buf, v_buf, t_sem, v_sem, *, g: int,
-                   has_aux: bool):
+                   has_aux: bool, init_from_x: bool = False):
     k = pl.program_id(0)
     nk = pl.num_programs(0)
 
@@ -92,7 +92,11 @@ def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
 
     @pl.when(k == 0)
     def _():
-        y_ref[...] = jnp.zeros_like(y_ref)
+        if init_from_x:
+            # solve mode: the output pane starts at y0 = b/(alpha*d)
+            y_ref[...] = x_ref[...]
+        else:
+            y_ref[...] = jnp.zeros_like(y_ref)
         for d in dmas(0, 0):
             d.start()
 
@@ -192,6 +196,64 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
         ),
     )(sb, yb, fl, t, v, x2)
     return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(xdt)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def route2_solve(plan: Route2Plan, y0: jax.Array,
+                 interpret: bool | None = None) -> jax.Array:
+    """x = one-dispatch level-scheduled triangular substitution over a
+    plan from kernels.route2.build_route2_solve_plan: the output pane
+    starts at y0 and every chunk gathers from it (chunks are packed in
+    dependency-level order, so earlier grid steps' publishes are
+    visible to later gathers)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    m = plan.shape[0]
+    rows = max(plan.pane_rows, plan.x_rows)
+    y0dt = y0.dtype
+    pane0 = jnp.pad(y0.astype(jnp.float32),
+                    (0, rows * LANES - y0.shape[0])).reshape(rows, LANES)
+
+    nc = plan.nchunks
+    nsteps = -(-nc // CB)
+    pad = nsteps * CB - nc
+    t = jnp.pad(plan.tile, ((0, pad), (0, 0), (0, 0)))
+    v = jnp.pad(plan.val, ((0, pad), (0, 0), (0, 0)))
+    sb = jnp.pad(plan.slab_base, (0, pad))
+    yb = jnp.pad(plan.y_base, (0, pad))
+    fl = jnp.pad(plan.src_flag, (0, pad), mode="edge")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rows, LANES), lambda k, *_: (0, 0),
+                         memory_space=pltpu.VMEM),   # y0 pane
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, CB, SUBS, LANES), jnp.int32),
+            pltpu.VMEM((2, CB, SUBS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    y2 = pl.pallas_call(
+        functools.partial(_route2_kernel, g=plan.g, has_aux=True,
+                          init_from_x=True),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nsteps * CB * SUBS * LANES,
+            bytes_accessed=nsteps * CB * SUBS * LANES * 8
+            + 2 * rows * LANES * 4,
+            transcendentals=0,
+        ),
+    )(sb, yb, fl, t, v, pane0)
+    return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(y0dt)
 
 
 # ------------------------------------------------------------------ #

@@ -56,6 +56,14 @@ class TrsvPlan:
     uplo: str = dataclasses.field(metadata=dict(static=True))
     unit_diag: bool = dataclasses.field(metadata=dict(static=True))
     m: int = dataclasses.field(metadata=dict(static=True))
+    # one-dispatch ROUTE2 substitution (kernels/route2.py
+    # build_route2_solve_plan): values are BAKED as -a_ij/d_i, so the
+    # executor uses it only when the solve's values array IS the one
+    # inspected (route_vals_ref identity); otherwise the ragged level
+    # sweep below stays correct for numeric re-runs
+    route: object = None
+    route_diag: object = None      # (m,) int32 diag entry idx, or None
+    route_vals_ref: object = None  # the values array the bake saw
 
     @property
     def num_levels(self) -> int:
@@ -129,6 +137,16 @@ def triangular_solve_inspect(a_view, uplo: str = "lower",
                            np.zeros(0, np.int64),
                            np.full(r_cap, -1, np.int64)])
 
+    route = route_diag = vals_ref = None
+    if _route_solve_eligible(a, m, nnz, num_levels):
+        from spblas_tpu.kernels.route2 import build_route2_solve_plan
+        route = build_route2_solve_plan(
+            rowptr, colind, np.asarray(a.values), (m, m), nnz, levels,
+            diag_pos, unit, lower)
+        if not unit:
+            route_diag = jnp.asarray(diag_pos.astype(np.int32))
+        vals_ref = a.values
+
     plan = TrsvPlan(
         ent_idx=jnp.asarray(ent_idx.astype(np.int32)),
         ent_col=jnp.asarray(ent_col.astype(np.int32)),
@@ -139,8 +157,25 @@ def triangular_solve_inspect(a_view, uplo: str = "lower",
         lv_rstart=jnp.asarray(lv_rstart.astype(np.int32)),
         e_cap=int(e_cap), r_cap=int(r_cap),
         uplo="lower" if lower else "upper",
-        unit_diag=unit, m=m)
+        unit_diag=unit, m=m,
+        route=route, route_diag=route_diag, route_vals_ref=vals_ref)
     return OperationInfo(result_shape=(m, 1), result_nnz=m, plan=plan)
+
+
+def _route_solve_eligible(a, m, nnz, num_levels) -> bool:
+    # one-dispatch substitution envelope: TPU (or forced), real f32
+    # values, pane VMEM-resident, chunk scalars within SMEM, and a
+    # level count the per-level host packer can walk
+    import os
+    from spblas_tpu.types import on_tpu
+    if os.environ.get("SPBLAS_NO_ROUTE_TRSV") == "1":
+        return False
+    if not (on_tpu() or os.environ.get("SPBLAS_FORCE_ROUTE_TRSV")):
+        return False
+    if a.dtype != jnp.float32:
+        return False
+    return (m // 128 <= 18_000 and nnz <= 4_000_000
+            and num_levels <= 4_096)
 
 
 @jax.jit
@@ -196,6 +231,16 @@ def triangular_solve(a_view, b, uplo: str = "lower",
         raise ValueError(
             f"triangular_solve: b length {b.shape[0]} != m {plan.m}")
     values = jnp.conj(a.values) if conj else a.values
+    if (plan.route is not None and not conj
+            and a.values is plan.route_vals_ref
+            and b.dtype == jnp.float32):
+        from spblas_tpu.kernels.route2_kernel import route2_solve
+        alpha_f = jnp.asarray(alpha, jnp.float32)
+        if plan.route_diag is not None:
+            y0 = b / (values[plan.route_diag] * alpha_f)
+        else:
+            y0 = b / alpha_f
+        return route2_solve(plan.route, y0)
     return _trsv_execute(plan, values, b, alpha)
 
 

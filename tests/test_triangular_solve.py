@@ -137,3 +137,37 @@ def test_trsv_skewed_triangle_plan_memory():
         want[i] = (b[i] - dense[i, :i] @ want[:i]) / dense[i, i]
     np.testing.assert_allclose(x, want.astype(np.float32), rtol=2e-3,
                                atol=2e-3)
+
+
+def test_route_solve_one_dispatch(monkeypatch):
+    """The one-dispatch ROUTE2 substitution (plan.route) matches the
+    ragged level sweep and the dense oracle, including the baked-values
+    identity guard (changed values fall back to the sweep)."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    import spblas_tpu as sp
+    from spblas_tpu.utils.generate import generate_triangular_csr
+    from tests.util import assert_close
+
+    monkeypatch.setenv("SPBLAS_FORCE_ROUTE_TRSV", "1")
+    L = generate_triangular_csr(3000, seed=7, lower=True)
+    info = sp.triangular_solve_inspect(L, uplo="lower")
+    assert info.plan.route is not None
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(3000).astype(np.float32)
+    x = np.asarray(sp.triangular_solve(L, b, uplo="lower", info=info))
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spl
+    nnz = int(L.nnz)
+    A = sps.csr_matrix((np.asarray(L.values)[:nnz],
+                        np.asarray(L.colind)[:nnz],
+                        np.asarray(L.rowptr)), shape=(3000, 3000))
+    ref = spl.spsolve_triangular(A, b, lower=True)
+    assert_close(x, ref, factor=256, abs_floor=1e-4)
+
+    # changed values with the same structure: identity guard must route
+    # to the (values-correct) ragged sweep, not the stale baked plan
+    L2 = dataclasses.replace(L, values=L.values * 2.0)
+    x2 = np.asarray(sp.triangular_solve(L2, b, uplo="lower", info=info))
+    assert_close(x2, ref / 2.0, factor=256, abs_floor=1e-4)
