@@ -169,17 +169,17 @@ def section_spmv_general_route(m=300_000, deg=10, iters=100):
 
 def section_spmv_general_xla(m=20_000, deg=10, iters=10):
     """Unstructured SpMV on the XLA gather path (ELL) — the honest
-    no-Pallas floor, kept for comparison."""
+    no-Pallas floor, kept for comparison (forced past the chooser)."""
     import jax.numpy as jnp
-    from spblas_tpu.kernels import plans as _plans
+    from spblas_tpu.kernels.ell import build_ell_plan, ell_spmv
     from spblas_tpu.utils.generate import generate_csr
 
     a = generate_csr(m, m, m * deg, seed=0)
-    kind, plan = _plans.build_matvec_plan(a)
+    kind, plan = "ell", build_ell_plan(a)
     scale = jnp.float32(deg)
 
     def step(plan, x):
-        return _plans.plan_spmv((kind, plan), x) / scale
+        return ell_spmv(plan, x) / scale
 
     sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
                         iters=iters)

@@ -81,7 +81,19 @@ def ell_spmv(plan: EllPlan, x: jax.Array) -> jax.Array:
 
 @jax.jit
 def ell_spmm(plan: EllPlan, b: jax.Array) -> jax.Array:
-    """C = A @ B: per-entry B-row gather, reduce over W."""
+    """C = A @ B: per-entry B-row gather, reduce over W.
+
+    For moderate W the reduction runs as W accumulated (m, k) row
+    gathers — measured 39 GFLOP/s vs 22 for the one-shot (m, W, k)
+    gather + einsum at k=256 on uniform 100k (the 3D intermediate is
+    what hurts, not the gather: row gathers stream at 100-375 GB/s,
+    PERF_NOTES.md round 2c)."""
+    if plan.width <= 64:
+        acc = jnp.zeros((plan.m_pad, b.shape[1]),
+                        jnp.result_type(plan.values.dtype, b.dtype))
+        for w in range(plan.width):
+            acc = acc + plan.values[:, w, None] * b[plan.cols[:, w]]
+        return acc[: plan.shape[0]]
     bg = b[plan.cols]                        # (m_pad, W, k)
     c = jnp.einsum("mw,mwk->mk", plan.values, bg,
                    precision=jax.lax.Precision.HIGHEST)

@@ -39,6 +39,8 @@ from spblas_tpu.kernels.dia import (DiaPlan, build_dia_plan, dia_spmv,
                                     dia_spmm, dia_fill_fraction)
 from spblas_tpu.kernels.ell import (EllPlan, build_ell_plan, ell_spmv,
                                     ell_spmm)
+from spblas_tpu.kernels.sell import (SellPlan, build_sell_plan,
+                                     sell_spmv, sell_spmm)
 from spblas_tpu.types import on_tpu as _on_tpu
 
 # DIA wins when its dense-diagonal storage is mostly true nonzeros:
@@ -183,7 +185,9 @@ def build_matmul_plan(a) -> Tuple[str, object]:
                         build_permuted_band_plan(a, perm=perm))
     if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
         return ("dia", build_dia_plan(a))
-    return ("ell", build_ell_plan(a))
+    # degree-bucketed SELL: ~min(2, Wmax/avg-deg)x less gather traffic
+    # than global-width ELL (kernels/sell.py)
+    return ("sell", build_sell_plan(a))
 
 
 # hub-row mass above this fraction routes to the v1 ROUTE kernel: its
@@ -286,6 +290,8 @@ def plan_spmv(plan: Tuple[str, object], x: jax.Array) -> jax.Array:
         return route_spmv(p, x)
     if kind == "band_cx":
         return band_cx_spmv(p, x)
+    if kind == "sell":
+        return sell_spmv(p, x)
     if kind == "dia":
         return dia_spmv(p, x)
     return ell_spmv(p, x)
@@ -336,6 +342,8 @@ def plan_spmm(plan: Tuple[str, object], b: jax.Array) -> jax.Array:
         return jnp.transpose(cols)
     if kind == "band_cx":
         return band_cx_spmm(p, b)
+    if kind == "sell":
+        return sell_spmm(p, b)
     if kind == "dia":
         return dia_spmm(p, b)
     return ell_spmm(p, b)
