@@ -118,7 +118,7 @@ def build_matvec_plan(a) -> Tuple[str, object]:
             return ("band_cx", _build_band_cx(a))
         if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
             return ("dia", build_dia_plan(a))
-        return ("ell", build_ell_plan(a))
+        return ("sell", build_sell_plan(a))
     if _on_tpu():
         if _band_fill(a, h) >= _BAND_FILL_THRESHOLD:
             return ("band", build_band_plan(a))
@@ -149,7 +149,9 @@ def build_matvec_plan(a) -> Tuple[str, object]:
             return route
     if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
         return ("dia", build_dia_plan(a))
-    return ("ell", build_ell_plan(a))
+    # degree-bucketed SELL beats global-width ELL on padding and keeps
+    # the accumulated-row-gather hot loop (kernels/sell.py)
+    return ("sell", build_sell_plan(a))
 
 
 def build_matmul_plan(a) -> Tuple[str, object]:

@@ -24,7 +24,6 @@ CB = 8
 
 
 def _mul_chunk(a, b2, b, slabA_fn, slabB_fn, g_a, g_b):
-    ii = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
 
     # B gather (elementwise; tile sublane == s7_b)
     l_b = a & 127
@@ -56,7 +55,8 @@ def _mul_chunk(a, b2, b, slabA_fn, slabB_fn, g_a, g_b):
     dist = b & 7
     P = c
     for d in (1, 2, 4):
-        shifted = jnp.take_along_axis(P, jnp.maximum(ii - d, 0), axis=0)
+        # static rotate + dist mask (dist >= d implies sublane >= d)
+        shifted = jnp.roll(P, d, axis=0)
         P = P + jnp.where(dist >= d, shifted, 0.0)
 
     vA = ((b >> 3) & 1).astype(jnp.float32)

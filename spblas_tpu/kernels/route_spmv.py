@@ -45,8 +45,6 @@ CB = 8          # chunks per grid step (amortizes grid/DMA overhead)
 def _chunk_body(a, b, val, slab_fn, g):
     """One (8,128) chunk: gather, permute, reduce.  Returns (RS*vA, yb
     handled by caller)."""
-    ii = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
-
     # gather
     l = (a >> 3) & 127
     oct_ = (a >> 10) & 7
@@ -63,11 +61,13 @@ def _chunk_body(a, b, val, slab_fn, g):
     c = jnp.take_along_axis(c, (a >> 16) & 127, axis=1)
     c = jnp.take_along_axis(c, (a >> 23) & 7, axis=0)
 
-    # in-column segmented prefix over 8 sublanes (dist-masked)
+    # in-column segmented prefix over 8 sublanes: static sublane
+    # rotate + dist mask (dist >= d implies sublane >= d, so wrapped
+    # rows self-mask; a dynamic take here measured ~8 ns/step slower)
     dist = b & 7
     P = c
     for d in (1, 2, 4):
-        shifted = jnp.take_along_axis(P, jnp.maximum(ii - d, 0), axis=0)
+        shifted = jnp.roll(P, d, axis=0)
         P = P + jnp.where(dist >= d, shifted, 0.0)
 
     vA = ((b >> 3) & 1).astype(jnp.float32)

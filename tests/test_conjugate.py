@@ -91,7 +91,7 @@ def test_complex_matrix_opt_plan_is_complex_safe(monkeypatch):
     # complex64 banded now routes to the two-real-plane band plan
     # (kind band_cx); the point stands that complex data never reaches a
     # real-only kernel un-split
-    assert kind in ("dia", "ell", "band_cx")
+    assert kind in ("dia", "sell", "band_cx")
     import jax.numpy as jnp
     x = (np.random.default_rng(1).standard_normal(128)
          + 1j * np.random.default_rng(2).standard_normal(128)

@@ -61,7 +61,7 @@ def test_plan_chooser():
     assert kind == "dia"
     scattered = gen.generate_csr(100, 100, 400, seed=12)
     kind, _ = plans.build_matvec_plan(scattered)
-    assert kind == "ell"
+    assert kind == "sell"
 
 
 def test_matrix_opt_uses_plan():

@@ -51,4 +51,4 @@ def test_chooser_rejects_route_when_too_big(fake_tpu, monkeypatch):
     monkeypatch.setattr(_plans, "_ROUTE_VMEM_ROWS", 10)
     a = gen.generate_csr(3000, 3000, 9000, seed=4)
     kind, _ = _plans.build_matvec_plan(a)
-    assert kind in ("ell", "dia")
+    assert kind in ("sell", "dia")

@@ -101,3 +101,28 @@ def test_band_and_bsr_spgemm_plan_roundtrip(tmp_path):
     bplan2 = load_plan(p2)
     np.testing.assert_array_equal(np.asarray(bplan2.pair_a),
                                   np.asarray(bplan.pair_a))
+
+
+def test_trsv_plan_with_route_roundtrip(tmp_path, monkeypatch):
+    """A route-bearing TrsvPlan serializes; the baked-values identity
+    token does not survive the round trip, so the loaded plan falls
+    back to the (values-correct) ragged sweep."""
+    import numpy as np
+    import spblas_tpu as sp
+    from spblas_tpu.utils.generate import generate_triangular_csr
+    from spblas_tpu.utils.serialize import save_plan, load_plan
+
+    monkeypatch.setenv("SPBLAS_FORCE_ROUTE_TRSV", "1")
+    L = generate_triangular_csr(600, seed=11, lower=True)
+    info = sp.triangular_solve_inspect(L, uplo="lower")
+    assert info.plan.route is not None
+    path = tmp_path / "trsv_plan.npz"
+    save_plan(str(path), info.plan)
+    plan2 = load_plan(str(path))
+    b = np.random.default_rng(0).standard_normal(600).astype(np.float32)
+    import dataclasses
+    info2 = dataclasses.replace(info, plan=plan2)
+    x = np.asarray(sp.triangular_solve(L, b, uplo="lower", info=info2))
+    want = np.asarray(
+        sp.triangular_solve(L, b, uplo="lower", info=info))
+    np.testing.assert_allclose(x, want, rtol=1e-5, atol=1e-5)
