@@ -363,6 +363,8 @@ SECTIONS = {
     "spmm_banded": section_spmm_banded,
     "spmv_rmat": section_spmv_rmat,
     "spmm_general": section_spmm_general,
+    "spmm_general_k64": lambda: section_spmm_general(k=64),
+    "sptrsv_100k": lambda: section_sptrsv(m=100_000),
 }
 
 
@@ -420,7 +422,8 @@ def main():
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         defaults += [
             ("spmv_general_route_1m", 900),
-            ("spmm_general", 420),
+            ("spmm_general_k64", 420),
+            ("sptrsv_100k", 600),
             ("spmv_general_xla", 300),
             ("headline_bf16", 420),
             ("spmm_banded", 420),

@@ -48,3 +48,25 @@ def test_scaled_dense_add():
     c = sp.add(sp.scaled(2.0, a), b)
     assert_close(np.asarray(c), 2.0 * np.asarray(a) + np.asarray(b),
                  factor=256)
+
+
+def test_column_major_dense_operands():
+    """F-ordered (column-major) numpy inputs — the reference's
+    layout_left mdspan overlays (test/gtest/mdspan_overlays.cpp:58-104).
+    jnp canonicalizes the layout on ingest (one copy), so results must
+    be identical to the C-ordered calls; this test pins that the copy
+    happens and no axis transposition sneaks in."""
+    import jax.numpy as jnp
+    a = gen.generate_csr(40, 30, 240, seed=10)
+    bC = np.asarray(gen.generate_gaussian(30, 12, seed=11))
+    bF = np.asfortranarray(bC)
+    assert not bF.flags.c_contiguous
+    cC = np.asarray(sp.multiply(a, jnp.asarray(bC)))
+    cF = np.asarray(sp.multiply(a, jnp.asarray(bF)))
+    np.testing.assert_array_equal(cC, cF)
+    # dense x dense with one F operand
+    dC = np.asarray(gen.generate_gaussian(12, 9, seed=12))
+    eC = np.asarray(sp.multiply(jnp.asarray(bC), jnp.asarray(dC)))
+    eF = np.asarray(sp.multiply(jnp.asarray(bF),
+                                jnp.asarray(np.asfortranarray(dC))))
+    np.testing.assert_allclose(eC, eF, rtol=1e-6)
