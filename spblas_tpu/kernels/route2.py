@@ -1046,10 +1046,8 @@ def build_route2_mul_plan(slots, src_a, src_b, a_len: int, b_len: int,
     if len(slots):
         bounds = np.flatnonzero(np.diff(cell_key)) + 1
         starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(slots)]])
-        for s0, s1 in zip(starts, ends):
-            _pack_mul_cell(slots[s0:s1], src_a[s0:s1], src_b[s0:s1],
-                           win_a, win_b, state)
+        _pack_mul_stream(slots, src_a, src_b, starts, win_a, win_b,
+                         state, src_flag=0)
 
     # aux levels: single-gather reduction chunks reading the out pane;
     # the A chain reads the constant-1 slot (index a_len-1)
@@ -1064,12 +1062,15 @@ def build_route2_mul_plan(slots, src_a, src_b, a_len: int, b_len: int,
         order2 = np.lexsort((a_slots, tgts))
         first = len(state.t1)
         # out-pane slots play the B-column role; windows sized win_b
-        for s0, s1 in _cell_ranges(tgts[order2], a_slots[order2],
-                                   win_b):
-            _pack_mul_cell(tgts[order2][s0:s1],
-                           np.full(s1 - s0, a_len - 1, np.int64),
-                           a_slots[order2][s0:s1],
-                           win_a, win_b, state, src_flag=1)
+        key2 = (tgts[order2] // ROW_WINDOW
+                * (int(a_slots.max()) // win_b + 2)
+                + a_slots[order2] // win_b)
+        bounds2 = np.flatnonzero(np.diff(key2)) + 1
+        starts2 = np.concatenate([[0], bounds2])
+        _pack_mul_stream(tgts[order2],
+                         np.full(len(aux), a_len - 1, np.int64),
+                         a_slots[order2], starts2, win_a, win_b,
+                         state, src_flag=1)
         n_aux_chunks += len(state.t1) - first
     assert not state.aux_pending, "route2-mul aux runaway"
 
@@ -1108,14 +1109,59 @@ def build_route2_mul_plan(slots, src_a, src_b, a_len: int, b_len: int,
         fill=len(slots) / max(nchunks * SLOTS, 1))
 
 
-def _cell_ranges(primary, secondary, win):
-    key = primary // ROW_WINDOW * (int(secondary.max()) // win + 2
-                                   if len(secondary) else 1) \
-        + secondary // win
-    bounds = np.flatnonzero(np.diff(key)) + 1
-    starts = np.concatenate([[0], bounds])
-    ends = np.concatenate([bounds, [len(primary)]])
-    return zip(starts, ends)
+def _pack_mul_stream(slots, sa, sb, starts, win_a, win_b,
+                     state: "_MulBuildState", src_flag: int):
+    """Pack a cell-sorted mul stream: native C++ packer when available
+    (native/src/route2_pack.cpp spblas_route2_mul_pack), python cells
+    otherwise."""
+    ends = np.concatenate([starts[1:], [len(slots)]])
+    if _pack_mul_cells_native(slots, sa, sb, starts, win_a, win_b,
+                              state, src_flag):
+        return
+    for s0, s1 in zip(starts, ends):
+        _pack_mul_cell(slots[s0:s1], sa[s0:s1], sb[s0:s1],
+                       win_a, win_b, state, src_flag=src_flag)
+
+
+def _pack_mul_cells_native(slots, sa, sb, starts, win_a, win_b,
+                           state: "_MulBuildState",
+                           src_flag: int) -> bool:
+    from spblas_tpu import native
+    if not hasattr(native, "route2_mul_pack"):
+        return False
+    ne = len(slots)
+    ncells = len(starts)
+    cell_start = np.concatenate([starts, [ne]]).astype(np.int64)
+    ls = (slots % ROW_WINDOW).astype(np.int32)
+    la_ = (sa % win_a).astype(np.int32)
+    lb_ = (sb % win_b).astype(np.int32)
+    nat = native.route2_mul_pack(ne, ncells, cell_start, ls, la_, lb_,
+                                 aux_windows_in=len(state.aux_windows))
+    if nat is None:
+        return False
+    (nch, t1, t2, chunk_cell, chunk_auxwin, n_windows, aux_slot,
+     aux_lslot, aux_cell) = nat
+    starts = np.asarray(starts, np.int64)
+    cell_ab = ((sa[starts] // win_a) * (win_a // LANES)).astype(np.int32)
+    cell_bb = ((sb[starts] // win_b) * (win_b // LANES)).astype(np.int32)
+    cell_yb = ((slots[starts] // ROW_WINDOW) * SUBS).astype(np.int32)
+    if state.aux_windows == [] and n_windows:
+        state.aux_base = state.y_rows
+    while len(state.aux_windows) < n_windows:
+        state.aux_windows.append(np.full(LANES, SUBS, np.int64))
+    yb = np.where(chunk_auxwin < 0, cell_yb[chunk_cell],
+                  state.aux_base + chunk_auxwin * SUBS).astype(np.int32)
+    state.t1.extend(t1)
+    state.t2.extend(t2)
+    state.ab.extend(cell_ab[chunk_cell].tolist())
+    state.bb.extend(cell_bb[chunk_cell].tolist())
+    state.yb.extend(yb.tolist())
+    state.flags.extend([src_flag] * nch)
+    for k in range(len(aux_slot)):
+        state.aux_pending.append(
+            (state.aux_base * LANES + int(aux_slot[k]),
+             int(cell_yb[aux_cell[k]]) * LANES + int(aux_lslot[k])))
+    return True
 
 
 class _MulBuildState:

@@ -104,6 +104,10 @@ def _declare(lib):
     lib.spblas_route2_pack.argtypes = [
         i64, i64, i64p, i32p, i32p, i64, i64, ctypes.c_int32,
         i32p, i32p, i32p, i32p, i32p, i32p, i64p, i64p, i32p, i32p]
+    lib.spblas_route2_mul_pack.restype = i64
+    lib.spblas_route2_mul_pack.argtypes = [
+        i64, i64, i64p, i32p, i32p, i32p, i64, i64,
+        i32p, i32p, i32p, i32p, i64p, i64p, i32p, i32p]
 
 
 # ------------------------------------------------------------------ #
@@ -421,6 +425,48 @@ def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
                 chunk_cell[:nch], chunk_auxwin[:nch],
                 chunk_group[:nch], elem_group, elem_scat,
                 int(aux_info[1]), aux_slot[:na], aux_lrow[:na],
+                aux_cell[:na])
+    return None
+
+
+def route2_mul_pack(ne, ncells, cell_start, lslot, la, lb,
+                    aux_windows_in=0):
+    """Native ROUTE2-mul chunk packing (kernels/route2.py
+    _pack_mul_cell hot loop).  Returns (nch, t1, t2, chunk_cell,
+    chunk_auxwin, n_aux_windows, aux_slot, aux_lslot, aux_cell) or None
+    when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cell_start = np.ascontiguousarray(cell_start, np.int64)
+    lslot = np.ascontiguousarray(lslot, np.int32)
+    la = np.ascontiguousarray(la, np.int32)
+    lb = np.ascontiguousarray(lb, np.int32)
+    max_chunks = int(ne // 256 + 4 * ncells + 16)
+    for _ in range(4):
+        t1 = np.zeros(max_chunks * 1024, np.int32)
+        t2 = np.zeros(max_chunks * 1024, np.int32)
+        chunk_cell = np.zeros(max_chunks, np.int32)
+        chunk_auxwin = np.zeros(max_chunks, np.int32)
+        aux_info = np.zeros(2, np.int64)
+        aux_slot = np.zeros(max(ne, 1), np.int64)
+        aux_lslot = np.zeros(max(ne, 1), np.int32)
+        aux_cell = np.zeros(max(ne, 1), np.int32)
+        rc = lib.spblas_route2_mul_pack(
+            ne, ncells, cell_start, lslot, la, lb, max_chunks,
+            int(aux_windows_in), t1, t2, chunk_cell, chunk_auxwin,
+            aux_info, aux_slot, aux_lslot, aux_cell)
+        if rc == -1:
+            max_chunks *= 4
+            continue
+        if rc < 0:
+            return None
+        nch = int(rc)
+        na = int(aux_info[0])
+        return (nch, t1[: nch * 1024].reshape(nch, 8, 128),
+                t2[: nch * 1024].reshape(nch, 8, 128),
+                chunk_cell[:nch], chunk_auxwin[:nch],
+                int(aux_info[1]), aux_slot[:na], aux_lslot[:na],
                 aux_cell[:na])
     return None
 

@@ -484,3 +484,402 @@ extern "C" int64_t spblas_route2_pack(
   }
   return out.nch;
 }
+
+// ================================================================== //
+// ROUTE2-mul packer: dual gather chains (kernels/route2.py
+// build_route2_mul_plan / _pack_mul_cell).  Same pool/aux structure as
+// the SpMV packer; per element TWO columns (A and B sides) must route
+// at the segment's scatter lane.  t1 carries the B chain + the shared
+// scatter/reduce/publish fields, t2 the A chain.
+// ================================================================== //
+
+namespace {
+
+constexpr int B2_R2 = 0, B2_LF = 8, B2_SD2 = 15;
+
+struct MulSide {
+  uint8_t acl[LANES], acj[LANES];
+  static constexpr int EH = 4096;
+  int64_t eh_key[EH]; int8_t eh_val[EH];
+  static constexpr int CH = 2048;
+  int32_t ch_key[CH]; uint8_t ch_val[CH];
+
+  void reset() {
+    std::memset(acl, 0, sizeof acl);
+    std::memset(acj, 0, sizeof acj);
+    std::memset(eh_key, -1, sizeof eh_key);
+    std::memset(ch_key, -1, sizeof ch_key);
+  }
+  int eh_find(int64_t key) const {
+    int h = (int)((key * 0x9E3779B97F4A7C15ull) >> 52) & (EH - 1);
+    while (eh_key[h] != -1) {
+      if (eh_key[h] == key) return eh_val[h];
+      h = (h + 1) & (EH - 1);
+    }
+    return -1;
+  }
+  void eh_insert(int64_t key, int a) {
+    int h = (int)((key * 0x9E3779B97F4A7C15ull) >> 52) & (EH - 1);
+    while (eh_key[h] != -1) {
+      if (eh_key[h] == key) { eh_val[h] = (int8_t)a; return; }
+      h = (h + 1) & (EH - 1);
+    }
+    eh_key[h] = key; eh_val[h] = (int8_t)a;
+  }
+  uint8_t ch_get(int32_t col) const {
+    int h = (int)((uint32_t)col * 2654435761u >> 21) & (CH - 1);
+    while (ch_key[h] != -1) {
+      if (ch_key[h] == col) return ch_val[h];
+      h = (h + 1) & (CH - 1);
+    }
+    return 0;
+  }
+  void ch_or(int32_t col, uint8_t bit) {
+    int h = (int)((uint32_t)col * 2654435761u >> 21) & (CH - 1);
+    while (ch_key[h] != -1) {
+      if (ch_key[h] == col) { ch_val[h] |= bit; return; }
+      h = (h + 1) & (CH - 1);
+    }
+    ch_key[h] = col; ch_val[h] = bit;
+  }
+
+  // tentative routing of this side's columns at lane jd (all-or-
+  // nothing, matching the python _GatherSide.route semantics)
+  int route(const int32_t* cols, int len, int jd,
+            int32_t* as_col, int8_t* as_a, uint8_t* as_new) {
+    int n = 0;
+    uint8_t taken_j = 0;
+    for (int k = 0; k < len; ++k) {
+      int32_t c = cols[k];
+      int l = c & 127;
+      int64_t ekey = (int64_t)c * 128 + jd;
+      if (eh_find(ekey) >= 0) continue;
+      bool dup = false;
+      for (int t = 0; t < n; ++t)
+        if (as_col[t] == c) { dup = true; break; }
+      if (dup) continue;
+      uint8_t colors = ch_get(c);
+      int a_found = -1;
+      uint8_t free_j = (uint8_t)~(acj[jd] | taken_j);
+      uint8_t reuse = colors & free_j;
+      uint8_t isnew = 0;
+      if (reuse) {
+        a_found = __builtin_ctz(reuse);
+      } else {
+        uint8_t avail = (uint8_t)(~acl[l]) & free_j;
+        if (!avail) return -1;
+        a_found = __builtin_ctz(avail);
+        isnew = 1;
+      }
+      taken_j |= (uint8_t)(1 << a_found);
+      as_col[n] = c; as_a[n] = (int8_t)a_found; as_new[n] = isnew;
+      ++n;
+    }
+    return n;
+  }
+
+  void commit(const int32_t* cols, int len, int jd,
+              const int32_t* as_col, const int8_t* as_a,
+              const uint8_t* as_new, int nas) {
+    for (int t = 0; t < nas; ++t) {
+      int32_t c = as_col[t];
+      eh_insert((int64_t)c * 128 + jd, as_a[t]);
+      acj[jd] |= (uint8_t)(1 << as_a[t]);
+      if (as_new[t]) {
+        acl[c & 127] |= (uint8_t)(1 << as_a[t]);
+        ch_or(c, (uint8_t)(1 << as_a[t]));
+      }
+    }
+    (void)len; (void)cols;
+  }
+
+  void emit_into(int32_t* tile, int b_r2, int b_lf) const {
+    for (int h = 0; h < EH; ++h) {
+      if (eh_key[h] == -1) continue;
+      int64_t key = eh_key[h];
+      int a = eh_val[h];
+      int32_t c = (int32_t)(key >> 7);
+      int jd = (int)(key & 127);
+      int l = c & 127;
+      tile[a * LANES + l] |= (int32_t)((c >> 7) << b_r2);
+      tile[a * LANES + jd] |= (int32_t)(l << b_lf);
+    }
+  }
+};
+
+struct MulElem { int32_t ca, cb; int16_t jd; int8_t d, dist; };
+
+struct MulChunk {
+  MulSide A, B;
+  int8_t depth[LANES];
+  uint64_t slots_pub[16];
+  std::vector<MulElem> elems;
+  std::vector<Pub> pubs;          // slot local, jd, pend
+  std::vector<AuxPub> aux_pubs;   // abs_slot filled at flush
+  int64_t cold = 0;
+
+  void reset() {
+    A.reset(); B.reset();
+    std::memset(depth, 0, sizeof depth);
+    std::memset(slots_pub, 0, sizeof slots_pub);
+    elems.clear(); pubs.clear(); aux_pubs.clear();
+    cold = 0;
+  }
+  bool slot_published(int s) const {
+    return (slots_pub[s >> 6] >> (s & 63)) & 1;
+  }
+  void set_slot_published(int s) {
+    slots_pub[s >> 6] |= 1ull << (s & 63);
+  }
+
+  // joint tentative route of a segment at lane jd; -1 on failure
+  int route(const int32_t* cas, const int32_t* cbs, int len, int jd,
+            int32_t* acA, int8_t* aaA, uint8_t* anA, int* nA,
+            int32_t* acB, int8_t* aaB, uint8_t* anB, int* nB) {
+    if (depth[jd] + len > SUBS) return -1;
+    *nA = A.route(cas, len, jd, acA, aaA, anA);
+    if (*nA < 0) return -1;
+    *nB = B.route(cbs, len, jd, acB, aaB, anB);
+    if (*nB < 0) return -1;
+    return 0;
+  }
+
+  int commit(const int32_t* cas, const int32_t* cbs, int len, int jd,
+             const int32_t* acA, const int8_t* aaA, const uint8_t* anA,
+             int nA, const int32_t* acB, const int8_t* aaB,
+             const uint8_t* anB, int nB) {
+    cold = 0;
+    A.commit(cas, len, jd, acA, aaA, anA, nA);
+    B.commit(cbs, len, jd, acB, aaB, anB, nB);
+    int d0 = depth[jd];
+    for (int k = 0; k < len; ++k)
+      elems.push_back({cas[k], cbs[k], (int16_t)jd, (int8_t)(d0 + k),
+                       (int8_t)(k > 7 ? 7 : k)});
+    depth[jd] = (int8_t)(d0 + len);
+    return d0 + len - 1;
+  }
+};
+
+struct MulOut {
+  int32_t* t1;
+  int32_t* t2;
+  int32_t* chunk_cell;
+  int32_t* chunk_auxwin;
+  int64_t max_chunks;
+  int64_t nch = 0;
+  bool overflow = false;
+
+  bool add(int cell, int auxwin, const int32_t* b1, const int32_t* b2) {
+    if (nch >= max_chunks) { overflow = true; return false; }
+    chunk_cell[nch] = cell;
+    chunk_auxwin[nch] = auxwin;
+    std::memcpy(t1 + nch * SLOTS, b1, SLOTS * sizeof(int32_t));
+    std::memcpy(t2 + nch * SLOTS, b2, SLOTS * sizeof(int32_t));
+    ++nch;
+    return true;
+  }
+};
+
+bool flush_mul_chunk(MulChunk& ck, int cell, MulOut& out,
+                     std::vector<AuxPub>* pending, AuxAlloc* aux) {
+  if (ck.elems.empty() && ck.pubs.empty() && ck.aux_pubs.empty())
+    return true;
+  int32_t b1[SLOTS], b2[SLOTS];
+  std::memset(b1, 0, sizeof b1);
+  std::memset(b2, 0, sizeof b2);
+  ck.B.emit_into(b1, B_R2, B_LF);
+  ck.A.emit_into(b2, B2_R2, B2_LF);
+  for (const MulElem& e : ck.elems) {
+    int aB = ck.B.eh_find((int64_t)e.cb * 128 + e.jd);
+    int aA = ck.A.eh_find((int64_t)e.ca * 128 + e.jd);
+    b1[e.d * LANES + e.jd] |=
+        (int32_t)((aB << B_SD2) | (e.dist << B_DIST));
+    b2[e.d * LANES + e.jd] |= (int32_t)(aA << B2_SD2);
+  }
+  if (!ck.pubs.empty() || ck.aux_pubs.empty()) {
+    int32_t d1[SLOTS];
+    std::memcpy(d1, b1, sizeof d1);
+    for (const Pub& p : ck.pubs)
+      d1[p.slot] |= (int32_t)((p.pend << B_PEND) | (1 << B_VA));
+    if (!out.add(cell, -1, d1, b2)) return false;
+  }
+  if (!ck.aux_pubs.empty()) {
+    for (AuxPub& p : ck.aux_pubs)
+      p.abs_slot = aux->alloc_tail(p.jd);
+    std::vector<std::pair<int64_t, const AuxPub*>> bywin;
+    for (const AuxPub& p : ck.aux_pubs)
+      bywin.push_back({p.abs_slot / SLOTS, &p});
+    std::sort(bywin.begin(), bywin.end(),
+              [](auto& a, auto& b) { return a.first < b.first; });
+    size_t i = 0;
+    while (i < bywin.size()) {
+      int64_t w = bywin[i].first;
+      int32_t d1[SLOTS];
+      std::memcpy(d1, b1, sizeof d1);
+      for (; i < bywin.size() && bywin[i].first == w; ++i) {
+        const AuxPub* p = bywin[i].second;
+        int local = (int)(p->abs_slot - w * SLOTS);
+        d1[local] |= (int32_t)((p->pend << B_PEND) | (1 << B_VA));
+      }
+      if (!out.add(cell, (int32_t)w, b1, b2)) return false;
+      std::memcpy(out.t1 + (out.nch - 1) * SLOTS, d1,
+                  SLOTS * sizeof(int32_t));
+    }
+  }
+  if (pending)
+    for (AuxPub p : ck.aux_pubs) {
+      p.cell = cell;
+      pending->push_back(p);
+    }
+  return true;
+}
+
+}  // namespace
+
+extern "C" int64_t spblas_route2_mul_pack(
+    int64_t ne, int64_t ncells, const int64_t* cell_start,
+    const int32_t* lslot, const int32_t* la, const int32_t* lb,
+    int64_t max_chunks, int64_t aux_windows_in,
+    int32_t* t1, int32_t* t2, int32_t* chunk_cell,
+    int32_t* chunk_auxwin,
+    int64_t* aux_info, int64_t* aux_slot, int32_t* aux_lslot,
+    int32_t* aux_cell) {
+  MulOut out{t1, t2, chunk_cell, chunk_auxwin, max_chunks};
+  AuxAlloc aux;
+  for (int64_t w = 0; w < aux_windows_in; ++w) {
+    aux.windows.emplace_back();
+    aux.windows.back().fill(SUBS);
+  }
+  std::vector<AuxPub> pending;
+  std::vector<MulChunk> pool_store(MAX_OPEN + 1);
+  for (auto& c : pool_store) c.reset();
+
+  std::vector<int> seg_start, seg_len, seg_slot, seg_order;
+  int32_t sega[SUBS], segb[SUBS];
+  int32_t acA[SUBS], acB[SUBS];
+  int8_t aaA[SUBS], aaB[SUBS];
+  uint8_t anA[SUBS], anB[SUBS];
+
+  for (int64_t cell = 0; cell < ncells; ++cell) {
+    int64_t a0 = cell_start[cell], a1 = cell_start[cell + 1];
+    if (a0 >= a1) continue;
+    seg_start.clear(); seg_len.clear(); seg_slot.clear();
+    {
+      int64_t i = a0;
+      while (i < a1) {
+        int32_t s = lslot[i];
+        int64_t j = i;
+        while (j < a1 && lslot[j] == s && j - i < SUBS) ++j;
+        seg_start.push_back((int)(i - a0));
+        seg_len.push_back((int)(j - i));
+        seg_slot.push_back(s);
+        i = j;
+      }
+    }
+    int nseg = (int)seg_start.size();
+    seg_order.resize(nseg);
+    for (int s = 0; s < nseg; ++s) seg_order[s] = s;
+    std::stable_sort(seg_order.begin(), seg_order.end(),
+                     [&](int x, int y) {
+                       return seg_len[x] > seg_len[y];
+                     });
+
+    std::vector<int> open;
+    std::vector<int> freelist;
+    for (int i2 = 0; i2 <= MAX_OPEN; ++i2) freelist.push_back(i2);
+
+    auto flush_at = [&](int pos) -> bool {
+      int id = open[pos];
+      bool ok = flush_mul_chunk(pool_store[id], (int)cell, out,
+                                &pending, &aux);
+      pool_store[id].reset();
+      freelist.push_back(id);
+      open.erase(open.begin() + pos);
+      return ok;
+    };
+
+    for (int oi = 0; oi < nseg; ++oi) {
+      int s = seg_order[oi];
+      int len = seg_len[s];
+      int slot_l = seg_slot[s];
+      for (int k = 0; k < len; ++k) {
+        sega[k] = la[a0 + seg_start[s] + k];
+        segb[k] = lb[a0 + seg_start[s] + k];
+      }
+      int jd = slot_l & 127;
+      bool placed = false;
+      int nA = 0, nB = 0;
+      for (size_t p = 0; p < open.size(); ++p) {
+        MulChunk& ck = pool_store[open[p]];
+        if (ck.slot_published(slot_l)) { ck.cold++; continue; }
+        if (ck.route(sega, segb, len, jd, acA, aaA, anA, &nA,
+                     acB, aaB, anB, &nB) == 0) {
+          int pend = ck.commit(sega, segb, len, jd, acA, aaA, anA,
+                               nA, acB, aaB, anB, nB);
+          ck.pubs.push_back({slot_l, (int16_t)jd, (int16_t)pend});
+          ck.set_slot_published(slot_l);
+          placed = true;
+          break;
+        }
+        ck.cold++;
+      }
+      if (!placed && (int)open.size() >= MAX_OPEN) {
+        // aux relief at rotating lanes
+        int h0 = (int)(((uint32_t)(slot_l * 2654435761u) + oi * 97u)
+                       >> 8) & 127;
+        for (size_t p = 0; p < open.size() && !placed; ++p) {
+          MulChunk& ck = pool_store[open[p]];
+          int tried = 0;
+          for (int t = 0; t < LANES && tried < 16; ++t) {
+            int jd2 = (h0 + t) & 127;
+            if (ck.depth[jd2] + len > SUBS) continue;
+            ++tried;
+            if (ck.route(sega, segb, len, jd2, acA, aaA, anA, &nA,
+                         acB, aaB, anB, &nB) == 0) {
+              int pend = ck.commit(sega, segb, len, jd2, acA, aaA,
+                                   anA, nA, acB, aaB, anB, nB);
+              ck.aux_pubs.push_back({-1, (int16_t)jd2, (int16_t)pend,
+                                     slot_l, 0});
+              placed = true;
+              break;
+            }
+          }
+        }
+      }
+      if (!placed) {
+        if ((int)open.size() >= MAX_OPEN) {
+          size_t coldest = 0;
+          for (size_t p = 1; p < open.size(); ++p)
+            if (pool_store[open[p]].cold >
+                pool_store[open[coldest]].cold)
+              coldest = p;
+          if (!flush_at((int)coldest)) return out.overflow ? -1 : -2;
+        }
+        int id = freelist.back(); freelist.pop_back();
+        MulChunk& ck = pool_store[id];
+        open.push_back(id);
+        if (ck.route(sega, segb, len, jd, acA, aaA, anA, &nA,
+                     acB, aaB, anB, &nB) != 0)
+          return -2;
+        int pend = ck.commit(sega, segb, len, jd, acA, aaA, anA, nA,
+                             acB, aaB, anB, nB);
+        ck.pubs.push_back({slot_l, (int16_t)jd, (int16_t)pend});
+        ck.set_slot_published(slot_l);
+      }
+      for (int p = (int)open.size() - 1; p >= 0; --p)
+        if ((int)pool_store[open[p]].elems.size() >= SLOTS - 8)
+          if (!flush_at(p)) return out.overflow ? -1 : -2;
+    }
+    for (int p = (int)open.size() - 1; p >= 0; --p)
+      if (!flush_at(p)) return out.overflow ? -1 : -2;
+  }
+  if (out.overflow) return -1;
+  aux_info[0] = (int64_t)pending.size();
+  aux_info[1] = (int64_t)aux.windows.size();
+  for (size_t i = 0; i < pending.size(); ++i) {
+    aux_slot[i] = pending[i].abs_slot;
+    aux_lslot[i] = pending[i].lrow;
+    aux_cell[i] = pending[i].cell;
+  }
+  return out.nch;
+}
