@@ -223,19 +223,24 @@ def _try_route(a):
     rows = -(-n // 128) + -(-m // 128)
     if rows > _ROUTE_VMEM_ROWS:
         return None
+    rp = np.asarray(a.rowptr)
+    ci = np.asarray(a.colind)
+    vv = np.asarray(a.values)
     if _hub_fraction(a) > _ROUTE_HUB_FRACTION:
         from spblas_tpu.kernels.route_plan import build_route_plan
         return ("route1",
-                build_route_plan(np.asarray(a.rowptr),
-                                 np.asarray(a.colind),
-                                 np.asarray(a.values), (m, n),
-                                 int(a.nnz)))
+                build_route_plan(rp, ci, vv, (m, n), int(a.nnz)))
     from spblas_tpu.kernels.route2 import build_route2_plan
-    return ("route",
-            build_route2_plan(np.asarray(a.rowptr),
-                              np.asarray(a.colind),
-                              np.asarray(a.values), (m, n),
-                              int(a.nnz)))
+    plan = build_route2_plan(rp, ci, vv, (m, n), int(a.nnz))
+    if plan.fill < 0.08:
+        # hub-fraction mispredict insurance: a collapsed v2 fill means
+        # the pattern serializes v2 chunks; take v1 if its measured
+        # time model (chunks x ~180 ns) beats v2's (chunks x ~110 ns)
+        from spblas_tpu.kernels.route_plan import build_route_plan
+        plan1 = build_route_plan(rp, ci, vv, (m, n), int(a.nnz))
+        if plan1.nchunks * 180 < plan.nchunks * 110:
+            return ("route1", plan1)
+    return ("route", plan)
 
 
 def _try_bsr(a):

@@ -52,3 +52,30 @@ def test_chooser_rejects_route_when_too_big(fake_tpu, monkeypatch):
     a = gen.generate_csr(3000, 3000, 9000, seed=4)
     kind, _ = _plans.build_matvec_plan(a)
     assert kind in ("sell", "dia")
+
+
+def test_chooser_fill_guard_swaps_to_v1(fake_tpu):
+    """A pattern that collapses the ROUTE2 fill but slips under the
+    hub-fraction threshold must fall back to v1 when the chunk-cost
+    model favors it (insurance against hub-metric mispredicts)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from spblas_tpu.formats.csr import CSR
+
+    rng = np.random.default_rng(3)
+    m = 4096
+    # rows of degree exactly 24 (below deg>32 hub metric) but heavily
+    # lane-colliding: a quarter of the rows, all columns in one narrow
+    # window -> v2 cell starvation without tripping _hub_fraction
+    rows = np.repeat(np.arange(0, m, 4), 24)
+    cols = rng.integers(0, 512, len(rows))
+    v = rng.standard_normal(len(rows)).astype(np.float32)
+    A = sp.coo_matrix((v, (rows, cols)), shape=(m, m)).tocsr()
+    A.sum_duplicates()
+    a = CSR.from_arrays(A.data, A.indptr, A.indices, (m, m), nnz=A.nnz)
+    kind, plan = _plans._try_route(a)
+    # whichever engine wins, the result must be right
+    import jax.numpy as jnp
+    x = rng.standard_normal(m).astype(np.float32)
+    y = np.asarray(_plans.plan_spmv((kind, plan), jnp.asarray(x)))
+    assert_close(y, A @ x, factor=256, abs_floor=1e-3)
