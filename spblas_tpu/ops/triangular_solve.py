@@ -233,6 +233,7 @@ def triangular_solve(a_view, b, uplo: str = "lower",
     values = jnp.conj(a.values) if conj else a.values
     if (plan.route is not None and not conj
             and a.values is plan.route_vals_ref
+            and _route_solve_rhs_ok(b)
             and b.dtype == jnp.float32):
         from spblas_tpu.kernels.route2_kernel import route2_solve
         alpha_f = jnp.asarray(alpha, jnp.float32)
@@ -242,6 +243,16 @@ def triangular_solve(a_view, b, uplo: str = "lower",
             y0 = b / alpha_f
         return route2_solve(plan.route, y0)
     return _trsv_execute(plan, values, b, alpha)
+
+
+def _route_solve_rhs_ok(b) -> bool:
+    """The one-dispatch kernel has no VJP and fixed (m,) geometry:
+    plain jit tracing of the rhs is fine (forward-only), but JVP/batch
+    tracers (grad, vmap) must take the differentiable ragged sweep."""
+    if not isinstance(b, jax.core.Tracer):
+        return True
+    from jax.interpreters.partial_eval import DynamicJaxprTracer
+    return isinstance(b, DynamicJaxprTracer)
 
 
 def _check_uplo(uplo: str) -> bool:

@@ -171,3 +171,32 @@ def test_route_solve_one_dispatch(monkeypatch):
     L2 = dataclasses.replace(L, values=L.values * 2.0)
     x2 = np.asarray(sp.triangular_solve(L2, b, uplo="lower", info=info))
     assert_close(x2, ref / 2.0, factor=256, abs_floor=1e-4)
+
+
+def test_route_solve_grad_falls_back(monkeypatch):
+    """jax.grad through a route-bearing plan must fall back to the
+    differentiable ragged sweep (the one-dispatch kernel has no VJP)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import spblas_tpu as sp
+    from spblas_tpu.utils.generate import generate_triangular_csr
+
+    monkeypatch.setenv("SPBLAS_FORCE_ROUTE_TRSV", "1")
+    L = generate_triangular_csr(300, seed=5, lower=True)
+    info = sp.triangular_solve_inspect(L, uplo="lower")
+    assert info.plan.route is not None
+    b = jnp.asarray(
+        np.random.default_rng(1).standard_normal(300).astype(np.float32))
+
+    def loss(bv):
+        x = sp.triangular_solve(L, bv, uplo="lower", info=info)
+        return jnp.sum(x * x)
+
+    g = jax.grad(loss)(b)
+    # finite-difference spot check
+    e = jnp.zeros_like(b).at[7].set(1e-3)
+    fd = (loss(b + e) - loss(b - e)) / 2e-3
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(float(g[7]), float(fd), rtol=2e-2,
+                               atol=1e-3)
