@@ -277,6 +277,16 @@ def _try_bsr(a):
     return (bsr, (m, n))
 
 
+def transform_safe(x) -> bool:
+    """True when running a non-differentiable Pallas plan on ``x`` is
+    safe: concrete values or plain jit tracing.  JVP/batch tracers
+    (grad, vmap) must take the differentiable base paths instead."""
+    if not isinstance(x, jax.core.Tracer):
+        return True
+    from jax.interpreters.partial_eval import DynamicJaxprTracer
+    return isinstance(x, DynamicJaxprTracer)
+
+
 def plan_spmv(plan: Tuple[str, object], x: jax.Array) -> jax.Array:
     kind, p = plan
     if kind == "band":

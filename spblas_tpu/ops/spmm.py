@@ -32,8 +32,9 @@ def spmm(a_view, b_view) -> jax.Array:
     if conj_b:
         b = jnp.conj(b)
     opt = _v.get_matrix_opt(a_view)
-    if opt is not None and not conj_a and _v.is_sparse(a_view):
-        from spblas_tpu.kernels import plans as _plans
+    from spblas_tpu.kernels import plans as _plans
+    if (opt is not None and not conj_a and _v.is_sparse(a_view)
+            and _plans.transform_safe(b)):
         plan = opt.get_plan("matmul", _plans.build_matmul_plan)
         c = _plans.plan_spmm(plan, b)
     else:

@@ -35,8 +35,9 @@ def spmv(a_view, x_view) -> jax.Array:
     if conj_x:
         x = jnp.conj(x)
     opt = _v.get_matrix_opt(a_view)
-    if opt is not None and not conj_a and _v.is_sparse(a_view):
-        from spblas_tpu.kernels import plans as _plans
+    from spblas_tpu.kernels import plans as _plans
+    if (opt is not None and not conj_a and _v.is_sparse(a_view)
+            and _plans.transform_safe(x)):
         plan = opt.get_plan("matvec", _plans.build_matvec_plan)
         y = _plans.plan_spmv(plan, x)
     else:

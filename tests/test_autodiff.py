@@ -133,3 +133,34 @@ def test_grad_band_spmv_pallas():
     np.testing.assert_allclose(
         float(np.asarray(gplan.panels)[i, c]),
         y2[i] * float(x[j]), rtol=1e-4)
+
+
+def test_grad_through_matrix_opt_plan_path(monkeypatch):
+    """grad/vmap over an optimized-matrix multiply must reroute to the
+    differentiable base path even when the cached plan is a
+    non-differentiable Pallas kernel (route/band)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import spblas_tpu as sp
+    from spblas_tpu.kernels import plans as _plans
+    from spblas_tpu.utils import generate as gen
+
+    monkeypatch.setattr(_plans, "_on_tpu", lambda: True)
+    a = gen.generate_csr(800, 800, 6000, seed=4)
+    ao = sp.matrix_opt(a)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal(800).astype(np.float32))
+
+    def loss(xv):
+        return jnp.sum(sp.multiply(ao, xv) ** 2)
+
+    g = jax.grad(loss)(x)
+    e = jnp.zeros_like(x).at[3].set(1e-3)
+    fd = (loss(x + e) - loss(x - e)) / 2e-3
+    np.testing.assert_allclose(float(g[3]), float(fd), rtol=2e-2,
+                               atol=1e-2)
+    # vmap over rhs batches
+    xb = jnp.stack([x, x * 2])
+    yb = jax.vmap(lambda v: sp.multiply(ao, v))(xb)
+    assert yb.shape == (2, 800)
