@@ -152,14 +152,32 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
     x2 = jnp.pad(flat, (0, plan.x_rows * LANES - flat.shape[0])
                  ).reshape(plan.x_rows, LANES)
 
-    nc = plan.nchunks
+    # the output pane doubles as the aux gather source; keep it at
+    # least one slab tall so padded/aux chunk slab slices stay in range
+    out_rows = max(plan.pane_rows, SUBS * g)
+    y2 = route2_dispatch(plan.tile, plan.val, plan.slab_base,
+                         plan.y_base, plan.src_flag, x2, g=g,
+                         x_rows=plan.x_rows, out_rows=out_rows,
+                         has_aux=plan.n_aux_chunks > 0,
+                         interpret=interpret)
+    return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(xdt)
+
+
+def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
+                    g: int, x_rows: int, out_rows: int, has_aux: bool,
+                    interpret: bool, init_from_x: bool = False):
+    """The raw ROUTE2 pallas dispatch over plan arrays — shared by
+    route2_spmv, route2_solve and the distributed per-shard executor
+    (parallel/route_spmv.py), which cannot pass plan pytrees through
+    shard_map."""
+    nc = int(tile.shape[0])
     nsteps = -(-nc // CB)
     pad = nsteps * CB - nc
-    t = jnp.pad(plan.tile, ((0, pad), (0, 0), (0, 0)))
-    v = jnp.pad(plan.val, ((0, pad), (0, 0), (0, 0)))
-    sb = jnp.pad(plan.slab_base, (0, pad))
-    yb = jnp.pad(plan.y_base, (0, pad))
-    fl = jnp.pad(plan.src_flag, (0, pad), mode="edge")
+    t = jnp.pad(tile, ((0, pad), (0, 0), (0, 0)))
+    v = jnp.pad(val, ((0, pad), (0, 0), (0, 0)))
+    sb = jnp.pad(slab_base, (0, pad))
+    yb = jnp.pad(y_base, (0, pad))
+    fl = jnp.pad(src_flag, (0, pad), mode="edge")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,          # slab_base, y_base, src_flag
@@ -167,7 +185,7 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # tile
             pl.BlockSpec(memory_space=pl.ANY),      # val
-            pl.BlockSpec((plan.x_rows, LANES), lambda k, *_: (0, 0),
+            pl.BlockSpec((x_rows, LANES), lambda k, *_: (0, 0),
                          memory_space=pltpu.VMEM),  # x resident
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -178,12 +196,9 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # the output pane doubles as the aux gather source; keep it at
-    # least one slab tall so padded/aux chunk slab slices stay in range
-    out_rows = max(plan.pane_rows, SUBS * g)
-    y2 = pl.pallas_call(
-        functools.partial(_route2_kernel, g=g,
-                          has_aux=plan.n_aux_chunks > 0),
+    return pl.pallas_call(
+        functools.partial(_route2_kernel, g=g, has_aux=has_aux,
+                          init_from_x=init_from_x),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, LANES),
                                        jnp.float32),
@@ -191,11 +206,10 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=2 * nsteps * CB * SUBS * LANES,
             bytes_accessed=nsteps * CB * SUBS * LANES * 8
-            + (plan.x_rows + plan.pane_rows) * LANES * 4,
+            + (x_rows + out_rows) * LANES * 4,
             transcendentals=0,
         ),
     )(sb, yb, fl, t, v, x2)
-    return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(xdt)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -214,45 +228,10 @@ def route2_solve(plan: Route2Plan, y0: jax.Array,
     pane0 = jnp.pad(y0.astype(jnp.float32),
                     (0, rows * LANES - y0.shape[0])).reshape(rows, LANES)
 
-    nc = plan.nchunks
-    nsteps = -(-nc // CB)
-    pad = nsteps * CB - nc
-    t = jnp.pad(plan.tile, ((0, pad), (0, 0), (0, 0)))
-    v = jnp.pad(plan.val, ((0, pad), (0, 0), (0, 0)))
-    sb = jnp.pad(plan.slab_base, (0, pad))
-    yb = jnp.pad(plan.y_base, (0, pad))
-    fl = jnp.pad(plan.src_flag, (0, pad), mode="edge")
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((rows, LANES), lambda k, *_: (0, 0),
-                         memory_space=pltpu.VMEM),   # y0 pane
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, CB, SUBS, LANES), jnp.int32),
-            pltpu.VMEM((2, CB, SUBS, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    y2 = pl.pallas_call(
-        functools.partial(_route2_kernel, g=plan.g, has_aux=True,
-                          init_from_x=True),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * nsteps * CB * SUBS * LANES,
-            bytes_accessed=nsteps * CB * SUBS * LANES * 8
-            + 2 * rows * LANES * 4,
-            transcendentals=0,
-        ),
-    )(sb, yb, fl, t, v, pane0)
+    y2 = route2_dispatch(plan.tile, plan.val, plan.slab_base,
+                         plan.y_base, plan.src_flag, pane0, g=plan.g,
+                         x_rows=rows, out_rows=rows, has_aux=True,
+                         interpret=interpret, init_from_x=True)
     return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(y0dt)
 
 

@@ -28,6 +28,9 @@ from spblas_tpu.parallel.trsv import (
 from spblas_tpu.parallel.spgemm import (
     DistSpgemmPlan, dist_spgemm, dist_spgemm_compute, dist_spgemm_numeric,
 )
+from spblas_tpu.parallel.route_spmv import (
+    DistRoutePlan, partition_route, dist_route_spmv,
+)
 
 __all__ = [
     "ROW_AXIS", "make_row_mesh", "ring_perm", "row_sharding", "replicated",
@@ -42,4 +45,5 @@ __all__ = [
     "dist_triangular_solve_inspect",
     "DistSpgemmPlan", "dist_spgemm", "dist_spgemm_compute",
     "dist_spgemm_numeric",
+    "DistRoutePlan", "partition_route", "dist_route_spmv",
 ]

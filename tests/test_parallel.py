@@ -208,3 +208,25 @@ def test_dist_triangular_solve(mesh, uplo):
     x = np.asarray(dist_triangular_solve(plan, bp, mesh))[:m]
     residual = np.abs(np.asarray(L.todense()) @ x - b).max()
     assert residual < 1e-4
+
+
+def test_dist_route_spmv_matches_dense():
+    """Per-shard ROUTE2 plans under shard_map (unstructured distributed
+    SpMV) — uniform, power-law and rectangular patterns."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.parallel import (make_row_mesh, partition_route,
+                                     dist_route_spmv)
+    from spblas_tpu.utils.generate import generate_csr, generate_rmat_csr
+    from tests.util import assert_close, dense_from_csr
+
+    mesh = make_row_mesh(8)
+    for a in (generate_csr(4096, 4096, 40000, seed=1),
+              generate_rmat_csr(4096, 4096 * 8, seed=2),
+              generate_csr(3000, 2000, 20000, seed=3)):
+        plan = partition_route(a, mesh)
+        m, n = a.shape
+        x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+        xp = jnp.pad(jnp.asarray(x), (0, plan.p * plan.nloc - n))
+        y = np.asarray(dist_route_spmv(plan, xp, mesh))[:m]
+        assert_close(y, dense_from_csr(a) @ x, abs_floor=1e-2)
