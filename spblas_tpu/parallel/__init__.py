@@ -30,6 +30,7 @@ from spblas_tpu.parallel.spgemm import (
 )
 from spblas_tpu.parallel.route_spmv import (
     DistRoutePlan, partition_route, dist_route_spmv,
+    DistSellPlan, partition_sell, dist_sell_spmm,
 )
 
 __all__ = [
@@ -46,4 +47,5 @@ __all__ = [
     "DistSpgemmPlan", "dist_spgemm", "dist_spgemm_compute",
     "dist_spgemm_numeric",
     "DistRoutePlan", "partition_route", "dist_route_spmv",
+    "DistSellPlan", "partition_sell", "dist_sell_spmm",
 ]

@@ -230,3 +230,26 @@ def test_dist_route_spmv_matches_dense():
         xp = jnp.pad(jnp.asarray(x), (0, plan.p * plan.nloc - n))
         y = np.asarray(dist_route_spmv(plan, xp, mesh))[:m]
         assert_close(y, dense_from_csr(a) @ x, abs_floor=1e-2)
+
+
+def test_dist_sell_spmm_matches_dense():
+    """Per-shard SELL plans under shard_map (unstructured distributed
+    SpMM), including a hub-heavy pattern with wide buckets."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.parallel import (make_row_mesh, partition_sell,
+                                     dist_sell_spmm)
+    from spblas_tpu.utils.generate import generate_csr, generate_rmat_csr
+    from tests.util import assert_close, dense_from_csr
+
+    mesh = make_row_mesh(8)
+    for a in (generate_csr(2048, 2048, 16000, seed=4),
+              generate_rmat_csr(2048, 2048 * 8, seed=5)):
+        plan = partition_sell(a, mesh)
+        m, n = a.shape
+        B = np.random.default_rng(1).standard_normal((n, 12)).astype(
+            np.float32)
+        Bp = jnp.pad(jnp.asarray(B), ((0, plan.p * plan.nloc - n),
+                                      (0, 0)))
+        C = np.asarray(dist_sell_spmm(plan, Bp, mesh))[:m]
+        assert_close(C, dense_from_csr(a) @ B, abs_floor=1e-2)
