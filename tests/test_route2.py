@@ -102,3 +102,39 @@ def test_route2_hub_row_aux_spill():
     x = rng.standard_normal(n).astype(np.float32)
     assert_close(route2_spmv_numpy(plan, x), a @ x)
     assert_close(np.asarray(route2_spmv(plan, jnp.asarray(x))), a @ x)
+
+
+def test_route2_solve_simulator_and_kernel():
+    """One-dispatch solve plan: numpy kernel-semantics oracle and the
+    Pallas kernel both match scipy triangular solves."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+    from spblas_tpu import native
+    from spblas_tpu.kernels.route2 import (build_route2_solve_plan,
+                                           route2_solve_numpy)
+    from spblas_tpu.kernels.route2_kernel import route2_solve
+    from spblas_tpu.utils.generate import generate_triangular_csr
+
+    for lower, unit in ((True, False), (False, False), (True, True)):
+        L = generate_triangular_csr(1200, seed=21, lower=lower,
+                                    unit_diag=unit)
+        rp = np.asarray(L.rowptr)
+        ci = np.asarray(L.colind)
+        vv = np.asarray(L.values)
+        nnz = int(L.nnz)
+        levels, diag_pos, _ = native.level_schedule(
+            1200, nnz, rp.astype(np.int64), ci, lower, unit)
+        plan = build_route2_solve_plan(rp, ci, vv, (1200, 1200), nnz,
+                                       levels, diag_pos, unit, lower)
+        b = np.random.default_rng(2).standard_normal(1200).astype(
+            np.float32)
+        d = np.ones(1200) if unit else vv[diag_pos]
+        y0 = (b / d).astype(np.float32)
+        A = sp.csr_matrix((vv[:nnz], ci[:nnz], rp), shape=(1200, 1200))
+        if unit:
+            A = (A + sp.eye(1200)).tocsr()
+        ref = spl.spsolve_triangular(A, b, lower=lower)
+        assert_close(route2_solve_numpy(plan, y0), ref, factor=256,
+                     abs_floor=1e-3)
+        assert_close(np.asarray(route2_solve(plan, jnp.asarray(y0))),
+                     ref, factor=256, abs_floor=1e-3)
