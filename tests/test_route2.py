@@ -134,7 +134,10 @@ def test_route2_solve_simulator_and_kernel():
         if unit:
             A = (A + sp.eye(1200)).tocsr()
         ref = spl.spsolve_triangular(A, b, lower=lower)
+        # substitution amplifies errors with the solution magnitude
+        # (f32 forward solve vs scipy's f64): floor scales with max|x|
+        floor = 3e-5 * float(np.abs(ref).max())
         assert_close(route2_solve_numpy(plan, y0), ref, factor=256,
-                     abs_floor=1e-3)
+                     abs_floor=floor)
         assert_close(np.asarray(route2_solve(plan, jnp.asarray(y0))),
-                     ref, factor=256, abs_floor=1e-3)
+                     ref, factor=256, abs_floor=floor)
