@@ -534,7 +534,7 @@ def spgemm_chunked(a_view, b_view, rows_per_chunk: int) -> CSR:
         sub = CSR.from_arrays(a.values[lo:hi], sub_rowptr,
                               a.colind[lo:hi], (rows_per_chunk, k),
                               nnz=hi - lo)
-        info = spgemm_compute(sub, b)
+        info = spgemm_compute(sub, b, reuse=False)  # one-shot chunks
         c_chunk = spgemm_fill(info, sub, b)
         cn = info.result_nnz
         vals_l.append(c_chunk.values[:cn])
