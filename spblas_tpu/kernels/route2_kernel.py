@@ -32,7 +32,8 @@ from spblas_tpu.kernels.route2 import (B2_LF, B2_R2, B2_SD2,
                                        Route2Plan)
 from spblas_tpu.types import on_tpu as _on_tpu
 
-CB = 8          # chunks per grid step (the builder aligns flag groups)
+CB = 8          # chunks per grid step (the builder aligns flag groups;
+                # CB=16 measured only ~2% faster on uniform 300k)
 
 
 def _r2_route(r2, slab, g):
