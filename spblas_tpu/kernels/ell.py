@@ -87,14 +87,7 @@ def ell_spmm(plan: EllPlan, b: jax.Array) -> jax.Array:
     gathers — measured 39 GFLOP/s vs 22 for the one-shot (m, W, k)
     gather + einsum at k=256 on uniform 100k (the 3D intermediate is
     what hurts, not the gather: row gathers stream at 100-375 GB/s,
-    PERF_NOTES.md round 2c)."""
-    if plan.width <= 64:
-        acc = jnp.zeros((plan.m_pad, b.shape[1]),
-                        jnp.result_type(plan.values.dtype, b.dtype))
-        for w in range(plan.width):
-            acc = acc + plan.values[:, w, None] * b[plan.cols[:, w]]
-        return acc[: plan.shape[0]]
-    bg = b[plan.cols]                        # (m_pad, W, k)
-    c = jnp.einsum("mw,mwk->mk", plan.values, bg,
-                   precision=jax.lax.Precision.HIGHEST)
-    return c[: plan.shape[0]]
+    PERF_NOTES.md round 2c).  The policy lives in
+    kernels.sell.bucket_matmul."""
+    from spblas_tpu.kernels.sell import bucket_matmul
+    return bucket_matmul(plan.values, plan.cols, b)[: plan.shape[0]]

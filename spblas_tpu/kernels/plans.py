@@ -102,23 +102,28 @@ def band_cx_spmm(plans, b):
     return jax.lax.complex(cr, ci)
 
 
-def build_matvec_plan(a) -> Tuple[str, object]:
+# plan kinds usable by BOTH spmv and spmm: the OptimizedMatrix cache
+# aliases these across the "matvec"/"matmul" keys so structured
+# inspection (RCM, band/BSR packing) runs once per matrix
+STRUCTURED_KINDS = ("band", "band_perm", "band_cx", "bsr", "dia")
+
+
+def _structured_plan(a, m, n, h):
+    """The shared structured-plan ladder (band/band_cx/BSR/RCM-band/
+    DIA); returns (kind, plan) or None when only general-sparsity plans
+    apply."""
     import jax.numpy as jnp
 
-    a = to_csr(a)
-    m, n = a.shape
-    h = band_halfwidth(a)
     if jnp.issubdtype(a.dtype, jnp.complexfloating):
         # complex64 banded: two real band-panel plans (re/im planes) so
         # complex structured matrices leave the gather path (VERDICT
-        # round-1 item 10); otherwise DIA/ELL are jnp-based and
-        # complex-safe
+        # round-1 item 10); DIA/SELL below are jnp-based, complex-safe
         if (_on_tpu() and a.dtype == jnp.complex64
                 and _band_fill(a, h) >= 0.02):
             return ("band_cx", _build_band_cx(a))
         if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
             return ("dia", build_dia_plan(a))
-        return ("sell", build_sell_plan(a))
+        return None
     if _on_tpu():
         if _band_fill(a, h) >= _BAND_FILL_THRESHOLD:
             return ("band", build_band_plan(a))
@@ -127,8 +132,8 @@ def build_matvec_plan(a) -> Tuple[str, object]:
             return ("bsr", bsr)
         if _band_fill(a, h) >= 0.02:
             # already banded, just narrow: the panel kernel still beats
-            # every gather path, and skipping RCM avoids two keyed sorts
-            # per apply
+            # every gather path, and skipping RCM avoids two keyed
+            # sorts per apply
             return ("band", build_band_plan(a))
         if m == n:
             # generic sparsity: try an RCM reordering into band panels
@@ -136,19 +141,32 @@ def build_matvec_plan(a) -> Tuple[str, object]:
             # genuinely dense (the two keyed sorts per apply otherwise
             # lose to the ROUTE kernel)
             from spblas_tpu import native
-            nnz = int(a.nnz)
             import numpy as np
             perm, h2 = native.rcm(
-                m, nnz, np.asarray(a.rowptr).astype(np.int64),
+                m, int(a.nnz), np.asarray(a.rowptr).astype(np.int64),
                 np.asarray(a.colind))
             if _band_fill(a, h2) >= _BAND_PERM_FILL_THRESHOLD:
                 return ("band_perm",
                         build_permuted_band_plan(a, perm=perm))
+        return None
+    if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
+        return ("dia", build_dia_plan(a))
+    return None
+
+
+def build_matvec_plan(a) -> Tuple[str, object]:
+    import jax.numpy as jnp
+
+    a = to_csr(a)
+    m, n = a.shape
+    h = band_halfwidth(a)
+    structured = _structured_plan(a, m, n, h)
+    if structured is not None:
+        return structured
+    if not jnp.issubdtype(a.dtype, jnp.complexfloating) and _on_tpu():
         route = _try_route(a)
         if route is not None:
             return route
-    if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
-        return ("dia", build_dia_plan(a))
     # degree-bucketed SELL beats global-width ELL on padding and keeps
     # the accumulated-row-gather hot loop (kernels/sell.py)
     return ("sell", build_sell_plan(a))
@@ -156,39 +174,16 @@ def build_matvec_plan(a) -> Tuple[str, object]:
 
 def build_matmul_plan(a) -> Tuple[str, object]:
     """SpMM plan: like :func:`build_matvec_plan` but general sparsity
-    lands on ELL, not ROUTE — the all-dense gather+einsum SpMM runs all
-    k columns in one pass (measured 21 GFLOP/s at k=256 on uniform
-    100k) while column-at-a-time ROUTE replays pay the whole SpMV cost
-    per column."""
-    import jax.numpy as jnp
-
+    lands on SELL, not ROUTE — the all-dense row-gather SpMM runs all
+    k columns in one pass (49 GFLOP/s at k=256 on uniform 100k) while
+    column-at-a-time ROUTE replays pay the whole SpMV cost per
+    column."""
     a = to_csr(a)
     m, n = a.shape
     h = band_halfwidth(a)
-    if (jnp.issubdtype(a.dtype, jnp.complexfloating) and _on_tpu()
-            and a.dtype == jnp.complex64 and _band_fill(a, h) >= 0.02):
-        return ("band_cx", _build_band_cx(a))
-    if not jnp.issubdtype(a.dtype, jnp.complexfloating) and _on_tpu():
-        if _band_fill(a, h) >= _BAND_FILL_THRESHOLD:
-            return ("band", build_band_plan(a))
-        bsr = _try_bsr(a)
-        if bsr is not None:
-            return ("bsr", bsr)
-        if _band_fill(a, h) >= 0.02:
-            return ("band", build_band_plan(a))
-        if m == n:
-            import numpy as np
-            from spblas_tpu import native
-            perm, h2 = native.rcm(
-                m, int(a.nnz), np.asarray(a.rowptr).astype(np.int64),
-                np.asarray(a.colind))
-            if _band_fill(a, h2) >= _BAND_PERM_FILL_THRESHOLD:
-                return ("band_perm",
-                        build_permuted_band_plan(a, perm=perm))
-    if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
-        return ("dia", build_dia_plan(a))
-    # degree-bucketed SELL: ~min(2, Wmax/avg-deg)x less gather traffic
-    # than global-width ELL (kernels/sell.py)
+    structured = _structured_plan(a, m, n, h)
+    if structured is not None:
+        return structured
     return ("sell", build_sell_plan(a))
 
 

@@ -118,6 +118,19 @@ class Route2Plan:
 # builder
 # ------------------------------------------------------------------ #
 
+def pick_window_g(m: int, n: int, nnz: int) -> int:
+    """Window factor targeting ~2k elements per (1024-row x g*1024-col)
+    cell: elements/cell = nnz*1024*window/(m*n), so
+    g >= 2048*m*n/(nnz*1024*1024) = 2*m*n/(nnz*SLOTS).  Shared by the
+    SpMV/solve builders and the distributed partitioner (this formula
+    regressed once when copy-pasted — keep ONE copy)."""
+    want = max(1, (2 * m * n) // (max(nnz, 1) * SLOTS) + 1)
+    g = 1
+    while g < want and g < 16:
+        g *= 2
+    return min(g, _pick_g(max(n, 1)))
+
+
 def _pick_g(n: int, max_g: int = 16) -> int:
     for g in (1, 2, 4, 8, 16, 32):
         if g > max_g:
@@ -141,15 +154,7 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
     values = np.asarray(values)[:nnz]
 
     if g is None:
-        # target ~2k elements per (1024-row x window) cell: smaller
-        # windows waste no ladder selects, larger ones amortize cell
-        # tails.  elements/cell = nnz*1024*window/(m*n), so
-        # g >= 2048*m*n/(nnz*1024*1024) = 2*m*n/(nnz*1024).
-        want = max(1, (2 * m * n) // (max(nnz, 1) * SLOTS) + 1)
-        g = 1
-        while g < want and g < 16:
-            g *= 2
-        g = min(g, _pick_g(max(n, 1)))
+        g = pick_window_g(m, n, nnz)
     window = g * SLOTS
 
     rows = np.repeat(np.arange(m, dtype=np.int64),
@@ -267,11 +272,7 @@ def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
         d = vals_h[np.asarray(diag_pos).astype(np.int64)]
     coeff = -(vals_h / d[rows])
 
-    want = max(1, (2 * m * m) // (max(nnz, 1) * SLOTS) + 1)
-    g = 1
-    while g < want and g < 16:
-        g *= 2
-    g = min(g, _pick_g(max(m, 1)))
+    g = pick_window_g(m, m, nnz)
     window = g * SLOTS
 
     y_rows = -(-max(m, 1) // ROW_WINDOW) * SUBS

@@ -111,16 +111,26 @@ def build_sell_plan(a: CSR) -> SellPlan:
                     shape=(m, n))
 
 
-def _bucket_spmm(b: SellBucket, mat: jax.Array) -> jax.Array:
-    if b.width <= _UNROLL_MAX:
-        acc = jnp.zeros((b.values.shape[0], mat.shape[1]),
-                        jnp.result_type(b.values.dtype, mat.dtype))
-        for w in range(b.width):
-            acc = acc + b.values[:, w, None] * mat[b.cols[:, w]]
+def bucket_matmul(values: jax.Array, cols: jax.Array,
+                  mat: jax.Array) -> jax.Array:
+    """(mb, W) padded rows x dense mat -> (mb, k): W accumulated row
+    gathers for moderate widths (the measured-fast form), the one-shot
+    3D gather for wide hub buckets (few rows there, and the unrolled
+    form would trace thousands of gathers).  Shared by SELL, ELL and
+    the distributed SELL executor."""
+    if values.shape[1] <= _UNROLL_MAX:
+        acc = jnp.zeros((values.shape[0], mat.shape[1]),
+                        jnp.result_type(values.dtype, mat.dtype))
+        for w in range(values.shape[1]):
+            acc = acc + values[:, w, None] * mat[cols[:, w]]
         return acc
-    bg = mat[b.cols]                 # (mb, Wb, k) — few rows here
-    return jnp.einsum("mw,mwk->mk", b.values, bg,
+    bg = mat[cols]
+    return jnp.einsum("mw,mwk->mk", values, bg,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _bucket_spmm(b: SellBucket, mat: jax.Array) -> jax.Array:
+    return bucket_matmul(b.values, b.cols, mat)
 
 
 @jax.jit

@@ -38,7 +38,11 @@ def spmv(a_view, x_view) -> jax.Array:
     from spblas_tpu.kernels import plans as _plans
     if (opt is not None and not conj_a and _v.is_sparse(a_view)
             and _plans.transform_safe(x)):
-        plan = opt.get_plan("matvec", _plans.build_matvec_plan)
+        cached = opt._plans.get("matmul")
+        if cached is not None and cached[0] in _plans.STRUCTURED_KINDS:
+            plan = cached       # structured plans serve both ops
+        else:
+            plan = opt.get_plan("matvec", _plans.build_matvec_plan)
         y = _plans.plan_spmv(plan, x)
     else:
         y = _spmv_base(a, x, conj_a)

@@ -174,7 +174,10 @@ def _route_solve_eligible(a, m, nnz, num_levels) -> bool:
         return False
     if a.dtype != jnp.float32:
         return False
-    return (m // 128 <= 18_000 and nnz <= 4_000_000
+    # TWO panes of m//128 rows stay VMEM-resident (the y0 input pane
+    # and the output pane, route2_solve), so the row budget is half the
+    # single-pane ~18k cap
+    return (m // 128 <= 9_000 and nnz <= 4_000_000
             and num_levels <= 4_096)
 
 
@@ -231,10 +234,18 @@ def triangular_solve(a_view, b, uplo: str = "lower",
         raise ValueError(
             f"triangular_solve: b length {b.shape[0]} != m {plan.m}")
     values = jnp.conj(a.values) if conj else a.values
+    from spblas_tpu.kernels.plans import transform_safe
+    alpha_ok = (transform_safe(alpha)
+                and not jnp.issubdtype(jnp.result_type(alpha),
+                                       jnp.complexfloating))
     if (plan.route is not None and not conj
             and a.values is plan.route_vals_ref
-            and _route_solve_rhs_ok(b)
+            and transform_safe(b) and alpha_ok
             and b.dtype == jnp.float32):
+        # transform_safe on BOTH rhs and alpha: the one-dispatch kernel
+        # has no VJP, so grad/vmap through either input must take the
+        # differentiable ragged sweep; complex alpha likewise (the
+        # kernel is real-f32)
         from spblas_tpu.kernels.route2_kernel import route2_solve
         alpha_f = jnp.asarray(alpha, jnp.float32)
         if plan.route_diag is not None:
@@ -243,16 +254,6 @@ def triangular_solve(a_view, b, uplo: str = "lower",
             y0 = b / alpha_f
         return route2_solve(plan.route, y0)
     return _trsv_execute(plan, values, b, alpha)
-
-
-def _route_solve_rhs_ok(b) -> bool:
-    """The one-dispatch kernel has no VJP and fixed (m,) geometry:
-    plain jit tracing of the rhs is fine (forward-only), but JVP/batch
-    tracers (grad, vmap) must take the differentiable ragged sweep."""
-    if not isinstance(b, jax.core.Tracer):
-        return True
-    from jax.interpreters.partial_eval import DynamicJaxprTracer
-    return isinstance(b, DynamicJaxprTracer)
 
 
 def _check_uplo(uplo: str) -> bool:

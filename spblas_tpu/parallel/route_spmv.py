@@ -73,10 +73,8 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
 
     # common g from the global density heuristic (the per-device
     # heuristic could disagree across skewed blocks)
-    want = max(1, (2 * mloc * n) // (max(nnz // p, 1) * 1024) + 1)
-    g = 1
-    while g < want and g < 16:
-        g *= 2
+    from spblas_tpu.kernels.route2 import pick_window_g
+    g = pick_window_g(mloc, n, max(nnz // p, 1))
 
     plans = []
     for d in range(p):
@@ -276,18 +274,9 @@ def dist_sell_spmm(plan: DistSellPlan, b: jax.Array, mesh: Mesh
         vals = buckets[:nb]
         cols = buckets[nb:]
         bg = jax.lax.all_gather(bloc, ROW_AXIS).reshape(-1, k)[:n]
-        parts = []
-        for vv, cc in zip(vals, cols):
-            v, c = vv[0], cc[0]
-            if v.shape[1] <= 64:
-                acc = jnp.zeros((v.shape[0], k), jnp.float32)
-                for w in range(v.shape[1]):
-                    acc = acc + v[:, w, None] * bg[c[:, w]]
-            else:
-                # wide hub buckets hold few rows: one-shot 3D gather
-                # (the unrolled form would trace thousands of gathers)
-                acc = jnp.einsum("mw,mwk->mk", v, bg[c])
-            parts.append(acc)
+        from spblas_tpu.kernels.sell import bucket_matmul
+        parts = [bucket_matmul(vv[0], cc[0], bg).astype(jnp.float32)
+                 for vv, cc in zip(vals, cols)]
         parts.append(jnp.zeros((1, k), jnp.float32))
         stacked = jnp.concatenate(parts, axis=0)
         return stacked[pos[0]].astype(b.dtype)
