@@ -416,8 +416,8 @@ def main():
     defaults = [
         ("spmv_general_route", 540),
         ("spmv_rmat", 540),
-        ("spgemm", 360),
-        ("sptrsv", 360),
+        ("spgemm", 480),
+        ("sptrsv", 480),
     ]
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         defaults += [
