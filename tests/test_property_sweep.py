@@ -64,3 +64,33 @@ def test_sweep_trsv(seed, uplo):
     residual = np.abs(np.asarray(L.todense()) @ np.asarray(x)
                       - np.asarray(b)).max()
     assert residual < 1e-3
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_sweep_opt_plan_paths(seed, monkeypatch):
+    """Sweep the TPU plan chooser across pattern families: every
+    (pattern, op) pair must route through its cached plan and match the
+    dense oracle (route/route1/sell/band/band_perm selection under a
+    faked TPU)."""
+    import jax.numpy as jnp
+    from spblas_tpu.kernels import plans as _plans
+
+    monkeypatch.setattr(_plans, "_on_tpu", lambda: True)
+    rng = np.random.default_rng(seed)
+    cases = [
+        gen.generate_csr(1500, 1500, 9000, seed=seed),          # route
+        gen.generate_rmat_csr(1024, 1024 * 16, seed=seed),      # route1
+        gen.generate_banded_csr(640, 640, 7, seed=seed),        # band
+        gen.generate_csr(900, 700, 5000, seed=seed + 7),        # rect
+    ]
+    for a in cases:
+        m, n = a.shape
+        ao = sp.matrix_opt(a)
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(sp.multiply(ao, jnp.asarray(x)))
+        assert_close(y, np.asarray(a.todense()) @ x, factor=256,
+                     abs_floor=1e-2)
+        B = rng.standard_normal((n, 6)).astype(np.float32)
+        C = np.asarray(sp.multiply(ao, jnp.asarray(B)))
+        assert_close(C, np.asarray(a.todense()) @ B, factor=256,
+                     abs_floor=1e-2)
