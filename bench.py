@@ -328,7 +328,7 @@ def section_spmm_general(m=100_000, deg=10, k=256, iters=20):
             "nnz": int(a.nnz)}
 
 
-def section_spmv_rmat(m=131_072, deg=16, iters=50):
+def section_spmv_rmat(m=131_072, deg=16, iters=150):
     """Power-law (RMAT) pattern through the plan chooser — the
     SuiteSparse-class skewed-degree case (hub mass routes to the v1
     ROUTE kernel, kernels/plans._try_route)."""
