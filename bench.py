@@ -142,7 +142,7 @@ def section_headline_xla(m=409_600, half_bw=50, iters=300):
     return {"nnz_s": nnz / sec, "nnz": nnz, "path": "xla_dia"}
 
 
-def section_spmv_general_route(m=300_000, deg=10, iters=100):
+def section_spmv_general_route(m=300_000, deg=10, iters=300):
     """Unstructured uniform-random SpMV through the ROUTE2 Pallas plan
     (the round-2 kernel, rev 2; VERDICT item 1).  m=300k keeps the host
     plan build inside the section budget; the m=1M point runs in the
@@ -257,8 +257,9 @@ def section_sptrsv(m=20_000):
     b0 = jnp.ones((m,), jnp.float32)
 
     # chained solves with distinct rhs per iteration (single-call
-    # timing measures tunnel dispatch latency, not the solver)
-    iters = 50
+    # timing measures tunnel dispatch latency, not the solver; long
+    # chains amortize the ~24 ms per-chain-call overhead)
+    iters = 200
 
     @jax.jit
     def chain(b):
@@ -328,7 +329,7 @@ def section_spmm_general(m=100_000, deg=10, k=256, iters=20):
             "nnz": int(a.nnz)}
 
 
-def section_spmv_rmat(m=131_072, deg=16, iters=150):
+def section_spmv_rmat(m=131_072, deg=16, iters=300):
     """Power-law (RMAT) pattern through the plan chooser — the
     SuiteSparse-class skewed-degree case (hub mass routes to the v1
     ROUTE kernel, kernels/plans._try_route)."""
@@ -355,7 +356,7 @@ SECTIONS = {
     "headline_xla": section_headline_xla,
     "spmv_general_route": section_spmv_general_route,
     "spmv_general_route_1m":
-        lambda: section_spmv_general_route(m=1_000_000, iters=50),
+        lambda: section_spmv_general_route(m=1_000_000, iters=100),
     "spmv_general_xla": section_spmv_general_xla,
     "spgemm": section_spgemm,
     "sptrsv": section_sptrsv,
