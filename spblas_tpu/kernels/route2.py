@@ -171,8 +171,20 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
     # chunk accumulates an (8,128) tile at its stripe base)
     y_rows = -(-max(m, 1) // ROW_WINDOW) * SUBS
     state = _BuildState(g, y_rows)
-    _pack_stream(rows, colind, values, ent, g, window, state,
-                 tgt_rows=None)
+    # window-major overflow spill pays only when spilled segments are
+    # long enough to amortize their aux-reduction stream (one aux slot
+    # per segment, reduced by ~8x per level): expected per-(row,window)
+    # degree >= 3.  Below that the per-element aux traffic eats the
+    # chunk-count gain (measured: uniform 300k deg10 LOST 12% with
+    # unconditional spill, high-degree matrices gain 10-30%).
+    seg_len_est = nnz * window / max(m * n, 1)
+    spilled = _pack_stream(rows, colind, values, ent, g, window, state,
+                           tgt_rows=None, spill=seg_len_est >= 3.0)
+    if spilled is not None:
+        if not _pack_spill_native(*spilled, g, window, state):
+            # no native library: repack the overflow per cell (denser
+            # window-major packing needs the native spill_only mode)
+            _pack_stream(*spilled, g, window, state, tgt_rows=None)
 
     # aux levels: reduce spilled segment sums (living in the aux region
     # of the output pane) back into y, possibly recursively.  Aux chunks
@@ -406,14 +418,18 @@ class _BuildState:
 
 
 def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
-                 tgt_rows, src_flag: int = 0, col_base: int = 0):
+                 tgt_rows, src_flag: int = 0, col_base: int = 0,
+                 spill: bool = False):
     """Sort a (row, col) element stream into cells and pack each cell.
 
     ``col_base`` offsets columns (used by aux levels whose "columns"
     are output-pane slots).  Targets are the element rows (direct y
-    accumulation)."""
+    accumulation).  With ``spill=True`` (native packer only) each
+    cell's Poisson-tail overflow is returned as (rows, cols, vals,
+    ent) subarrays for window-major repacking instead of fragmenting
+    per-cell chunks."""
     if len(rows) == 0:
-        return
+        return None
     cols = cols + col_base
     stripe = rows // ROW_WINDOW
     cellc = cols // window
@@ -425,19 +441,26 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
     bounds = np.flatnonzero(np.diff(cell_key)) + 1
     starts = np.concatenate([[0], bounds])
     ends = np.concatenate([bounds, [len(rows)]])
-    native_ok = _pack_cells_native(rows, cols, vals, ent, starts, ends,
-                                   g, window, state, src_flag)
-    if native_ok:
-        return
+    res = _pack_cells_native(rows, cols, vals, ent, starts, ends,
+                             g, window, state, src_flag, spill=spill)
+    if res is not None:
+        spill_idx = res
+        if spill and len(spill_idx):
+            return (rows[spill_idx], cols[spill_idx],
+                    vals[spill_idx], ent[spill_idx])
+        return None
     for a, b in zip(starts, ends):
         _pack_cell(rows[a:b], cols[a:b], vals[a:b], ent[a:b], g,
                    window, state, src_flag)
+    return None
 
 
 def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
-                       state: _BuildState, src_flag: int) -> bool:
+                       state: _BuildState, src_flag: int,
+                       spill: bool = False):
     """Native C++ cell packer (native/src/route2_pack.cpp); returns
-    False when the library is unavailable."""
+    the spilled stream indices (possibly empty) or None when the
+    library is unavailable."""
     from spblas_tpu import native
     ne = len(rows)
     ncells = len(starts)
@@ -445,19 +468,31 @@ def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
     lrow = (rows % ROW_WINDOW).astype(np.int32)
     lcol = (cols % window).astype(np.int32)
     nat = native.route2_pack(ne, ncells, cell_start, lrow, lcol,
-                             aux_windows_in=len(state.aux_windows))
+                             aux_windows_in=len(state.aux_windows),
+                             spill=spill)
     if nat is None:
-        return False
+        return None
     (nch, tiles, chunk_cell, chunk_auxwin, chunk_group, elem_group,
-     elem_scat, n_windows, aux_slot, aux_lrow, aux_cell) = nat
+     elem_scat, n_windows, aux_slot, aux_lrow, aux_cell,
+     spill_idx) = nat
     cell_sb = ((cols[starts] // window) * (window // LANES)).astype(
         np.int32)
     cell_yb = ((rows[starts] // ROW_WINDOW)
                * (ROW_WINDOW // LANES)).astype(np.int32)
-    # group val/src tiles (chunk copies share their group's values)
+    # group val/src tiles (chunk copies share their group's values).
+    # SPILLED elements were never committed — their elem_group/scat
+    # entries are uninitialized zeros and must not scatter (they would
+    # corrupt group 0's (0,0) slot)
     ngroup = int(chunk_group.max()) + 1 if nch else 0
     vt = np.zeros((max(ngroup, 1), SUBS, LANES), np.float32)
     st = np.full((max(ngroup, 1), SUBS, LANES), -1, np.int32)
+    if len(spill_idx):
+        keep = np.ones(ne, bool)
+        keep[spill_idx] = False
+        elem_group = elem_group[keep]
+        elem_scat = elem_scat[keep]
+        vals = vals[keep]
+        ent = ent[keep]
     du = elem_scat >> 7
     dl = elem_scat & 127
     vt[elem_group, du, dl] = vals
@@ -480,6 +515,59 @@ def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
         state.aux_pending.append(
             (state.aux_base * LANES + int(aux_slot[k]),
              int(cell_yb[aux_cell[k]]) * LANES + int(aux_lrow[k])))
+    return spill_idx
+
+
+def _pack_spill_native(rows, cols, vals, ent, g, window,
+                       state: _BuildState) -> bool:
+    """Window-major repack of the per-cell Poisson-tail overflow: cells
+    span ALL stripes of one x window, every segment publishes to an aux
+    slot (spill_only), and the pending targets carry the GLOBAL row.
+    The per-cell fragmentation this removes took uniform-300k fill from
+    0.27 to ~0.5."""
+    from spblas_tpu import native
+    order = np.lexsort((cols, rows, cols // window))
+    rows, cols = rows[order], cols[order]
+    vals, ent = vals[order], ent[order]
+    wkey = cols // window
+    bounds = np.flatnonzero(np.diff(wkey)) + 1
+    starts = np.concatenate([[0], bounds])
+    ne = len(rows)
+    cell_start = np.concatenate([starts, [ne]]).astype(np.int64)
+    nat = native.route2_pack(
+        ne, len(starts), cell_start,
+        rows.astype(np.int32),                 # GLOBAL rows
+        (cols % window).astype(np.int32),
+        aux_windows_in=len(state.aux_windows), spill_only=True)
+    if nat is None:
+        return False
+    (nch, tiles, chunk_cell, chunk_auxwin, chunk_group, elem_group,
+     elem_scat, n_windows, aux_slot, aux_lrow, aux_cell, _) = nat
+    cell_sb = ((cols[starts] // window) * (window // LANES)).astype(
+        np.int32)
+    ngroup = int(chunk_group.max()) + 1 if nch else 0
+    vt = np.zeros((max(ngroup, 1), SUBS, LANES), np.float32)
+    st = np.full((max(ngroup, 1), SUBS, LANES), -1, np.int32)
+    du = elem_scat >> 7
+    dl = elem_scat & 127
+    vt[elem_group, du, dl] = vals
+    st[elem_group, du, dl] = np.where(ent >= 0, ent, -1)
+    if state.aux_windows == [] and n_windows:
+        state.aux_base = state.y_rows
+    while len(state.aux_windows) < n_windows:
+        state.aux_windows.append(np.full(LANES, SUBS, np.int64))
+    # spill chunks publish only to aux windows
+    yb = (state.aux_base + chunk_auxwin * SUBS).astype(np.int32)
+    state.tiles.extend(tiles)
+    state.vals.extend(vt[chunk_group])
+    state.srcs.extend(st[chunk_group])
+    state.sb.extend(cell_sb[chunk_cell].tolist())
+    state.yb.extend(yb.tolist())
+    state.flags.extend([0] * nch)              # they read the x pane
+    for k in range(len(aux_slot)):
+        state.aux_pending.append(
+            (state.aux_base * LANES + int(aux_slot[k]),
+             int(aux_lrow[k])))                # target = global row
     return True
 
 

@@ -103,7 +103,8 @@ def _declare(lib):
     lib.spblas_route2_pack.restype = i64
     lib.spblas_route2_pack.argtypes = [
         i64, i64, i64p, i32p, i32p, i64, i64, ctypes.c_int32,
-        i32p, i32p, i32p, i32p, i32p, i32p, i64p, i64p, i32p, i32p]
+        i32p, i32p, i32p, i32p, i32p, i32p, i64p, i64p, i32p, i32p,
+        i32p, i64p, ctypes.c_int32]
     lib.spblas_route2_mul_pack.restype = i64
     lib.spblas_route2_mul_pack.argtypes = [
         i64, i64, i64p, i32p, i32p, i32p, i64, i64,
@@ -384,12 +385,15 @@ def route_pack(ne, ncells, cell_start, lrow, lcol):
 
 
 def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
-                spill_only=False):
+                spill_only=False, spill=False):
     """Native ROUTE2 chunk packing (kernels/route2.py hot loop).
 
     Returns (nch, tiles(nch,8,128), chunk_cell, chunk_auxwin,
     chunk_group, elem_group, elem_scat, n_aux_windows, aux_slot,
-    aux_lrow, aux_cell) or None when the library is unavailable."""
+    aux_lrow, aux_cell, spill_idx) or None when the library is
+    unavailable.  With ``spill=True``, Poisson-tail overflow beyond
+    each cell's deserved chunk count comes back as stream indices in
+    ``spill_idx`` for window-major repacking."""
     lib = get_lib()
     if lib is None:
         return None
@@ -408,12 +412,14 @@ def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
         aux_slot = np.zeros(max(ne, 1), np.int64)
         aux_lrow = np.zeros(max(ne, 1), np.int32)
         aux_cell = np.zeros(max(ne, 1), np.int32)
+        spill_out = np.zeros(max(ne, 1) if spill else 1, np.int32)
+        spill_n = np.zeros(1, np.int64)
         rc = lib.spblas_route2_pack(
             ne, ncells, cell_start, lrow, lcol, max_chunks,
             int(aux_windows_in), int(spill_only),
             tiles, chunk_cell, chunk_auxwin, chunk_group,
             elem_group, elem_scat, aux_info, aux_slot, aux_lrow,
-            aux_cell)
+            aux_cell, spill_out, spill_n, int(spill))
         if rc == -1:
             max_chunks *= 4
             continue
@@ -421,11 +427,13 @@ def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
             return None
         nch = int(rc)
         na = int(aux_info[0])
+        spill_idx = (spill_out[: int(spill_n[0])] if spill
+                     else np.zeros(0, np.int32))
         return (nch, tiles[: nch * 1024].reshape(nch, 8, 128),
                 chunk_cell[:nch], chunk_auxwin[:nch],
                 chunk_group[:nch], elem_group, elem_scat,
                 int(aux_info[1]), aux_slot[:na], aux_lrow[:na],
-                aux_cell[:na])
+                aux_cell[:na], spill_idx)
     return None
 
 

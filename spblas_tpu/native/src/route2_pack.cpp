@@ -291,7 +291,13 @@ extern "C" int64_t spblas_route2_pack(
     int64_t* aux_info,            // out: [0]=n_pending [1]=n_windows
     int64_t* aux_slot,            // out per pending: absolute slot
     int32_t* aux_lrow,            // out per pending: local row
-    int32_t* aux_cell) {          // out per pending: cell index
+    int32_t* aux_cell,            // out per pending: cell index
+    // optional overflow spill (nullptr = legacy behavior): when a cell
+    // would open more chunks than its element count deserves (the
+    // Poisson-tail overflow that fragments per-cell chunks), the
+    // segment's elements are emitted to spill_out (stream indices)
+    // for window-major repacking by the caller instead
+    int32_t* spill_out, int64_t* spill_n, int32_t spill_enable) {
   Out out{tiles, chunk_cell, chunk_auxwin, chunk_group, elem_chunk,
           elem_scat, max_chunks};
   AuxAlloc aux;
@@ -306,9 +312,15 @@ extern "C" int64_t spblas_route2_pack(
 
   std::vector<int> seg_start, seg_len, seg_row, seg_order;
   std::vector<uint8_t> seg_hub;
+  int64_t n_spill = 0;
   for (int64_t cell = 0; cell < ncells; ++cell) {
     int64_t a0 = cell_start[cell], a1 = cell_start[cell + 1];
     if (a0 >= a1) continue;
+    // chunk budget: what the cell's element count deserves at ~70%
+    // fill, minimum 1 (spill disabled when spill_out == nullptr)
+    int64_t cell_budget = spill_enable
+        ? ((a1 - a0) + 716) / 717 : (int64_t)1 << 60;
+    int64_t cell_opened = 0;
     // --- segment formation (<=8 per row run) + hub marking ---
     seg_start.clear(); seg_len.clear(); seg_row.clear(); seg_hub.clear();
     {
@@ -377,7 +389,16 @@ extern "C" int64_t spblas_route2_pack(
         }
         int id = freelist.back(); freelist.pop_back();
         open.push_back(id);
+        ++cell_opened;
         return &pool_store[id];
+      };
+
+      // overflow spill: beyond the cell's chunk budget, emit the
+      // remaining elements for window-major repacking
+      auto spill_rest = [&](int off2) {
+        for (int k = off2; k < len; ++k)
+          spill_out[n_spill++] =
+              (int32_t)(a0 + seg_start[s] + k);
       };
 
       // ---- direct publish of the segment head (non-hub, non-spill):
@@ -407,6 +428,10 @@ extern "C" int64_t spblas_route2_pack(
           ck.cold++;
         }
         if (off == 0) {
+          if (cell_opened >= cell_budget) {
+            spill_rest(0);
+            continue;
+          }
           // no full fit: take a fresh chunk whole (partial-into-open
           // would spill the remainder to aux, which measurably hurt
           // uniform fill; prefix streaming is for hub/aux flows only)
@@ -452,6 +477,10 @@ extern "C" int64_t spblas_route2_pack(
           }
         }
         if (!placed_p) {
+          if (spill_enable && cell_opened >= cell_budget) {
+            spill_rest(off);
+            break;
+          }
           Chunk* ckp = open_fresh();
           if (!ckp) return out.overflow ? -1 : -2;
           int nas = 0;
@@ -482,6 +511,7 @@ extern "C" int64_t spblas_route2_pack(
     aux_lrow[i] = pending[i].lrow;
     aux_cell[i] = pending[i].cell;
   }
+  if (spill_n) *spill_n = n_spill;
   return out.nch;
 }
 

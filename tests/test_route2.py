@@ -141,3 +141,35 @@ def test_route2_solve_simulator_and_kernel():
                      abs_floor=floor)
         assert_close(np.asarray(route2_solve(plan, jnp.asarray(y0))),
                      ref, factor=256, abs_floor=floor)
+
+
+def test_route2_window_major_overflow_spill():
+    """Lane-imbalanced high-degree patterns overflow the per-cell chunk
+    budget; the overflow repacks window-major into aux-published chunks
+    (native spill path) and must match the dense oracle in both the
+    simulator and the kernel."""
+    import scipy.sparse as sp
+    from spblas_tpu.formats.csr import CSR
+
+    rng = np.random.default_rng(0)
+    m = n = 12_288
+    rows_l, cols_l = [], []
+    for r in range(m):
+        deg = 90 if (r % 128) < 16 else 12
+        rows_l.append(np.full(deg, r))
+        cols_l.append(rng.integers(0, n, deg))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    v = rng.standard_normal(len(rows)).astype(np.float32)
+    A = sp.coo_matrix((v, (rows, cols)), shape=(m, n)).tocsr()
+    A.sum_duplicates()
+    a = CSR.from_arrays(A.data, A.indptr, A.indices, (m, n), nnz=A.nnz)
+    plan = build_route2_plan(np.asarray(a.rowptr), np.asarray(a.colind),
+                             np.asarray(a.values), (m, n), int(a.nnz))
+    x = rng.standard_normal(n).astype(np.float32)
+    ref = A @ x
+    floor = 3e-5 * float(np.abs(ref).max())
+    assert_close(route2_spmv_numpy(plan, x), ref, factor=256,
+                 abs_floor=floor)
+    assert_close(np.asarray(route2_spmv(plan, jnp.asarray(x))), ref,
+                 factor=256, abs_floor=floor)
