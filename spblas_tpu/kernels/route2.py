@@ -97,6 +97,11 @@ class Route2Plan:
     aux_rows: int = dataclasses.field(metadata=dict(static=True))
     n_aux_chunks: int = dataclasses.field(metadata=dict(static=True))
     fill: float = dataclasses.field(metadata=dict(static=True))
+    # largest within-segment distance in the plan: the kernel compiles
+    # only the prefix steps it needs (uniform plans have dist <= 1-2,
+    # saving ~2 of 3 roll+mask+add triples per chunk)
+    dist_max: int = dataclasses.field(default=7,
+                                      metadata=dict(static=True))
 
     @property
     def nchunks(self) -> int:
@@ -217,8 +222,10 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
     total_slots = nat_slots + len(ext_cols)
     x_rows = max(-(-total_slots // LANES), 1)
     x_rows = -(-x_rows // (SUBS * g)) * (SUBS * g)
+    tiles_np = np.stack(state.tiles)
+    dist_max = int(((tiles_np >> B_DIST) & 7).max()) if nchunks else 0
     return Route2Plan(
-        tile=jnp.asarray(np.stack(state.tiles)),
+        tile=jnp.asarray(tiles_np),
         val=jnp.asarray(np.stack(state.vals).astype(dtype)),
         slab_base=jnp.asarray(np.array(state.sb, np.int32)),
         y_base=jnp.asarray(np.array(state.yb, np.int32)),
@@ -227,7 +234,7 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
         ext_cols=jnp.asarray(ext_cols.astype(np.int32)),
         g=g, shape=(m, n), nat_slots=int(nat_slots), x_rows=x_rows,
         y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
-        fill=float(fill))
+        fill=float(fill), dist_max=dist_max)
 
 
 def _drain_aux(state: "_BuildState", g: int, window: int) -> int:
@@ -318,8 +325,10 @@ def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
     aux_rows = state.aux_rows()
     pane_rows = y_rows + aux_rows
     x_rows = max(pane_rows, SUBS * g)
+    tiles_np = np.stack(state.tiles)
+    dist_max = int(((tiles_np >> B_DIST) & 7).max()) if nchunks else 0
     return Route2Plan(
-        tile=jnp.asarray(np.stack(state.tiles)),
+        tile=jnp.asarray(tiles_np),
         val=jnp.asarray(np.stack(state.vals).astype(np.float32)),
         slab_base=jnp.asarray(np.array(state.sb, np.int32)),
         y_base=jnp.asarray(np.array(state.yb, np.int32)),
@@ -328,7 +337,7 @@ def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
         ext_cols=jnp.asarray(np.zeros(0, np.int32)),
         g=g, shape=(m, m), nat_slots=x_rows * LANES, x_rows=x_rows,
         y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
-        fill=len(e_rows) / max(nchunks * SLOTS, 1))
+        fill=len(e_rows) / max(nchunks * SLOTS, 1), dist_max=dist_max)
 
 
 def route2_solve_numpy(plan: Route2Plan, y0: np.ndarray) -> np.ndarray:
@@ -925,6 +934,8 @@ class Route2MulPlan:
     n_aux_chunks: int = dataclasses.field(metadata=dict(static=True))
     capacity: int = dataclasses.field(metadata=dict(static=True))
     fill: float = dataclasses.field(metadata=dict(static=True))
+    dist_max: int = dataclasses.field(default=7,
+                                      metadata=dict(static=True))
 
     @property
     def nchunks(self) -> int:
@@ -1184,8 +1195,10 @@ def build_route2_mul_plan(slots, src_a, src_b, a_len: int, b_len: int,
     a_rows = -(-a_rows // (SUBS * g_a)) * (SUBS * g_a)
     b_rows = -(-max(b_len, 1) // LANES)
     b_rows = -(-b_rows // (SUBS * g_b)) * (SUBS * g_b)
+    t1_np = np.stack(state.t1)
+    dist_max = int(((t1_np >> B_DIST) & 7).max()) if nchunks else 0
     return Route2MulPlan(
-        tile1=jnp.asarray(np.stack(state.t1)),
+        tile1=jnp.asarray(t1_np),
         tile2=jnp.asarray(np.stack(state.t2)),
         a_base=jnp.asarray(np.array(state.ab, np.int32)),
         b_base=jnp.asarray(np.array(state.bb, np.int32)),
@@ -1195,7 +1208,7 @@ def build_route2_mul_plan(slots, src_a, src_b, a_len: int, b_len: int,
         aux_rows=(len(state.aux_windows) * SUBS + SUBS * max(g_a, g_b)
                   if state.aux_windows else 0),
         n_aux_chunks=n_aux_chunks, capacity=capacity,
-        fill=len(slots) / max(nchunks * SLOTS, 1))
+        fill=len(slots) / max(nchunks * SLOTS, 1), dist_max=dist_max)
 
 
 def _pack_mul_stream(slots, sa, sb, starts, win_a, win_b,

@@ -56,9 +56,11 @@ def _r2_route(r2, slab, g):
     return t1
 
 
-def _chunk_body(t, val, slab, g):
+def _chunk_body(t, val, slab, g, dist_max):
     """One (8,128) chunk: r2 slab-row route, lane gather, depth drop,
-    multiply, segmented prefix, publish."""
+    multiply, segmented prefix, publish.  The prefix compiles only the
+    steps the plan needs (dist_max static): uniform plans have
+    dist <= 1-2, so 1-2 of 3 roll+mask+add triples drop out."""
     t1 = _r2_route((t >> B_R2) & 255, slab, g)
     t2 = jnp.take_along_axis(t1, (t >> B_LF) & 127, axis=1)   # THE lane op
     t3 = jnp.take_along_axis(t2, (t >> B_SD2) & 7, axis=0)
@@ -67,6 +69,8 @@ def _chunk_body(t, val, slab, g):
     dist = (t >> B_DIST) & 7
     P = c
     for d in (1, 2, 4):
+        if d > dist_max:
+            break
         # static sublane rotate + mask (cheaper than a dynamic gather);
         # wrapped rows are safe: dist >= d implies sublane >= d
         shifted = jnp.roll(P, d, axis=0)
@@ -79,7 +83,8 @@ def _chunk_body(t, val, slab, g):
 
 def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
                    t_buf, v_buf, t_sem, v_sem, *, g: int,
-                   has_aux: bool, init_from_x: bool = False):
+                   has_aux: bool, init_from_x: bool = False,
+                   dist_max: int = 7):
     k = pl.program_id(0)
     nk = pl.num_programs(0)
 
@@ -115,7 +120,8 @@ def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
         for i in range(CB):
             ci = k * CB + i
             slab = src_ref[pl.ds(sb_ref[ci], SUBS * g), :]
-            upd = _chunk_body(t_buf[slot, i], v_buf[slot, i], slab, g)
+            upd = _chunk_body(t_buf[slot, i], v_buf[slot, i], slab, g,
+                              dist_max)
             yb = yb_ref[ci]
             y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + upd
 
@@ -160,13 +166,14 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
                          plan.y_base, plan.src_flag, x2, g=g,
                          x_rows=plan.x_rows, out_rows=out_rows,
                          has_aux=plan.n_aux_chunks > 0,
-                         interpret=interpret)
+                         interpret=interpret, dist_max=plan.dist_max)
     return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(xdt)
 
 
 def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
                     g: int, x_rows: int, out_rows: int, has_aux: bool,
-                    interpret: bool, init_from_x: bool = False):
+                    interpret: bool, init_from_x: bool = False,
+                    dist_max: int = 7):
     """The raw ROUTE2 pallas dispatch over plan arrays — shared by
     route2_spmv, route2_solve and the distributed per-shard executor
     (parallel/route_spmv.py), which cannot pass plan pytrees through
@@ -199,7 +206,7 @@ def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
     )
     return pl.pallas_call(
         functools.partial(_route2_kernel, g=g, has_aux=has_aux,
-                          init_from_x=init_from_x),
+                          init_from_x=init_from_x, dist_max=dist_max),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, LANES),
                                        jnp.float32),
@@ -232,7 +239,8 @@ def route2_solve(plan: Route2Plan, y0: jax.Array,
     y2 = route2_dispatch(plan.tile, plan.val, plan.slab_base,
                          plan.y_base, plan.src_flag, pane0, g=plan.g,
                          x_rows=rows, out_rows=rows, has_aux=True,
-                         interpret=interpret, init_from_x=True)
+                         interpret=interpret, init_from_x=True,
+                         dist_max=plan.dist_max)
     return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(y0dt)
 
 
@@ -246,13 +254,15 @@ def _gather_chain(t, slab, g, b_r2, b_lf, b_sd2):
     return jnp.take_along_axis(u, (t >> b_sd2) & 7, axis=0)
 
 
-def _mul_chunk_body(t1, t2, slabA, slabB, g_a, g_b):
+def _mul_chunk_body(t1, t2, slabA, slabB, g_a, g_b, dist_max):
     tA = _gather_chain(t2, slabA, g_a, B2_R2, B2_LF, B2_SD2)
     tB = _gather_chain(t1, slabB, g_b, B_R2, B_LF, B_SD2)
     c = tA * tB
     dist = (t1 >> B_DIST) & 7
     P = c
     for d in (1, 2, 4):
+        if d > dist_max:
+            break
         shifted = jnp.roll(P, d, axis=0)
         P = P + jnp.where(dist >= d, shifted, 0.0)
     RS = jnp.take_along_axis(P, (t1 >> B_PEND) & 7, axis=0)
@@ -262,7 +272,8 @@ def _mul_chunk_body(t1, t2, slabA, slabB, g_a, g_b):
 
 def _route2_mul_kernel(ab_ref, bb_ref, yb_ref, fl_ref, t1_hbm, t2_hbm,
                        a_ref, b_ref, y_ref, t1_buf, t2_buf, s1, s2, *,
-                       g_a: int, g_b: int, has_aux: bool):
+                       g_a: int, g_b: int, has_aux: bool,
+                       dist_max: int = 7):
     k = pl.program_id(0)
     nk = pl.num_programs(0)
 
@@ -296,7 +307,7 @@ def _route2_mul_kernel(ab_ref, bb_ref, yb_ref, fl_ref, t1_hbm, t2_hbm,
             slabA = a_ref[pl.ds(ab_ref[ci], SUBS * g_a), :]
             slabB = srcB_ref[pl.ds(bb_ref[ci], SUBS * g_b), :]
             upd = _mul_chunk_body(t1_buf[slot, i], t2_buf[slot, i],
-                                  slabA, slabB, g_a, g_b)
+                                  slabA, slabB, g_a, g_b, dist_max)
             yb = yb_ref[ci]
             y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + upd
 
@@ -359,7 +370,8 @@ def route2_mul(plan: Route2MulPlan, a_arr: jax.Array, b_arr: jax.Array,
     y2 = pl.pallas_call(
         functools.partial(_route2_mul_kernel, g_a=plan.g_a,
                           g_b=plan.g_b,
-                          has_aux=plan.n_aux_chunks > 0),
+                          has_aux=plan.n_aux_chunks > 0,
+                          dist_max=plan.dist_max),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32),
         interpret=interpret,

@@ -50,6 +50,8 @@ class DistRoutePlan:
     x_rows: int = dataclasses.field(metadata=dict(static=True))
     out_rows: int = dataclasses.field(metadata=dict(static=True))
     has_aux: bool = dataclasses.field(metadata=dict(static=True))
+    dist_max: int = dataclasses.field(default=7,
+                                      metadata=dict(static=True))
 
     @property
     def p(self) -> int:
@@ -117,7 +119,8 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
         src_flag=jax.device_put(stack(lambda q: q.src_flag, edge=True),
                                 sharding),
         shape=(m, n), mloc=mloc, nloc=nloc, g=g,
-        x_rows=x_rows, out_rows=out_rows, has_aux=has_aux)
+        x_rows=x_rows, out_rows=out_rows, has_aux=has_aux,
+        dist_max=max(pl.dist_max for pl in plans))
 
 
 def dist_route_spmv(plan: DistRoutePlan, x: jax.Array, mesh: Mesh
@@ -143,7 +146,8 @@ def dist_route_spmv(plan: DistRoutePlan, x: jax.Array, mesh: Mesh
                              g=plan.g, x_rows=plan.x_rows,
                              out_rows=plan.out_rows,
                              has_aux=plan.has_aux,
-                             interpret=interpret)
+                             interpret=interpret,
+                             dist_max=plan.dist_max)
         return jax.lax.slice(y2.reshape(-1), (0,),
                              (mloc,)).astype(x.dtype)
 
