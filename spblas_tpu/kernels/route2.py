@@ -324,7 +324,13 @@ def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
     nchunks = len(state.tiles)
     aux_rows = state.aux_rows()
     pane_rows = y_rows + aux_rows
+    # Round the pane up to whole slab windows: the kernel slices
+    # pl.ds(sb, SUBS*g) off the output pane, so the pane must hold a
+    # full slab past the last slab base or multi-cell solves (g*1024
+    # < m with ceil(m/1024) not a multiple of g) read/write out of
+    # bounds (advisor round-2 high finding).
     x_rows = max(pane_rows, SUBS * g)
+    x_rows = -(-x_rows // (SUBS * g)) * (SUBS * g)
     tiles_np = np.stack(state.tiles)
     dist_max = int(((tiles_np >> B_DIST) & 7).max()) if nchunks else 0
     return Route2Plan(
@@ -1113,16 +1119,8 @@ def build_route2_mul_plan(slots, src_a, src_b, a_len: int, b_len: int,
     src_a = np.asarray(src_a, np.int64)
     src_b = np.asarray(src_b, np.int64)
 
-    def pick_g(length, count):
-        want = max(1, (2 * length) // max(count, 1) // SLOTS + 1)
-        g = 1
-        while g < want and g < 32:
-            g *= 2
-        while g * SLOTS < length and g < 32:
-            g *= 2
-        return g
-
-    g_a = pick_g(a_len, 1)      # A is CSR-local per stripe: cover it
+    # both panes are covered whole (windows grow to span the full
+    # A / B value arrays, capped at g=32)
     g_a = 1
     while g_a * SLOTS < a_len and g_a < 32:
         g_a *= 2

@@ -158,7 +158,10 @@ def _numeric(plan: SpgemmPlan, a_values, b_values, d_values, alpha, beta):
 
     With a fused route engine (real dtype, TPU-sized), the whole
     expansion runs in one Pallas dispatch at in-register gather speed;
-    otherwise the XLA gather + scatter-add fallback."""
+    otherwise the XLA gather + scatter-add fallback.  Callers strip
+    ``plan.route`` under JVP/batch tracers (the engine kernel has no
+    VJP) — the guard must run OUTSIDE this jit because the traced
+    jaxpr is cached and later differentiated as-is."""
     if plan.route is not None:
         from spblas_tpu.kernels.route2 import Route2MulPlan
         one = jnp.ones((1,), dtype=a_values.dtype)
@@ -376,6 +379,14 @@ def spgemm_fill(info: OperationInfo, a_view, b_view, d_view=None,
                 f"{info.result_nnz} (csr_builder overflow analogue)")
         if c.capacity != plan.c_capacity:
             plan = plan.with_capacity(c.capacity)
+    if plan.route is not None:
+        from spblas_tpu.kernels.plans import transform_safe
+        if not (all(transform_safe(v) for v in
+                    (a_values, b_values, alpha, beta))
+                and (d_values is None or transform_safe(d_values))):
+            # grad/vmap through values: the route engine kernel has no
+            # VJP — take the differentiable XLA numeric instead
+            plan = dataclasses.replace(plan, route=None)
     c_values = _numeric(plan, a_values, b_values, d_values, alpha, beta)
     return CSR(values=c_values, rowptr=plan.c_rowptr,
                colind=plan.c_colind[:c_values.shape[0]],

@@ -91,6 +91,34 @@ def test_grad_spgemm_numeric():
     np.testing.assert_allclose(float(g[0]), fd, rtol=5e-2, atol=1e-3)
 
 
+def test_grad_spgemm_numeric_route_engine_reroutes(monkeypatch):
+    """jax.grad through multiply_fill with a fused route engine must
+    reroute to the differentiable XLA numeric (the engine kernel has no
+    VJP) instead of failing loudly — advisor round-2 low finding."""
+    import dataclasses
+    monkeypatch.setenv("SPBLAS_FORCE_ROUTE_SPGEMM", "1")
+    a = gen.generate_csr(24, 24, 120, seed=7)
+    b = gen.generate_csr(24, 24, 120, seed=8)
+    info = sp.multiply_compute(a, b)
+    assert info.plan.route is not None
+
+    def loss(av):
+        a2 = dataclasses.replace(a, values=av)
+        c = sp.multiply_fill(info, a2, b)
+        return jnp.sum(c.values ** 2)
+
+    # concrete path still uses the engine; grad reroutes and matches fd
+    g = jax.grad(loss)(a.values)
+    assert np.isfinite(np.asarray(g)).all()
+    eps = 1e-2
+    v0 = np.asarray(a.values)
+    e = np.zeros_like(v0)
+    e[0] = eps
+    fd = (float(loss(jnp.asarray(v0 + e)))
+          - float(loss(jnp.asarray(v0 - e)))) / (2 * eps)
+    np.testing.assert_allclose(float(g[0]), fd, rtol=5e-2, atol=1e-3)
+
+
 def test_grad_triangular_solve():
     L = gen.generate_triangular_csr(30, seed=9, lower=True)
     b = jnp.asarray(gen.generate_vector(30, seed=10))

@@ -143,6 +143,50 @@ def test_route2_solve_simulator_and_kernel():
                      ref, factor=256, abs_floor=floor)
 
 
+def test_route2_solve_multicell_slab_rounding():
+    """m spanning multiple window cells with ceil(m/1024) not a multiple
+    of g must round the output pane up to whole slab windows — the slab
+    slice pl.ds(sb, SUBS*g) otherwise overruns the pane and the solve is
+    silently wrong (advisor round-2 high finding: m=5000, deg-3 lower,
+    g=4 gave slab_end 64 > pane 40 and ~67 max rel err)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+    from spblas_tpu import native
+    from spblas_tpu.kernels.route2 import (SUBS, build_route2_solve_plan,
+                                           route2_solve_numpy)
+    from spblas_tpu.kernels.route2_kernel import route2_solve
+
+    rng = np.random.default_rng(0)
+    m = 5000
+    rows, cols = [], []
+    for i in range(m):
+        k = min(i, 3)
+        if k:
+            rows.extend([i] * k)
+            cols.extend(rng.choice(i, size=k, replace=False))
+        rows.append(i)
+        cols.append(i)
+    vals = rng.uniform(0.5, 1.5, len(rows)).astype(np.float32)
+    A = sp.csr_matrix((vals, (np.array(rows), np.array(cols))),
+                      shape=(m, m))
+    rp, ci, vv = A.indptr, A.indices, A.data
+    levels, diag_pos, _ = native.level_schedule(
+        m, A.nnz, rp.astype(np.int64), ci, True, False)
+    plan = build_route2_solve_plan(rp, ci, vv, (m, m), A.nnz, levels,
+                                   diag_pos, False, True)
+    # the pane itself must now be a whole number of slab windows
+    assert plan.x_rows % (SUBS * plan.g) == 0
+    assert plan.x_rows >= plan.pane_rows
+    b = rng.uniform(-1, 1, m).astype(np.float32)
+    y0 = (b / vv[diag_pos]).astype(np.float32)
+    ref = spl.spsolve_triangular(A, b, lower=True)
+    floor = 3e-4 * float(np.abs(ref).max())
+    assert_close(route2_solve_numpy(plan, y0), ref, factor=256,
+                 abs_floor=floor)
+    assert_close(np.asarray(route2_solve(plan, jnp.asarray(y0))),
+                 ref, factor=256, abs_floor=floor)
+
+
 def test_route2_window_major_overflow_spill():
     """Lane-imbalanced high-degree patterns overflow the per-cell chunk
     budget; the overflow repacks window-major into aux-published chunks
