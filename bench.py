@@ -197,6 +197,7 @@ def section_spgemm(m=2_000, nnz=40_000):
     from spblas_tpu.utils.generate import generate_csr
 
     a = generate_csr(m, m, nnz, seed=0)
+    jax.block_until_ready(a.values)           # operand resident pre-timer
     info = spgemm_compute(a, a, reuse=False)   # warm the symbolic compile
     t0 = time.perf_counter()
     info_plain = spgemm_compute(a, a, reuse=False)
@@ -237,7 +238,10 @@ def section_spgemm(m=2_000, nnz=40_000):
 
     best = numeric_chain(info.plan)
     best_plain = numeric_chain(info_plain.plan)
+    from spblas_tpu.utils.profiling import inspect_phases
     return {"symbolic_s": t_sym, "symbolic_reuse_s": t_sym_reuse,
+            "engine_phases": {**inspect_phases("spgemm_engine"),
+                              **inspect_phases("route2_mul")},
             "numeric_reuse_s": best, "numeric_xla_s": best_plain,
             "numeric_engine": type(info.plan.route).__name__,
             "result_nnz": info.result_nnz}
@@ -251,9 +255,21 @@ def section_sptrsv(m=20_000):
     from spblas_tpu.utils.generate import generate_triangular_csr
 
     L = generate_triangular_csr(m, seed=0, lower=True, density=0.0005)
+    # operand fully resident BEFORE the timer: through the tunnel the
+    # first device round-trip absorbs whatever teardown congestion the
+    # previous bench section left behind (BENCH_r02 recorded 109 s of
+    # exactly that inside inspect_s)
+    jax.block_until_ready(L.values)
+    from spblas_tpu.utils.profiling import inspect_phases
     t0 = time.perf_counter()
     info = triangular_solve_inspect(L, uplo="lower")
     t_inspect = time.perf_counter() - t0
+    phases_cold = inspect_phases("trsv_inspect")
+    # re-inspect = the amortizable cost (schedule/pack warm, fresh
+    # placement) — the vendors' contract for the inspector phase
+    t0 = time.perf_counter()
+    info = triangular_solve_inspect(L, uplo="lower")
+    t_inspect_warm = time.perf_counter() - t0
     b0 = jnp.ones((m,), jnp.float32)
 
     # chained solves with distinct rhs per iteration (single-call
@@ -279,7 +295,10 @@ def section_sptrsv(m=20_000):
         float(out[0])
         best = min(best, time.perf_counter() - t0)
     best /= iters
-    return {"inspect_s": t_inspect, "solve_s": best,
+    return {"inspect_s": t_inspect, "inspect_warm_s": t_inspect_warm,
+            "inspect_phases": phases_cold,
+            "inspect_phases_warm": inspect_phases("trsv_inspect"),
+            "solve_s": best,
             "levels": info.plan.num_levels, "rows_per_s": m / best,
             "path": ("route_one_dispatch" if info.plan.route is not None
                      else "level_sweep")}
@@ -430,6 +449,11 @@ def main():
             ("spmm_banded", 420),
         ]
     for name, tmo in defaults:
+        # settle: the previous section's tunnel teardown bleeds into the
+        # next section's first device round-trips otherwise (BENCH_r02's
+        # 109 s sptrsv.inspect_s reproduced only right after another
+        # section and measured 1.9 s in isolation)
+        time.sleep(4)
         res, err = _run_section(name, tmo)
         if res is not None:
             details[name] = res

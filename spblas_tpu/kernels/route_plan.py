@@ -320,15 +320,19 @@ def build_route_plan(rowptr, colind, values, shape: Tuple[int, int],
             np.cumsum(rp2), slots_r, np.ones(len(slots_r), np.float32),
             (m, aux_len), len(slots_r), _depth=_depth + 1)
     fill = nnz / max(t1_a.shape[0] * SLOTS, 1)
+    from spblas_tpu.utils.placement import device_put_batch
+    t1_d, t3_d, vt_d, sb_d, yb_d, st_d, hc_d = device_put_batch(
+        t1_a, t3_a, vt_a.astype(dtype), sb_a, yb_a, st_a,
+        hot_cols.astype(np.int32))
     return RoutePlan(
-        tile1=jnp.asarray(t1_a),
-        tile3=jnp.asarray(t3_a),
-        val=jnp.asarray(vt_a.astype(dtype)),
-        slab_base=jnp.asarray(sb_a),
-        y_base=jnp.asarray(yb_a),
-        val_src=jnp.asarray(st_a),
+        tile1=t1_d,
+        tile3=t3_d,
+        val=vt_d,
+        slab_base=sb_d,
+        y_base=yb_d,
+        val_src=st_d,
         aux_plan=aux_plan,
-        hot_cols=jnp.asarray(hot_cols.astype(np.int32)),
+        hot_cols=hc_d,
         g=g, shape=(m, n), x_rows=x_rows, y_rows=y_rows,
         aux_len=aux_len, n_pad=n_pad, fill=float(fill))
 

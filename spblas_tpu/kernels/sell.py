@@ -88,7 +88,7 @@ def build_sell_plan(a: CSR) -> SellPlan:
     pos = np.full(m, len(order), np.int64)   # default: the zero row
     pos[order] = np.arange(len(order))
 
-    buckets = []
+    host_buckets = []
     sorted_bids = bid[order]
     bounds = np.flatnonzero(np.diff(sorted_bids)) + 1
     starts = np.concatenate([[0], bounds]) if len(order) else []
@@ -99,16 +99,21 @@ def build_sell_plan(a: CSR) -> SellPlan:
         offs = rowptr[rows][:, None] + np.arange(wb)[None, :]
         val_mask = np.arange(wb)[None, :] < deg[rows][:, None]
         gidx = np.where(val_mask, offs, 0)
-        buckets.append(SellBucket(
-            values=jnp.asarray(
-                np.where(val_mask, values[gidx], 0).astype(values.dtype)),
-            cols=jnp.asarray(
-                np.where(val_mask, colind[gidx], 0).astype(np.int32)),
-            gather_idx=jnp.asarray(gidx.astype(np.int32)),
-            valid=jnp.asarray(val_mask)))
-    return SellPlan(buckets=tuple(buckets),
-                    pos=jnp.asarray(pos.astype(np.int32)),
-                    shape=(m, n))
+        host_buckets.append((
+            np.where(val_mask, values[gidx], 0).astype(values.dtype),
+            np.where(val_mask, colind[gidx], 0).astype(np.int32),
+            gidx.astype(np.int32), val_mask))
+    # one batched placement for all bucket arrays + pos (inspection
+    # latency: per-array placements pay dispatch round-trips)
+    from spblas_tpu.utils.placement import device_put_batch
+    flat = device_put_batch(
+        *[arr for hb in host_buckets for arr in hb],
+        pos.astype(np.int32))
+    buckets = tuple(
+        SellBucket(values=flat[4 * i], cols=flat[4 * i + 1],
+                   gather_idx=flat[4 * i + 2], valid=flat[4 * i + 3])
+        for i in range(len(host_buckets)))
+    return SellPlan(buckets=buckets, pos=flat[-1], shape=(m, n))
 
 
 def bucket_matmul(values: jax.Array, cols: jax.Array,

@@ -92,13 +92,15 @@ class SpgemmPlan:
             colind = jnp.concatenate([self.c_colind, pad])
         else:
             colind = self.c_colind[:capacity]
-        # slot sentinel must track the capacity (drop == capacity);
-        # the fused route engine bakes the old capacity in, so drop it
-        # and fall back to the XLA numeric for the re-targeted plan
+        # slot sentinel must track the capacity (drop == capacity).
+        # The fused route engine bakes its own output capacity, but the
+        # delta is canonical zero padding either way (callers enforce
+        # capacity >= result_nnz, and engine slots are < result_nnz):
+        # keep the engine and let _numeric pad/slice its output
+        # (VERDICT r2 next-6 — the engine used to be dropped here).
         slot = jnp.where(self.slot >= jnp.asarray(cur, self.slot.dtype),
                          capacity, jnp.minimum(self.slot, capacity))
-        return dataclasses.replace(self, c_colind=colind, slot=slot,
-                                   route=None)
+        return dataclasses.replace(self, c_colind=colind, slot=slot)
 
 
 # ------------------------------------------------------------------ #
@@ -176,6 +178,14 @@ def _numeric(plan: SpgemmPlan, a_values, b_values, d_values, alpha, beta):
         else:
             from spblas_tpu.kernels.route_mul_kernel import route_mul
             out = route_mul(plan.route, a_arr, b_arr)
+        # the plan may have been re-targeted at a different output
+        # capacity (with_capacity): the delta vs the engine's baked
+        # capacity is canonical zero padding
+        cap = plan.c_capacity
+        if out.shape[0] < cap:
+            out = jnp.pad(out, (0, cap - out.shape[0]))
+        elif out.shape[0] > cap:
+            out = out[:cap]
         return out.astype(jnp.result_type(a_values.dtype, b_values.dtype))
     cap = plan.c_capacity
     v_ab = a_values[plan.src_a] * b_values[plan.src_b]
@@ -218,6 +228,8 @@ def _try_build_route(a, b, d, c_capacity: int):
     if rows > 18_000:
         return None
 
+    import time as _time
+    _t_exp = _time.perf_counter()
     m = a.shape[0]
     a_nnz, b_nnz = int(a.nnz), int(b.nnz)
     a_rp = np.minimum(np.asarray(a.rowptr).astype(np.int64), a_nnz)
@@ -247,7 +259,9 @@ def _try_build_route(a, b, d, c_capacity: int):
             [sa, np.full(d_nnz, a.capacity, np.int64)])  # const-1 slot
         sb = np.concatenate(
             [sb, b.capacity + np.arange(d_nnz, dtype=np.int64)])
-    order = np.lexsort((cols, rows))
+    # packed single-key argsort beats lexsort ~2x on the 10^6-element
+    # expansion streams (row, col both < 2^31 so row*n+col fits int64)
+    order = np.argsort(rows * np.int64(b.shape[1]) + cols, kind="stable")
     rows, cols, sa, sb = rows[order], cols[order], sa[order], sb[order]
     head = np.empty(len(rows), bool)
     if len(rows):
@@ -256,6 +270,20 @@ def _try_build_route(a, b, d, c_capacity: int):
     slots = np.cumsum(head) - 1
     if len(slots) and int(slots[-1]) >= c_capacity:
         return None
+    from spblas_tpu.utils.profiling import record_phase
+    record_phase("spgemm_engine", "expansion_s",
+                 _time.perf_counter() - _t_exp)
+    _t_pack = _time.perf_counter()
+    try:
+        return _build_route_packer(slots, sa, sb, a_len, b_len,
+                                   c_capacity)
+    finally:
+        record_phase("spgemm_engine", "pack_s",
+                     _time.perf_counter() - _t_pack)
+
+
+def _build_route_packer(slots, sa, sb, a_len, b_len, c_capacity):
+    import os
     if os.environ.get("SPBLAS_ROUTE_SPGEMM") == "1":
         # the v1 engine, kept selectable for A/B comparison
         from spblas_tpu.kernels.route_mul import build_route_mul_plan
@@ -329,8 +357,19 @@ def spgemm_compute(a_view, b_view, d_view=None,
             f"requested capacity {c_capacity}")
     c_colind, slot_all = _structure_fill(cols_s, heads, slots, valid_s,
                                          int(c_capacity))
-    route = (_try_build_route(a, b, d, int(c_capacity))
-             if reuse else None)
+    route = None
+    if reuse:
+        import time as _time
+        from spblas_tpu.utils.profiling import record_phase
+        _t0 = _time.perf_counter()
+        route = _try_build_route(a, b, d, int(c_capacity))
+        record_phase("spgemm_engine", "build_s",
+                     _time.perf_counter() - _t0)
+        if route is not None:
+            _t0 = _time.perf_counter()
+            jax.block_until_ready(route.tile1)
+            record_phase("spgemm_engine", "upload_wait_s",
+                         _time.perf_counter() - _t0)
     plan = SpgemmPlan(src_a=src_a_s, src_b=src_b_s, is_d=is_d_s,
                       valid=valid_s, slot=slot_all,
                       c_rowptr=c_rowptr, c_colind=c_colind,

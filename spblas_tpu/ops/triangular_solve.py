@@ -57,13 +57,17 @@ class TrsvPlan:
     unit_diag: bool = dataclasses.field(metadata=dict(static=True))
     m: int = dataclasses.field(metadata=dict(static=True))
     # one-dispatch ROUTE2 substitution (kernels/route2.py
-    # build_route2_solve_plan): values are BAKED as -a_ij/d_i, so the
-    # executor uses it only when the solve's values array IS the one
-    # inspected (route_vals_ref identity); otherwise the ragged level
-    # sweep below stays correct for numeric re-runs
+    # build_route2_solve_plan): values are BAKED as -a_ij/d_i.  When the
+    # solve's values array IS the one inspected (route_vals_ref
+    # identity) the baked tiles run as-is; otherwise the executor
+    # re-bakes the coefficient tiles on device from the new values
+    # (route.update_solve_values via route_dpe — the rocSPARSE
+    # numeric-reuse contract) and only grad/vmap tracers drop to the
+    # differentiable ragged sweep
     route: object = None
     route_diag: object = None      # (m,) int32 diag entry idx, or None
     route_vals_ref: object = None  # the values array the bake saw
+    route_dpe: object = None       # (capacity,) int32 entry->diag idx
 
     @property
     def num_levels(self) -> int:
@@ -75,21 +79,28 @@ def triangular_solve_inspect(a_view, uplo: str = "lower",
                              diag: str = "explicit") -> OperationInfo:
     """Level-set analysis (host-side) — the work vendors hide inside
     ``optimize_trsv``.  Returns an info whose plan drives the solve."""
+    import time as _time
+    from spblas_tpu.utils.profiling import record_phase
     a = to_csr(_v.get_ultimate_base(a_view))
     m, n = a.shape
     if m != n:
         raise ValueError(f"triangular_solve requires square A, got {a.shape}")
     lower = _check_uplo(uplo)
     unit = _check_diag(diag)
+    _t0 = _time.perf_counter()
     rowptr = np.asarray(a.rowptr).astype(np.int64)
     colind = np.asarray(a.colind)
     nnz = int(a.nnz)
+    record_phase("trsv_inspect", "pull_s", _time.perf_counter() - _t0)
 
     # level-set analysis in the native inspector runtime (C++ via ctypes,
     # numpy fallback) — the work vendors bury in optimize_trsv
+    _t0 = _time.perf_counter()
     from spblas_tpu import native
     levels, diag_pos, num_levels = native.level_schedule(
         m, nnz, rowptr, colind, lower, unit)
+    record_phase("trsv_inspect", "schedule_s", _time.perf_counter() - _t0)
+    _t0 = _time.perf_counter()
 
     # ragged schedule assembly from (levels, diag_pos)
     lo = np.minimum(rowptr[:-1], nnz)
@@ -137,28 +148,60 @@ def triangular_solve_inspect(a_view, uplo: str = "lower",
                            np.zeros(0, np.int64),
                            np.full(r_cap, -1, np.int64)])
 
+    record_phase("trsv_inspect", "ragged_pack_s",
+                 _time.perf_counter() - _t0)
+
     route = route_diag = vals_ref = None
     if _route_solve_eligible(a, m, nnz, num_levels):
+        _t0 = _time.perf_counter()
         from spblas_tpu.kernels.route2 import build_route2_solve_plan
         route = build_route2_solve_plan(
             rowptr, colind, np.asarray(a.values), (m, m), nnz, levels,
             diag_pos, unit, lower)
-        if not unit:
-            route_diag = jnp.asarray(diag_pos.astype(np.int32))
         vals_ref = a.values
+        record_phase("trsv_inspect", "route_pack_s",
+                     _time.perf_counter() - _t0)
+
+    # ONE batched placement for every schedule array (separate
+    # jnp.asarray calls each pay a dispatch round-trip — the round-2
+    # inspection-latency cliff, VERDICT r2 next-1)
+    # entry->diagonal-entry map for on-device coefficient re-baking
+    # (values-refresh, VERDICT r2 next-6); padded entries map to 0
+    dpe = np.zeros(int(a.capacity), np.int64)
+    if route is not None and not unit and nnz:
+        dpe[:nnz] = diag_pos.astype(np.int64)[row_of]
+
+    _t0 = _time.perf_counter()
+    from spblas_tpu.utils.placement import device_put_batch
+    (ent_idx_d, ent_col_d, ent_slot_d, lv_estart_d, row_ids_d, dpos_d,
+     lv_rstart_d, diag_pos_d, dpe_d) = device_put_batch(
+        ent_idx.astype(np.int32), ent_col.astype(np.int32),
+        ent_slot.astype(np.int32), lv_estart.astype(np.int32),
+        row_ids.astype(np.int32), dpos.astype(np.int32),
+        lv_rstart.astype(np.int32), diag_pos.astype(np.int32),
+        dpe.astype(np.int32))
+    jax.block_until_ready(ent_idx_d)
+    if route is not None:
+        jax.block_until_ready(route.tile)
+    record_phase("trsv_inspect", "upload_s", _time.perf_counter() - _t0)
+    route_dpe = None
+    if route is not None and not unit:
+        route_diag = diag_pos_d
+        route_dpe = dpe_d
 
     plan = TrsvPlan(
-        ent_idx=jnp.asarray(ent_idx.astype(np.int32)),
-        ent_col=jnp.asarray(ent_col.astype(np.int32)),
-        ent_slot=jnp.asarray(ent_slot.astype(np.int32)),
-        lv_estart=jnp.asarray(lv_estart.astype(np.int32)),
-        row_ids=jnp.asarray(row_ids.astype(np.int32)),
-        diag_idx=jnp.asarray(dpos.astype(np.int32)),
-        lv_rstart=jnp.asarray(lv_rstart.astype(np.int32)),
+        ent_idx=ent_idx_d,
+        ent_col=ent_col_d,
+        ent_slot=ent_slot_d,
+        lv_estart=lv_estart_d,
+        row_ids=row_ids_d,
+        diag_idx=dpos_d,
+        lv_rstart=lv_rstart_d,
         e_cap=int(e_cap), r_cap=int(r_cap),
         uplo="lower" if lower else "upper",
         unit_diag=unit, m=m,
-        route=route, route_diag=route_diag, route_vals_ref=vals_ref)
+        route=route, route_diag=route_diag, route_vals_ref=vals_ref,
+        route_dpe=route_dpe)
     return OperationInfo(result_shape=(m, 1), result_nnz=m, plan=plan)
 
 
@@ -239,20 +282,27 @@ def triangular_solve(a_view, b, uplo: str = "lower",
                 and not jnp.issubdtype(jnp.result_type(alpha),
                                        jnp.complexfloating))
     if (plan.route is not None and not conj
-            and a.values is plan.route_vals_ref
-            and transform_safe(b) and alpha_ok
-            and b.dtype == jnp.float32):
-        # transform_safe on BOTH rhs and alpha: the one-dispatch kernel
-        # has no VJP, so grad/vmap through either input must take the
-        # differentiable ragged sweep; complex alpha likewise (the
+            and transform_safe(b) and transform_safe(values) and alpha_ok
+            and b.dtype == jnp.float32
+            and values.dtype == jnp.float32):
+        # transform_safe on rhs, values AND alpha: the one-dispatch
+        # kernel has no VJP, so grad/vmap through any input must take
+        # the differentiable ragged sweep; complex alpha likewise (the
         # kernel is real-f32)
         from spblas_tpu.kernels.route2_kernel import route2_solve
+        route = plan.route
+        if values is not plan.route_vals_ref:
+            # numeric re-run with new values, same sparsity: re-bake the
+            # -a_ij/d_i tiles on device instead of dropping to the
+            # ragged sweep (rocSPARSE numeric-reuse contract,
+            # vendor/rocsparse/multiply_spgemm.hpp:178-214)
+            route = route.update_solve_values(values, plan.route_dpe)
         alpha_f = jnp.asarray(alpha, jnp.float32)
         if plan.route_diag is not None:
             y0 = b / (values[plan.route_diag] * alpha_f)
         else:
             y0 = b / alpha_f
-        return route2_solve(plan.route, y0)
+        return route2_solve(route, y0)
     return _trsv_execute(plan, values, b, alpha)
 
 

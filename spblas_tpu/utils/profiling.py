@@ -89,6 +89,25 @@ def spgemm_cost(flops: int, nnz_a: int, nnz_b: int, nnz_c: int,
     return OpCost(flops=2 * flops, bytes=b, label="spgemm")
 
 
+# ------------------------------------------------------------------ #
+# inspection-phase breakdown (host pack vs device upload vs compile) —
+# plan builders record phases here; benches read them so the recorded
+# inspect latency is attributable (VERDICT r2 next-1: the 109 s
+# sptrsv.inspect_s was unprofiled)
+# ------------------------------------------------------------------ #
+
+_inspect_phases: dict = {}
+
+
+def record_phase(op: str, name: str, seconds: float) -> None:
+    _inspect_phases.setdefault(op, {})[name] = round(seconds, 4)
+
+
+def inspect_phases(op: str) -> dict:
+    """Snapshot of the most recent inspection breakdown for ``op``."""
+    return dict(_inspect_phases.get(op, {}))
+
+
 def time_chained(step: Callable, x0, iters: int = 50, reps: int = 3
                  ) -> float:
     """Best wall time per `step` application over a jitted fori chain."""

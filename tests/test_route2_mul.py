@@ -74,3 +74,35 @@ def test_spgemm_route2_mul_engine_forced(monkeypatch):
     c2 = st.numeric(a2, b, d=sp.scaled(0.25, d))
     assert_close(np.asarray(c2.todense()), 2 * Ad @ Bd + 0.25 * Dd,
                  factor=256, abs_floor=1e-2)
+
+
+def test_spgemm_with_capacity_keeps_engine(monkeypatch):
+    """Re-targeting a route-bearing plan at user-owned capacity must
+    keep the fused engine (the extra capacity is canonical zero
+    padding) — VERDICT r2 next-6: with_capacity used to drop it."""
+    import jax.numpy as jnp
+    import spblas_tpu as sp
+    from spblas_tpu.formats.csr import CSR
+    from spblas_tpu.utils.generate import generate_csr
+
+    monkeypatch.setenv("SPBLAS_FORCE_ROUTE_SPGEMM", "1")
+    a = generate_csr(350, 350, 3200, seed=31)
+    b = generate_csr(350, 350, 3200, seed=32)
+    info = sp.multiply_compute(a, b)
+    assert info.plan.route is not None
+    want = np.asarray(a.todense()) @ np.asarray(b.todense())
+
+    # user allocates LARGER capacity than the plan's (the
+    # allocate-then-update handshake, examples/simple_spgemm.cpp:50-60)
+    big = info.plan.c_capacity * 2
+    c_user = CSR(values=jnp.zeros(big, jnp.float32),
+                 rowptr=info.plan.c_rowptr,
+                 colind=jnp.zeros(big, jnp.int32),
+                 nnz=jnp.asarray(info.result_nnz, jnp.int32),
+                 shape=info.plan.shape)
+    plan2 = info.plan.with_capacity(big)
+    assert plan2.route is not None
+    c = sp.multiply_fill(info, a, b, c=c_user)
+    assert int(c.capacity) == big
+    assert_close(np.asarray(c.todense()), want, factor=256,
+                 abs_floor=1e-2)

@@ -173,6 +173,68 @@ def test_route_solve_one_dispatch(monkeypatch):
     assert_close(x2, ref / 2.0, factor=256, abs_floor=1e-4)
 
 
+def test_route_solve_values_refresh_stays_on_route(monkeypatch):
+    """inspect -> solve -> perturb values -> solve stays on the
+    one-dispatch route path (on-device coefficient re-bake, the
+    rocSPARSE numeric-reuse contract) and matches scipy — VERDICT r2
+    next-6.  The ragged sweep must NOT be taken for concrete values."""
+    import dataclasses
+    import numpy as np
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spl
+    import importlib
+    import spblas_tpu as sp
+    ts_mod = importlib.import_module("spblas_tpu.ops.triangular_solve")
+    from spblas_tpu.utils.generate import generate_triangular_csr
+    from tests.util import assert_close
+
+    monkeypatch.setenv("SPBLAS_FORCE_ROUTE_TRSV", "1")
+    m = 3000
+    L = generate_triangular_csr(m, seed=7, lower=True)
+    info = sp.triangular_solve_inspect(L, uplo="lower")
+    assert info.plan.route is not None
+    assert info.plan.route_dpe is not None
+
+    def boom(*a, **k):
+        raise AssertionError("values change dropped to the ragged sweep")
+
+    monkeypatch.setattr(ts_mod, "_trsv_execute", boom)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(m).astype(np.float32)
+    # perturbed values (same sparsity) — not a scalar multiple, so a
+    # stale baked plan cannot accidentally pass
+    nnz = int(L.nnz)
+    pert = (1.0 + 0.1 * rng.standard_normal(nnz)).astype(np.float32)
+    new_vals = np.asarray(L.values).copy()
+    new_vals[:nnz] *= pert
+    L2 = dataclasses.replace(L, values=__import__("jax").numpy.asarray(
+        new_vals))
+    x2 = np.asarray(sp.triangular_solve(L2, b, uplo="lower", info=info))
+    A2 = sps.csr_matrix((new_vals[:nnz], np.asarray(L.colind)[:nnz],
+                         np.asarray(L.rowptr)), shape=(m, m))
+    ref2 = spl.spsolve_triangular(A2, b, lower=True)
+    assert_close(x2, ref2, factor=256,
+                 abs_floor=3e-5 * float(np.abs(ref2).max()))
+
+    # unit-diagonal variant exercises the dpe=None re-bake
+    Lu = generate_triangular_csr(m, seed=9, lower=True, unit_diag=True)
+    info_u = sp.triangular_solve_inspect(Lu, uplo="lower", diag="unit")
+    assert info_u.plan.route is not None
+    nnz_u = int(Lu.nnz)
+    vals_u = np.asarray(Lu.values).copy()
+    vals_u[:nnz_u] *= 0.5
+    Lu2 = dataclasses.replace(Lu, values=__import__("jax").numpy.asarray(
+        vals_u))
+    xu = np.asarray(sp.triangular_solve(Lu2, b, uplo="lower", diag="unit",
+                                        info=info_u))
+    Au = sps.csr_matrix((vals_u[:nnz_u], np.asarray(Lu.colind)[:nnz_u],
+                         np.asarray(Lu.rowptr)), shape=(m, m))
+    Au = (Au + sps.eye(m)).tocsr()
+    ref_u = spl.spsolve_triangular(Au, b, lower=True)
+    assert_close(xu, ref_u, factor=256,
+                 abs_floor=3e-5 * float(np.abs(ref_u).max()))
+
+
 def test_route_solve_grad_falls_back(monkeypatch):
     """jax.grad through a route-bearing plan must fall back to the
     differentiable ragged sweep (the one-dispatch kernel has no VJP)."""
