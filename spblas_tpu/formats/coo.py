@@ -41,6 +41,7 @@ class COO:
     @classmethod
     def from_arrays(cls, values, rowind, colind, shape, nnz=None,
                     capacity=None) -> "COO":
+        _t.check_values_dtype(values, "COO.from_arrays")
         values = jnp.asarray(values)
         rowind = jnp.asarray(rowind, dtype=_t.index_dtype)
         colind = jnp.asarray(colind, dtype=_t.index_dtype)

@@ -37,6 +37,7 @@ class CSC:
     @classmethod
     def from_arrays(cls, values, colptr, rowind, shape, nnz=None,
                     capacity=None) -> "CSC":
+        _t.check_values_dtype(values, "CSC.from_arrays")
         values = jnp.asarray(values)
         colptr = jnp.asarray(colptr, dtype=_t.offset_dtype)
         rowind = jnp.asarray(rowind, dtype=_t.index_dtype)

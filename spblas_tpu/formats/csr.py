@@ -63,6 +63,7 @@ class CSR:
         padded copies.  ``capacity`` defaults to a power-of-two bucket of
         nnz to bound recompilation.
         """
+        _t.check_values_dtype(values, "CSR.from_arrays")
         values = jnp.asarray(values)
         rowptr = jnp.asarray(rowptr, dtype=_t.offset_dtype)
         colind = jnp.asarray(colind, dtype=_t.index_dtype)

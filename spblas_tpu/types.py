@@ -13,6 +13,8 @@ a small runtime dataclass — see SURVEY.md §5.6.
 from __future__ import annotations
 
 import dataclasses
+import os
+import warnings
 
 import jax.numpy as jnp
 
@@ -60,6 +62,38 @@ def quantize_capacity(nnz: int, cfg: Config = DEFAULT_CONFIG) -> int:
     if not cfg.capacity_quantum:
         return nnz
     return 1 << (nnz - 1).bit_length()
+
+
+_WIDE_SCALARS = ("float64", "complex128")
+
+
+def check_values_dtype(values, where: str) -> None:
+    """Loud-downcast guard for 64-bit scalars at container boundaries.
+
+    The reference templates every algorithm and view over ``double``
+    (include/spblas/views/csr_view.hpp:12-16; the gtest tolerance model
+    instantiates double suites, test/gtest/util.hpp:7-23).  JAX narrows
+    float64/complex128 to 32 bits whenever x64 is disabled; doing that
+    silently at a container constructor violates the reference contract,
+    so: raise under ``SPBLAS_STRICT_DTYPE=1``, warn otherwise.  With
+    ``jax.config.update("jax_enable_x64", True)`` the CPU/XLA base paths
+    run genuinely in f64 (Pallas TPU kernels stay f32 and the plan
+    chooser keeps 64-bit containers off them).
+    """
+    dt = getattr(values, "dtype", None)
+    if dt is None or str(dt) not in _WIDE_SCALARS:
+        return
+    import jax
+
+    if jax.config.jax_enable_x64:
+        return
+    msg = (f"{where}: {dt} values are narrowed to 32 bits because jax "
+           "x64 is disabled. Enable jax_enable_x64 to keep 64-bit "
+           "precision on the CPU/XLA paths, or set SPBLAS_STRICT_DTYPE=1 "
+           "to make this an error.")
+    if os.environ.get("SPBLAS_STRICT_DTYPE") == "1":
+        raise TypeError(msg)
+    warnings.warn(msg, UserWarning, stacklevel=3)
 
 
 def on_tpu() -> bool:
