@@ -326,9 +326,10 @@ def section_spmm_banded(m=409_600, half_bw=50, k=256, iters=20):
     return {"flops_s": 2 * nnz * k / sec}
 
 
-def section_spmm_general(m=100_000, deg=10, k=256, iters=20):
-    """Unstructured CSR x dense SpMM through the matmul plan (ELL
-    all-dense gather+einsum; VERDICT item 5).  Reference bar:
+def section_spmm_general(m=100_000, deg=10, k=256, iters=60):
+    """Unstructured CSR x dense SpMM through the matmul plan (SELL
+    fine-width buckets, round 3: 84 GF at k=256 vs the ~1/padding x
+    172 Mrows/s gather wall — see PERF_NOTES round 3).  Reference bar:
     vendor/onemkl_sycl/detail/spmm_impl.hpp:40-200."""
     import jax, jax.numpy as jnp
     from spblas_tpu.kernels import plans as _plans

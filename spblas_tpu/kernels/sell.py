@@ -35,6 +35,25 @@ from spblas_tpu.formats.csr import CSR
 # rows, so the 3D intermediate is small)
 _UNROLL_MAX = 64
 
+# Width ladder for degree bucketing.  Round-3 measurement
+# (benchmarks/dev/gather_probe.py): the XLA row gather runs at a flat
+# ~144 Mrows/s (k=256) regardless of index order, so SELL throughput is
+# (1/padding) of that wall — pow-2 buckets padded 1.36x on uniform
+# deg-10; this ladder caps within-bucket padding at ~1.2x worst /
+# ~1.08x typical while keeping the unrolled-gather count (sum of
+# widths) bounded for compile size.  Wider than 64 -> pow-2 (einsum
+# path, few rows).
+_WIDTH_LADDER = (1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32,
+                 40, 48, 56, 64)
+
+
+def _bucket_width(deg: int) -> int:
+    """Smallest ladder width >= deg (pow-2 beyond the ladder)."""
+    for w in _WIDTH_LADDER:
+        if deg <= w:
+            return w
+    return 1 << int(deg - 1).bit_length()
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -80,10 +99,17 @@ def build_sell_plan(a: CSR) -> SellPlan:
     values = np.asarray(a.values)[:nnz]
     deg = np.diff(rowptr)
     live = np.flatnonzero(deg > 0)
-    # bucket id = ceil(log2(deg)); stable degree-sorted row order
+    # bucket id = index into the width ladder (fine-grained: ~1.08x
+    # typical padding vs 1.36x for pow-2 — the gather wall is flat in
+    # rows/s, so padding is throughput); stable degree-sorted row order
+    ladder = np.asarray(_WIDTH_LADDER, np.int64)
     bid = np.zeros(len(deg), np.int64)
-    bid[live] = np.ceil(np.log2(np.maximum(deg[live], 1))).astype(np.int64)
-    bid[deg <= 1] = 0
+    if len(live):
+        dl = deg[live]
+        in_ladder = np.searchsorted(ladder, dl)
+        beyond = np.ceil(np.log2(np.maximum(dl, 2))).astype(np.int64)
+        bid[live] = np.where(dl <= ladder[-1], in_ladder,
+                             len(ladder) + beyond)
     order = live[np.argsort(bid[live], kind="stable")]
     pos = np.full(m, len(order), np.int64)   # default: the zero row
     pos[order] = np.arange(len(order))
@@ -95,7 +121,7 @@ def build_sell_plan(a: CSR) -> SellPlan:
     ends = np.concatenate([bounds, [len(order)]]) if len(order) else []
     for s0, s1 in zip(starts, ends):
         rows = order[s0:s1]
-        wb = 1 << int(sorted_bids[s0])
+        wb = _bucket_width(int(deg[rows].max()))
         offs = rowptr[rows][:, None] + np.arange(wb)[None, :]
         val_mask = np.arange(wb)[None, :] < deg[rows][:, None]
         gidx = np.where(val_mask, offs, 0)
