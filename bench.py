@@ -349,6 +349,36 @@ def section_spmm_general(m=100_000, deg=10, k=256, iters=60):
             "nnz": int(a.nnz)}
 
 
+def section_spmv_general_paned(m=4_000_000, deg=10, iters=60):
+    """Beyond-VMEM unstructured SpMV through the paned ROUTE2 executor
+    (kernels/route_paned.py; VERDICT r2 #3): x panes stream HBM->VMEM
+    through a double buffer, one Pallas dispatch per row panel.
+    Done-bar: within ~2x of the m=1M resident-route rate."""
+    import time as _t
+    import jax, jax.numpy as jnp, numpy as np
+    from spblas_tpu.kernels.route_paned import (build_route_paned_plan,
+                                                route_paned_spmv)
+    from spblas_tpu.utils.generate import generate_csr
+
+    nnz = m * deg
+    a = generate_csr(m, m, nnz, seed=3)
+    t0 = _t.perf_counter()
+    plan = build_route_paned_plan(
+        np.asarray(a.rowptr), np.asarray(a.colind),
+        np.asarray(a.values), a.shape, int(a.nnz))
+    build_s = _t.perf_counter() - t0
+
+    def step(plan, x):
+        y = route_paned_spmv(plan, x)
+        return y * jax.lax.rsqrt(jnp.sum(y * y) / m + 1e-9)
+
+    sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
+                        iters=iters)
+    return {"nnz_s": nnz / sec, "nnz": nnz, "fill": plan.fill,
+            "chunks": plan.nchunks, "panels": len(plan.panels),
+            "g": plan.g, "inspect_s": build_s, "path": "route_paned"}
+
+
 def section_spmv_rmat(m=131_072, deg=16, iters=300):
     """Power-law (RMAT) pattern through the plan chooser — the
     SuiteSparse-class skewed-degree case (hub mass routes to the v1
@@ -386,6 +416,7 @@ SECTIONS = {
     "spmm_general": section_spmm_general,
     "spmm_general_k64": lambda: section_spmm_general(k=64),
     "sptrsv_100k": lambda: section_sptrsv(m=100_000),
+    "spmv_general_paned_4m": section_spmv_general_paned,
 }
 
 
@@ -439,10 +470,12 @@ def main():
         ("spmv_rmat", 540),
         ("spgemm", 480),
         ("sptrsv", 480),
+        ("spmm_general", 600),
     ]
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         defaults += [
             ("spmv_general_route_1m", 900),
+            ("spmv_general_paned_4m", 1800),
             ("spmm_general_k64", 420),
             ("sptrsv_100k", 600),
             ("spmv_general_xla", 300),

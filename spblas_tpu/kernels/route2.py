@@ -172,6 +172,28 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
     O(nnz log nnz) host work; the hot path is the per-cell chunk packer
     (native C++ when available, python fallback otherwise).
     """
+    A = _build_route2_arrays(rowptr, colind, values, shape, nnz, g=g,
+                             dtype=dtype)
+    from spblas_tpu.utils.placement import device_put_batch
+    tile, val, sb_d, yb_d, flags_d, srcs_d, ext_d = device_put_batch(
+        A["tiles"], A["vals"], A["sb"], A["yb"], A["flags"], A["srcs"],
+        A["ext"])
+    return Route2Plan(
+        tile=tile, val=val, slab_base=sb_d, y_base=yb_d,
+        src_flag=flags_d, val_src=srcs_d, ext_cols=ext_d,
+        g=A["g"], shape=A["shape"], nat_slots=A["nat_slots"],
+        x_rows=A["x_rows"], y_rows=A["y_rows"], aux_rows=A["aux_rows"],
+        n_aux_chunks=A["n_aux_chunks"], fill=A["fill"],
+        dist_max=A["dist_max"])
+
+
+def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
+                         nnz: int, g: Optional[int] = None,
+                         dtype=np.float32) -> dict:
+    """Host phase of :func:`build_route2_plan`: everything up to device
+    placement, returned as numpy arrays + static meta.  The paned
+    builder (kernels/route_paned.py) calls this per row panel and
+    re-groups chunks by x pane before one batched placement."""
     m, n = shape
     rowptr = np.asarray(rowptr).astype(np.int64)
     colind = np.asarray(colind).astype(np.int64)[:nnz]
@@ -243,15 +265,13 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
     x_rows = -(-x_rows // (SUBS * g)) * (SUBS * g)
     tiles_np = np.stack(state.tiles)
     dist_max = int(((tiles_np >> B_DIST) & 7).max()) if nchunks else 0
-    from spblas_tpu.utils.placement import device_put_batch
-    tile, val, sb_d, yb_d, flags_d, srcs_d, ext_d = device_put_batch(
-        tiles_np, np.stack(state.vals).astype(dtype),
-        np.array(state.sb, np.int32), np.array(state.yb, np.int32),
-        np.array(state.flags, np.int32), np.stack(state.srcs),
-        ext_cols.astype(np.int32))
-    return Route2Plan(
-        tile=tile, val=val, slab_base=sb_d, y_base=yb_d,
-        src_flag=flags_d, val_src=srcs_d, ext_cols=ext_d,
+    return dict(
+        tiles=tiles_np, vals=np.stack(state.vals).astype(dtype),
+        srcs=np.stack(state.srcs),
+        sb=np.array(state.sb, np.int32),
+        yb=np.array(state.yb, np.int32),
+        flags=np.array(state.flags, np.int32),
+        ext=ext_cols.astype(np.int32),
         g=g, shape=(m, n), nat_slots=int(nat_slots), x_rows=x_rows,
         y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
         fill=float(fill), dist_max=dist_max)
@@ -469,11 +489,23 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
     cols = cols + col_base
     stripe = rows // ROW_WINDOW
     cellc = cols // window
-    order = np.lexsort((cols, rows, cellc, stripe))
+    # packed single-key argsort (the 4-key lexsort was the dominant
+    # cost of the whole inspect at 10M nnz — round-3 profile): order by
+    # (cell, local row, local col); cell ids are compacted to keep the
+    # packed key within 63 bits at any matrix size
+    ncellc = int(cellc.max()) + 1 if len(cellc) else 1
+    cell_id = stripe * ncellc + cellc
+    if (int(cell_id.max()) + 1) << 25 < (1 << 62):
+        key = ((cell_id << 25)
+               | ((rows % ROW_WINDOW) << 15)
+               | (cols % window))
+        order = np.argsort(key, kind="stable")
+        cell_key = cell_id[order]
+    else:  # astronomically many cells: fall back to the lexsort
+        order = np.lexsort((cols, rows, cellc, stripe))
+        cell_key = cell_id[order]
     rows, cols, vals, ent = (rows[order], cols[order], vals[order],
                              ent[order])
-    cell_key = stripe[order] * (int(cols.max()) // window + 2) \
-        + cellc[order]
     bounds = np.flatnonzero(np.diff(cell_key)) + 1
     starts = np.concatenate([[0], bounds])
     ends = np.concatenate([bounds, [len(rows)]])

@@ -1,0 +1,101 @@
+"""Paned ROUTE2 SpMV (kernels/route_paned.py) — beyond-VMEM executor.
+
+Small pane/panel geometry on CPU interpret mode exercises multi-pane
+streaming, multi-panel dispatch, pane-boundary padding groups, hub-row
+aux reductions, and the chooser's beyond-VMEM entry (VERDICT r2 #3).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spblas_tpu.kernels.route_paned import (build_route_paned_plan,
+                                            route_paned_spmv,
+                                            estimate_paned_bytes)
+from spblas_tpu.utils import generate as gen
+from tests.util import assert_close, dense_from_csr
+
+
+def _run(a, panel_rows, pane_rows, g=None):
+    plan = build_route_paned_plan(
+        np.asarray(a.rowptr), np.asarray(a.colind), np.asarray(a.values),
+        a.shape, int(a.nnz), g=g, panel_rows=panel_rows,
+        pane_rows=pane_rows)
+    x = gen.generate_vector(a.shape[1], seed=11)
+    y = np.asarray(route_paned_spmv(plan, jnp.asarray(x),
+                                    interpret=True))
+    assert_close(y, dense_from_csr(a) @ x, factor=64, abs_floor=1e-3)
+    return plan
+
+
+def test_multi_pane_multi_panel():
+    # m=5000 -> 5 panels of 1024; n=6000 at g=1 -> x_rows 47 -> panes of
+    # 16 sublane rows -> 3+ panes per panel
+    a = gen.generate_csr(5000, 6000, 40_000, seed=0)
+    plan = _run(a, panel_rows=1024, pane_rows=16, g=1)
+    assert len(plan.panels) == 5
+    assert plan.x_rows_pad % 16 == 0
+
+
+def test_single_pane_path():
+    a = gen.generate_csr(2048, 1000, 8_000, seed=1)
+    plan = _run(a, panel_rows=1024, pane_rows=64, g=1)
+    assert len(plan.panels) == 2
+
+
+def test_hub_rows_aux_within_panel():
+    # a few dense rows force hub spill -> aux chunks at panel end
+    m, n = 3000, 2000
+    rng = np.random.default_rng(2)
+    rows = [rng.integers(0, m, 12_000)]
+    rows.append(np.full(1500, 7))          # hub rows
+    rows.append(np.full(1500, 2049))
+    rows_all = np.concatenate(rows)
+    cols = rng.integers(0, n, len(rows_all))
+    key = rows_all * n + cols
+    _, uniq = np.unique(key, return_index=True)
+    rows_all, cols = rows_all[uniq], cols[uniq]
+    order = np.lexsort((cols, rows_all))
+    rows_all, cols = rows_all[order], cols[order]
+    vals = rng.uniform(0, 1, len(rows_all)).astype(np.float32)
+    rowptr = np.zeros(m + 1, np.int64)
+    np.add.at(rowptr[1:], rows_all, 1)
+    rowptr = np.cumsum(rowptr)
+    from spblas_tpu import CSR
+    a = CSR.from_arrays(vals, rowptr, cols, (m, n), nnz=len(vals))
+    plan = _run(a, panel_rows=1024, pane_rows=16, g=1)
+    assert any(p.has_aux for p in plan.panels)
+
+
+def test_uneven_last_panel_and_empty_rows():
+    a = gen.generate_csr(2500, 1500, 6_000, seed=3)
+    _run(a, panel_rows=2048, pane_rows=32, g=1)
+
+
+def test_g2_windows():
+    a = gen.generate_csr(4096, 4096, 30_000, seed=4)
+    _run(a, panel_rows=2048, pane_rows=32, g=2)
+
+
+def test_estimate_and_chooser_entry(monkeypatch):
+    # beyond-VMEM shapes route to the paned plan on (fake) TPU
+    from spblas_tpu.kernels import plans as _plans
+    est = estimate_paned_bytes(4_000_000, 4_000_000, 40_000_000)
+    assert est > 1_000_000_000      # starved cells -> big stream
+
+    a = gen.generate_csr(3000, 2000, 15_000, seed=5)
+    monkeypatch.setattr(_plans, "_ROUTE_VMEM_ROWS", 10)  # force paned
+    monkeypatch.setattr(_plans, "_on_tpu", lambda: True)
+    kind, plan = _plans._try_route(a)
+    assert kind == "route_paned"
+    x = gen.generate_vector(2000, seed=6)
+    y = np.asarray(_plans.plan_spmv((kind, plan), jnp.asarray(x)))
+    assert_close(y, dense_from_csr(a) @ x, factor=64, abs_floor=1e-3)
+
+
+def test_budget_guard(monkeypatch):
+    from spblas_tpu.kernels import plans as _plans
+    a = gen.generate_csr(3000, 2000, 15_000, seed=7)
+    monkeypatch.setattr(_plans, "_ROUTE_PANED_BUDGET", 1)
+    assert _plans._try_route_paned(a) is None
