@@ -379,6 +379,40 @@ def section_spmv_general_paned(m=4_000_000, deg=10, iters=60):
             "g": plan.g, "inspect_s": build_s, "path": "route_paned"}
 
 
+def section_spmv_mesh(iters=300):
+    """Mesh-family matrices through the full matvec chooser — the
+    SuiteSparse-class PDE/FEM structures the north star names
+    (BASELINE.md row 1; VERDICT r2 missing #3).  Records per-matrix
+    {plan kind, nnz/s, roofline fraction} so the plan ladder is
+    exercised on realistic structure, not just uniform/RMAT."""
+    import jax, jax.numpy as jnp
+    from spblas_tpu.kernels import plans as _plans
+    from spblas_tpu.utils.generate import (generate_fem_graph_csr,
+                                           generate_stencil_csr)
+
+    cases = {
+        "stencil2d_1000": lambda: generate_stencil_csr((1000, 1000)),
+        "stencil3d_64": lambda: generate_stencil_csr((64, 64, 64)),
+        "fem_800": lambda: generate_fem_graph_csr(800, 800, seed=9),
+    }
+    out = {}
+    for name, gen in cases.items():
+        a = gen()
+        m = a.shape[0]
+        kind, plan = _plans.build_matvec_plan(a)
+
+        def step(plan, x):
+            y = _plans.plan_spmv((kind, plan), x)
+            return y * jax.lax.rsqrt(jnp.sum(y * y) / m + 1e-9)
+
+        sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
+                            iters=iters)
+        nnz_s = int(a.nnz) / sec
+        out[name] = {"path": kind, "nnz_s": nnz_s, "nnz": int(a.nnz),
+                     "roofline_frac": nnz_s / 68.25e9}
+    return out
+
+
 def section_spmv_rmat(m=131_072, deg=16, iters=300):
     """Power-law (RMAT) pattern through the plan chooser — the
     SuiteSparse-class skewed-degree case (hub mass routes to the v1
@@ -417,6 +451,7 @@ SECTIONS = {
     "spmm_general_k64": lambda: section_spmm_general(k=64),
     "sptrsv_100k": lambda: section_sptrsv(m=100_000),
     "spmv_general_paned_4m": section_spmv_general_paned,
+    "spmv_mesh": section_spmv_mesh,
 }
 
 
@@ -471,6 +506,7 @@ def main():
         ("spgemm", 480),
         ("sptrsv", 480),
         ("spmm_general", 600),
+        ("spmv_mesh", 700),
     ]
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         defaults += [

@@ -143,6 +143,12 @@ def _structured_plan(a, m, n, h):
             # every gather path, and skipping RCM avoids two keyed
             # sorts per apply
             return ("band", build_band_plan(a))
+        if dia_fill_fraction(a) >= _DIA_FILL_THRESHOLD:
+            # few dense diagonals spread wide (2D/3D stencils): DIA's
+            # shift-mul-accumulate is pure streaming at 4 B/nnz matrix
+            # traffic — beats every indexed path on TPU too (round 3;
+            # the TPU ladder previously never tried DIA)
+            return ("dia", build_dia_plan(a))
         if m == n:
             # generic sparsity: try an RCM reordering into band panels
             # (native inspector); keep it only if the permuted band is

@@ -146,6 +146,77 @@ def generate_banded_csr(m, n, bandwidth, seed=0, dtype=np.float32,
                            nnz=len(rows), capacity=capacity)
 
 
+def _coo_to_csr(rows, cols, vals, shape, capacity=None) -> CSR:
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    return CSR.from_arrays(vals, _rows_to_rowptr(rows, shape[0]), cols,
+                           shape, nnz=len(rows), capacity=capacity)
+
+
+def generate_stencil_csr(dims, seed=0, dtype=np.float32,
+                         capacity=None) -> CSR:
+    """Finite-difference Laplacian stencil on a structured grid: 2D
+    5-point for ``dims=(nx, ny)``, 3D 7-point for ``(nx, ny, nz)`` —
+    the mesh-family structure of the SuiteSparse PDE matrices the
+    north-star benchmark names (VERDICT r2 missing #3; BASELINE.md
+    row 1).  Diagonal = coordination number, off-diagonals = -1 with a
+    small seeded jitter so values are not degenerate."""
+    dims = tuple(int(d) for d in dims)
+    m = int(np.prod(dims))
+    idx = np.arange(m, dtype=np.int64)
+    grid = np.unravel_index(idx, dims)
+    rows_l, cols_l = [idx], [idx]
+    for ax in range(len(dims)):
+        for step in (-1, 1):
+            coord = grid[ax] + step
+            ok = (coord >= 0) & (coord < dims[ax])
+            nb = list(grid)
+            nb[ax] = np.where(ok, coord, grid[ax])
+            j = np.ravel_multi_index(tuple(nb), dims)
+            rows_l.append(idx[ok])
+            cols_l.append(j[ok])
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    rng = np.random.default_rng(seed)
+    vals = np.where(rows == cols, 2.0 * len(dims),
+                    -1.0 + 0.01 * rng.standard_normal(len(rows)))
+    return _coo_to_csr(rows, cols, vals.astype(dtype), (m, m), capacity)
+
+
+def generate_fem_graph_csr(nx, ny, seed=0, dtype=np.float32,
+                           capacity=None) -> CSR:
+    """FEM-style irregular mesh graph: P1 triangles on an ``nx x ny``
+    structured triangulation with per-cell randomized diagonal flips —
+    node degrees vary 4-8 and the sparsity is mesh-like but not a pure
+    stencil (the FEM-graph family of BASELINE.md row 1)."""
+    m = nx * ny
+    idx = np.arange(m, dtype=np.int64)
+    ix, iy = idx // ny, idx % ny
+    rows_l, cols_l = [idx], [idx]           # self (diagonal)
+    # grid edges, both directions
+    for dx, dy in ((1, 0), (0, 1)):
+        ok = (ix + dx < nx) & (iy + dy < ny)
+        j = idx + dx * ny + dy
+        rows_l += [idx[ok], j[ok]]
+        cols_l += [j[ok], idx[ok]]
+    # one randomized diagonal per cell
+    rng = np.random.default_rng(seed)
+    cok = (ix < nx - 1) & (iy < ny - 1)
+    cells = idx[cok]
+    flip = rng.integers(0, 2, len(cells)).astype(bool)
+    a = np.where(flip, cells, cells + ny)            # (i,j) or (i+1,j)
+    b = np.where(flip, cells + ny + 1, cells + 1)    # (i+1,j+1) or (i,j+1)
+    rows_l += [a, b]
+    cols_l += [b, a]
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    deg = np.zeros(m, np.int64)
+    np.add.at(deg, rows[rows != cols], 1)
+    vals = np.where(rows == cols, deg[rows].astype(np.float64) + 1.0,
+                    -1.0 + 0.01 * rng.standard_normal(len(rows)))
+    return _coo_to_csr(rows, cols, vals.astype(dtype), (m, m), capacity)
+
+
 def generate_triangular_csr(m, seed=0, lower=True, unit_diag=False,
                             density=0.05, dtype=np.float32,
                             capacity=None) -> CSR:

@@ -50,10 +50,15 @@ def test_chooser_still_picks_band_for_banded(fake_tpu):
     assert kind == "band"
 
 
-def test_chooser_rejects_route_when_too_big(fake_tpu, monkeypatch):
-    # shrink the budget so the fixture matrix exceeds it
+def test_chooser_beyond_vmem_goes_paned(fake_tpu, monkeypatch):
+    # beyond the VMEM residency cap the chooser now takes the paned
+    # ROUTE executor (round 3) instead of falling to SELL's gathers
     monkeypatch.setattr(_plans, "_ROUTE_VMEM_ROWS", 10)
     a = gen.generate_csr(3000, 3000, 9000, seed=4)
+    kind, _ = _plans.build_matvec_plan(a)
+    assert kind == "route_paned"
+    # ...unless the plan stream would blow the memory/upload budget
+    monkeypatch.setattr(_plans, "_ROUTE_PANED_BUDGET", 1)
     kind, _ = _plans.build_matvec_plan(a)
     assert kind in ("sell", "dia")
 
