@@ -142,17 +142,23 @@ class Route2Plan:
 # builder
 # ------------------------------------------------------------------ #
 
-def pick_window_g(m: int, n: int, nnz: int) -> int:
+def pick_window_g(m: int, n: int, nnz: int, max_g: int = 16) -> int:
     """Window factor targeting ~2k elements per (1024-row x g*1024-col)
     cell: elements/cell = nnz*1024*window/(m*n), so
     g >= 2048*m*n/(nnz*1024*1024) = 2*m*n/(nnz*SLOTS).  Shared by the
     SpMV/solve builders and the distributed partitioner (this formula
-    regressed once when copy-pasted — keep ONE copy)."""
+    regressed once when copy-pasted — keep ONE copy).
+
+    ``max_g``: the SpMV builder passes 32 (round-3 A/B: at starved
+    fills the doubled window beats its longer octant ladder — m=1M
+    deg10 2.12 -> 2.87 Gnnz/s, m=300k 5.26 -> 5.61); the solve builder
+    keeps 16 (chunks gather from the OUTPUT pane whose geometry is the
+    level schedule, not cell starvation)."""
     want = max(1, (2 * m * n) // (max(nnz, 1) * SLOTS) + 1)
     g = 1
-    while g < want and g < 16:
+    while g < want and g < max_g:
         g *= 2
-    return min(g, _pick_g(max(n, 1)))
+    return min(g, _pick_g(max(n, 1), max_g=max_g))
 
 
 def _pick_g(n: int, max_g: int = 16) -> int:
@@ -200,7 +206,7 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     values = np.asarray(values)[:nnz]
 
     if g is None:
-        g = pick_window_g(m, n, nnz)
+        g = pick_window_g(m, n, nnz, max_g=MAX_G)
     window = g * SLOTS
 
     rows = np.repeat(np.arange(m, dtype=np.int64),
