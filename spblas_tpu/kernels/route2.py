@@ -172,14 +172,15 @@ def _pick_g(n: int, max_g: int = 16) -> int:
 
 def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
                       nnz: int, g: Optional[int] = None,
-                      dtype=np.float32) -> Route2Plan:
+                      dtype=np.float32,
+                      spill: Optional[bool] = None) -> Route2Plan:
     """Build the ROUTE2 plan from host CSR arrays (inspector phase).
 
     O(nnz log nnz) host work; the hot path is the per-cell chunk packer
     (native C++ when available, python fallback otherwise).
     """
     A = _build_route2_arrays(rowptr, colind, values, shape, nnz, g=g,
-                             dtype=dtype)
+                             dtype=dtype, spill=spill)
     from spblas_tpu.utils.placement import device_put_batch
     tile, val, sb_d, yb_d, flags_d, srcs_d, ext_d = device_put_batch(
         A["tiles"], A["vals"], A["sb"], A["yb"], A["flags"], A["srcs"],
@@ -195,7 +196,8 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
 
 def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
                          nnz: int, g: Optional[int] = None,
-                         dtype=np.float32) -> dict:
+                         dtype=np.float32,
+                         spill: Optional[bool] = None) -> dict:
     """Host phase of :func:`build_route2_plan`: everything up to device
     placement, returned as numpy arrays + static meta.  The paned
     builder (kernels/route_paned.py) calls this per row panel and
@@ -230,8 +232,10 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     # chunk-count gain (measured: uniform 300k deg10 LOST 12% with
     # unconditional spill, high-degree matrices gain 10-30%).
     seg_len_est = nnz * window / max(m * n, 1)
+    if spill is None:
+        spill = seg_len_est >= 3.0
     spilled = _pack_stream(rows, colind, values, ent, g, window, state,
-                           tgt_rows=None, spill=seg_len_est >= 3.0)
+                           tgt_rows=None, spill=spill)
     if spilled is not None:
         if not _pack_spill_native(*spilled, g, window, state):
             # no native library: repack the overflow per cell (denser
