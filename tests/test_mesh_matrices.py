@@ -68,3 +68,16 @@ def test_chooser_dia_rung_on_tpu(monkeypatch):
     x = gen.generate_vector(3600, seed=4)
     y = np.asarray(_plans.plan_spmv((kind, plan), jnp.asarray(x)))
     assert_close(y, dense_from_csr(a) @ x, factor=64, abs_floor=1e-4)
+
+
+def test_dia_pallas_kernel_interpret():
+    # the fused multi-diagonal Pallas kernel (round 3) against the
+    # oracle, including a 127-lane-remainder offset and a banded case
+    from spblas_tpu.kernels.dia import build_dia_plan, _dia_spmv_pallas
+    for a in (gen.generate_stencil_csr((40, 50), seed=1),
+              gen.generate_stencil_csr((9, 10, 11), seed=2),
+              gen.generate_banded_csr(3000, 3000, 9, seed=3)):
+        plan = build_dia_plan(a)
+        x = gen.generate_vector(a.shape[1], seed=4)
+        y = np.asarray(_dia_spmv_pallas(plan, jnp.asarray(x)))
+        assert_close(y, dense_from_csr(a) @ x, factor=64, abs_floor=1e-3)
