@@ -71,6 +71,11 @@ class PanedPanel:
     out_rows: int = dataclasses.field(metadata=dict(static=True))
     has_aux: bool = dataclasses.field(metadata=dict(static=True))
     dist_max: int = dataclasses.field(metadata=dict(static=True))
+    # values-refresh streams (rocSPARSE optimize-handle reuse contract):
+    # flat positions of entry slots in val and their global CSR entry
+    # index — live slots only, ~8 B/nnz vs 4 B/slot for a full val_src
+    src_pos: Optional[jax.Array] = None   # (L,) int32
+    src_idx: Optional[jax.Array] = None   # (L,) int32
 
 
 @jax.tree_util.register_dataclass
@@ -86,6 +91,20 @@ class RoutePanedPlan:
     @property
     def nchunks(self) -> int:
         return sum(int(p.tile.shape[0]) for p in self.panels)
+
+    def update_values(self, values: jax.Array) -> "RoutePanedPlan":
+        """Re-target at new CSR values, same sparsity (vendor
+        optimize-handle reuse contract, mirrors
+        ``Route2Plan.update_values``): one gather + scatter per panel;
+        aux/padding slots keep their baked coefficients."""
+        values = jnp.asarray(values)
+        new_panels = []
+        for p in self.panels:
+            v_live = values[p.src_idx].astype(jnp.float32)
+            flat = p.val.reshape(-1).at[p.src_pos].set(v_live)
+            new_panels.append(dataclasses.replace(
+                p, val=flat.reshape(p.val.shape)))
+        return dataclasses.replace(self, panels=tuple(new_panels))
 
 
 def _paned_g(m: int, n: int, nnz: int) -> int:
@@ -155,17 +174,22 @@ def build_route_paned_plan(rowptr, colind, values, shape: Tuple[int, int],
         r0 += rows_p
 
     x_rows_pad = -(-x_rows // pane_rows) * pane_rows
-    # one batched placement for every panel's arrays
+    # one batched placement for every panel's arrays (a compact
+    # live-slots-only upload + device scatter-expand measured SLOWER
+    # than the plain batched upload — benchmarks/dev/
+    # tpu_compact_upload_ab.py, PERF_NOTES round 3)
     from spblas_tpu.utils.placement import device_put_batch
     flat = device_put_batch(*[a for hp in host_panels
                               for a in hp["arrays"]])
     panels = []
     for i, hp in enumerate(host_panels):
-        t, v, sb, yb, fl, eva, evb, evw, evs = flat[9 * i: 9 * i + 9]
+        (t, v, sb, yb, fl, eva, evb, evw, evs,
+         pos, idx) = flat[11 * i: 11 * i + 11]
         panels.append(PanedPanel(
             tile=t, val=v, sb=sb, yb=yb, fl=fl, eva=eva, evb=evb,
             evw=evw, evs=evs, rows=hp["rows"], out_rows=hp["out_rows"],
-            has_aux=hp["has_aux"], dist_max=hp["dist_max"]))
+            has_aux=hp["has_aux"], dist_max=hp["dist_max"],
+            src_pos=pos, src_idx=idx))
     return RoutePanedPlan(
         panels=tuple(panels), shape=(m, n), g=g, pane_rows=pane_rows,
         x_rows_pad=x_rows_pad,
@@ -176,17 +200,20 @@ def _panel_arrays(rowptr, colind, values, r0, rows_p, n, g):
     e0 = int(min(rowptr[r0], len(colind)))
     e1 = int(min(rowptr[r0 + rows_p], len(colind)))
     sub_rp = rowptr[r0:r0 + rows_p + 1] - rowptr[r0]
-    return _build_route2_arrays(sub_rp, colind[e0:e1], values[e0:e1],
-                                (rows_p, n), e1 - e0, g=g)
+    sub = _build_route2_arrays(sub_rp, colind[e0:e1], values[e0:e1],
+                               (rows_p, n), e1 - e0, g=g)
+    sub["e0"] = e0
+    return sub
 
 
 def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
     """Sort flag-0 chunks pane-major, pad every (pane, flag) run to CB
     groups, rebase slab offsets pane-relative, and emit the per-group
     DMA event streams."""
-    tiles, vals = sub["tiles"], sub["vals"]
+    tiles, vals, srcs = sub["tiles"], sub["vals"], sub["srcs"]
     sb, yb, fl = sub["sb"], sub["yb"], sub["flags"]
     nc = tiles.shape[0]
+    neg_src = np.full((SUBS, LANES), -1, np.int32)
     idx0 = np.flatnonzero(fl == 0)
     idx1 = np.flatnonzero(fl != 0)
     pane = sb[idx0] // pane_rows
@@ -203,13 +230,14 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
                 np.zeros((SUBS, LANES), np.float32),
                 0, 0, flag)
 
-    out_t, out_v, out_sb, out_yb, out_fl = [], [], [], [], []
+    out_t, out_v, out_s = [], [], []
+    out_sb, out_yb, out_fl = [], [], []
     eva, evb, evw, evs = [], [], [], []
 
     def pad_to_group(flag, pane_rel_sb=0):
         while len(out_t) % CB:
             t, v, s, y, f = zchunk(flag)
-            out_t.append(t); out_v.append(v)
+            out_t.append(t); out_v.append(v); out_s.append(neg_src)
             out_sb.append(pane_rel_sb); out_yb.append(y); out_fl.append(f)
 
     def add_group_events(a, b, w, s):
@@ -226,6 +254,7 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
         for k in range(s0, s1):
             c = idx0[k]
             out_t.append(tiles[c]); out_v.append(vals[c])
+            out_s.append(srcs[c])
             out_sb.append(int(sb[c]) - p * pane_rows)
             out_yb.append(int(yb[c])); out_fl.append(0)
         pad_to_group(0)
@@ -248,6 +277,7 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
     # aux chunks at the end (they read the y panel, no pane events)
     for c in idx1:
         out_t.append(tiles[c]); out_v.append(vals[c])
+        out_s.append(srcs[c])
         out_sb.append(int(sb[c])); out_yb.append(int(yb[c]))
         out_fl.append(1)
     if len(out_t) % CB:
@@ -258,18 +288,23 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
     if not out_t:  # empty panel: one zero group
         for _ in range(CB):
             t, v, s, y, f = zchunk(0)
-            out_t.append(t); out_v.append(v)
+            out_t.append(t); out_v.append(v); out_s.append(neg_src)
             out_sb.append(s); out_yb.append(y); out_fl.append(f)
         add_group_events(-1, -1, -1, 0)
 
     out_rows = max(sub["y_rows"] + sub["aux_rows"], SUBS * sub["g"])
     out_rows = -(-out_rows // (SUBS * sub["g"])) * (SUBS * sub["g"])
+    # values-refresh streams: entry slots' flat position + global CSR
+    # entry index (panel srcs are panel-local; offset by e0)
+    flat_src = np.stack(out_s).reshape(-1)
+    pos = np.flatnonzero(flat_src >= 0).astype(np.int32)
+    idx = (flat_src[pos] + sub["e0"]).astype(np.int32)
     return dict(
         arrays=(np.stack(out_t), np.stack(out_v),
                 np.array(out_sb, np.int32), np.array(out_yb, np.int32),
                 np.array(out_fl, np.int32), np.array(eva, np.int32),
                 np.array(evb, np.int32), np.array(evw, np.int32),
-                np.array(evs, np.int32)),
+                np.array(evs, np.int32), pos, idx),
         rows=rows_p, out_rows=out_rows, has_aux=len(idx1) > 0,
         dist_max=sub["dist_max"])
 

@@ -9,6 +9,13 @@ latencies when those round-trips landed on a congested link
 single dispatch (the inspection phase is meant to be amortizable — the
 vendors' contract, e.g. rocSPARSE spgemm reuse,
 include/spblas/vendor/rocsparse/multiply_spgemm.hpp:72-118).
+
+A live-slots-only "compact" upload (ship (pos, tile, val) triples for
+nonzero slots, expand with one device scatter) was A/B'd and LOST even
+at fill 0.08: 22.7-25.9 s vs 19.6 s plain for a 1.97 GB stream
+(benchmarks/dev/tpu_compact_upload_ab.py, round 3) — the batched
+upload sustains ~100 MB/s while the scatter-expand plus host
+flatnonzero cost more than the 4x byte saving returns.
 """
 
 from __future__ import annotations

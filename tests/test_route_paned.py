@@ -99,3 +99,56 @@ def test_budget_guard(monkeypatch):
     a = gen.generate_csr(3000, 2000, 15_000, seed=7)
     monkeypatch.setattr(_plans, "_ROUTE_PANED_BUDGET", 1)
     assert _plans._try_route_paned(a) is None
+
+
+def test_update_values_refresh():
+    # same sparsity, new values: plan refresh stays on the paned
+    # kernel (rocSPARSE optimize-handle reuse contract)
+    a = gen.generate_csr(5000, 6000, 40_000, seed=8)
+    plan = build_route_paned_plan(
+        np.asarray(a.rowptr), np.asarray(a.colind), np.asarray(a.values),
+        a.shape, int(a.nnz), g=1, panel_rows=1024, pane_rows=16)
+    new_vals = np.asarray(a.values) * 3.0 - 1.0
+    plan2 = plan.update_values(jnp.asarray(new_vals))
+    x = gen.generate_vector(a.shape[1], seed=9)
+    y = np.asarray(route_paned_spmv(plan2, jnp.asarray(x),
+                                    interpret=True))
+    import dataclasses
+    a2 = dataclasses.replace(a, values=jnp.asarray(new_vals))
+    assert_close(y, dense_from_csr(a2) @ x, factor=64, abs_floor=1e-3)
+    # original plan still computes with the OLD values
+    y0 = np.asarray(route_paned_spmv(plan, jnp.asarray(x),
+                                     interpret=True))
+    assert_close(y0, dense_from_csr(a) @ x, factor=64, abs_floor=1e-3)
+
+
+def test_update_values_hub_aux_preserved():
+    # aux (hub reduction) chunks carry baked 1.0 coefficients with
+    # src=-1 — a refresh must not zero them
+    m, n = 3000, 2000
+    rng = np.random.default_rng(12)
+    rows = np.concatenate([rng.integers(0, m, 12_000), np.full(1500, 7)])
+    cols = rng.integers(0, n, len(rows))
+    key = rows * n + cols
+    _, uniq = np.unique(key, return_index=True)
+    rows, cols = rows[uniq], cols[uniq]
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    vals = rng.uniform(0, 1, len(rows)).astype(np.float32)
+    rowptr = np.zeros(m + 1, np.int64)
+    np.add.at(rowptr[1:], rows, 1)
+    rowptr = np.cumsum(rowptr)
+    from spblas_tpu import CSR
+    a = CSR.from_arrays(vals, rowptr, cols, (m, n), nnz=len(vals))
+    plan = build_route_paned_plan(
+        np.asarray(a.rowptr), np.asarray(a.colind), np.asarray(a.values),
+        a.shape, int(a.nnz), g=1, panel_rows=1024, pane_rows=16)
+    assert any(p.has_aux for p in plan.panels)
+    new_vals = vals * -0.5 + 2.0
+    plan2 = plan.update_values(jnp.asarray(new_vals))
+    x = gen.generate_vector(n, seed=13)
+    y = np.asarray(route_paned_spmv(plan2, jnp.asarray(x),
+                                    interpret=True))
+    import dataclasses
+    a2 = dataclasses.replace(a, values=jnp.asarray(new_vals))
+    assert_close(y, dense_from_csr(a2) @ x, factor=64, abs_floor=1e-3)
