@@ -73,7 +73,15 @@ ROW_WINDOW = SLOTS            # 1024-row stripes
 #   dist [18:21) within-segment distance               (at (d, jd))
 #   pend [21:24) depth of published segment end        (at final slot)
 #   vA   [24:25) publish mask                          (at final slot)
+#   lsrc [25:32) ANY-LANE publish: the accumulation lane this publish
+#                reads its segment sum from, stored at the CARRIER slot
+#                (pend, publish_lane) — the kernel lane-gathers
+#                T[d,l] = P[d, lsrc[d,l]] then takes T[pend, l_pub], so
+#                a segment may accumulate at ANY lane with free depth
+#                instead of serializing on lane row&127 (the Poisson
+#                wall that capped fill at ~0.37, round 3)
 B_R2, B_LF, B_SD2, B_DIST, B_PEND, B_VA = 0, 8, 15, 18, 21, 24
+B_LSRC = 25
 MAX_G = 32                    # r2 field spans 8g <= 256 slab rows
 
 
@@ -102,6 +110,11 @@ class Route2Plan:
     # saving ~2 of 3 roll+mask+add triples per chunk)
     dist_max: int = dataclasses.field(default=7,
                                       metadata=dict(static=True))
+    # any-lane publish plans carry B_LSRC carriers; the kernel adds one
+    # lane gather before the pend take.  False = legacy lane-matched
+    # publishes (old serialized plans load with the old semantics)
+    any_lane: bool = dataclasses.field(default=False,
+                                       metadata=dict(static=True))
 
     @property
     def nchunks(self) -> int:
@@ -191,7 +204,7 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
         g=A["g"], shape=A["shape"], nat_slots=A["nat_slots"],
         x_rows=A["x_rows"], y_rows=A["y_rows"], aux_rows=A["aux_rows"],
         n_aux_chunks=A["n_aux_chunks"], fill=A["fill"],
-        dist_max=A["dist_max"])
+        dist_max=A["dist_max"], any_lane=True)
 
 
 def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
@@ -284,7 +297,7 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
         ext=ext_cols.astype(np.int32),
         g=g, shape=(m, n), nat_slots=int(nat_slots), x_rows=x_rows,
         y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
-        fill=float(fill), dist_max=dist_max)
+        fill=float(fill), dist_max=dist_max, any_lane=True)
 
 
 def _drain_aux(state: "_BuildState", g: int, window: int) -> int:
@@ -394,7 +407,8 @@ def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
         src_flag=flags_d, val_src=srcs_d, ext_cols=ext_d,
         g=g, shape=(m, m), nat_slots=x_rows * LANES, x_rows=x_rows,
         y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
-        fill=len(e_rows) / max(nchunks * SLOTS, 1), dist_max=dist_max)
+        fill=len(e_rows) / max(nchunks * SLOTS, 1), dist_max=dist_max,
+        any_lane=True)
 
 
 def route2_solve_numpy(plan: Route2Plan, y0: np.ndarray) -> np.ndarray:
@@ -428,7 +442,10 @@ def route2_solve_numpy(plan: Route2Plan, y0: np.ndarray) -> np.ndarray:
             sh = np.roll(P, dd, axis=0)
             sh[:dd] = 0
             P = P + np.where(dist >= dd, sh, 0.0)
-        RS = P[(t >> B_PEND) & 7, jj] * ((t >> B_VA) & 1)
+        RS = P[(t >> B_PEND) & 7, jj]
+        if plan.any_lane:
+            RS = RS[ii, (t >> B_LSRC) & 127]
+        RS = RS * ((t >> B_VA) & 1)
         yb = int(ybs[k])
         y2[yb:yb + SUBS] += RS
     return y2.reshape(-1)[:m]
@@ -806,6 +823,13 @@ class _Chunk:
         self.pubs = []           # (final_slot, jd, pend_depth)
         self.aux_pubs = []       # (aux_base_pane, rel_slot, jd, pend)
         self.rows_published = set()
+        # any-lane pend carriers: used (pub_sublane, acc_lane) pairs —
+        # the publish at (s, l) reads pend from (s, lsrc), so each
+        # (s, acc_lane) slot may serve ONE direct publish (distinct
+        # segments in one lane end at distinct depths, so sharing is
+        # never valid).  Aux publishes carry pend at their own slot
+        # (lane-matched alloc) and need no bookkeeping.
+        self.carrier = set()     # {(pub_sublane, acc_lane)}
         self.cold = 0            # consecutive rejects (pool pruning)
         self._probe = None
 
@@ -846,12 +870,30 @@ class _Chunk:
         return assigns
 
     def try_place(self, lcs, row, publish_slot):
-        jd = int(publish_slot) & 127
-        assigns = self._route_segment(lcs, jd)
-        if assigns is None:
-            return False
-        self._probe = (jd, int(publish_slot), assigns)
-        return True
+        """ANY-LANE direct placement: the segment may accumulate at any
+        lane with free depth / colors / carrier slot; the publish reads
+        it back through the B_LSRC lane gather (home lane probed first
+        so low-congestion plans stay legacy-shaped)."""
+        l_pub = int(publish_slot) & 127
+        s_pub = int(publish_slot) >> 7
+        h0 = (len(self.elems) * 53 + int(lcs[0])) & 127
+        tried = 0
+        for t in range(LANES + 1):
+            jd = l_pub if t == 0 else (h0 + t - 1) & 127
+            if t > 0 and jd == l_pub:
+                continue
+            if self.depth[jd] + len(lcs) > SUBS:
+                continue
+            if (s_pub, jd) in self.carrier:
+                continue
+            tried += 1
+            if tried > 16:
+                break
+            assigns = self._route_segment(lcs, jd)
+            if assigns is not None:
+                self._probe = (jd, int(publish_slot), assigns)
+                return True
+        return False
 
     def try_place_aux(self, lcs):
         # aux published segments can use ANY scatter lane; probe from a
@@ -892,6 +934,7 @@ class _Chunk:
     def commit(self, lcs, vs, ents, row):
         jd, slot, assigns = self._probe
         pend = self._commit_common(lcs, vs, ents, jd, assigns)
+        self.carrier.add((slot >> 7, jd))
         self.pubs.append((slot, jd, pend))
         self.rows_published.add(row)
 
@@ -931,10 +974,18 @@ class _Chunk:
         tile0, val0, src0 = self._emit_tile()
         first = True
         for base, pubs in out:
-            tile = tile0.copy()
+            # publish writes may set bit 31 (lsrc >= 64): work in
+            # uint32-compatible int64, cast per copy
+            tile = tile0.astype(np.int64)
             for (slot, jd, pend) in pubs:
                 fu, fl = slot // LANES, slot % LANES
-                tile[fu, fl] |= (pend << B_PEND) | (1 << B_VA)
+                # publish slot: valid bit + accumulation lane; pend
+                # rides the CARRIER slot (fu, jd) — the kernel takes
+                # depth per lane first, then lane-gathers by lsrc
+                tile[fu, fl] |= (1 << B_VA) | (jd << B_LSRC)
+                tile[fu, jd] |= (pend << B_PEND)
+            tile = ((tile & 0xFFFFFFFF).astype(np.uint32)
+                    .view(np.int32))
             if first:
                 results.append((tile, val0, src0, base))
                 first = False
@@ -961,7 +1012,9 @@ class _Chunk:
             val[d, jd] = v
             if ent_ >= 0:
                 src[d, jd] = ent_
-        return tile.astype(np.int32), val, src
+        # low 32 bits; lsrc >= 64 sets bit 31 (int32 wraps, by design)
+        return (tile & 0xFFFFFFFF).astype(np.uint32).view(
+            np.int32), val, src
 
 
 # ------------------------------------------------------------------ #
@@ -1565,7 +1618,10 @@ def route2_spmv_numpy(plan: Route2Plan, x: np.ndarray) -> np.ndarray:
             P = P + np.where(dist >= d, sh, 0.0)
         pend = (t >> B_PEND) & 7
         vA = (t >> B_VA) & 1
-        RS = P[pend, jj] * vA
+        RS = P[pend, jj]
+        if plan.any_lane:
+            RS = RS[ii, (t >> B_LSRC) & 127]
+        RS = RS * vA
         yb = int(ybs[k])
         y2[yb:yb + SUBS] += RS
     return y2.reshape(-1)[:m]

@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spblas_tpu.kernels.route2 import (B2_LF, B2_R2, B2_SD2,
-                                       B_DIST, B_LF, B_PEND,
+                                       B_DIST, B_LF, B_LSRC, B_PEND,
                                        B_R2, B_SD2, B_VA,
                                        LANES, SUBS, Route2MulPlan,
                                        Route2Plan)
@@ -56,11 +56,16 @@ def _r2_route(r2, slab, g):
     return t1
 
 
-def _chunk_body(t, val, slab, g, dist_max):
+def _chunk_body(t, val, slab, g, dist_max, any_lane=False):
     """One (8,128) chunk: r2 slab-row route, lane gather, depth drop,
     multiply, segmented prefix, publish.  The prefix compiles only the
     steps the plan needs (dist_max static): uniform plans have
-    dist <= 1-2, so 1-2 of 3 roll+mask+add triples drop out."""
+    dist <= 1-2, so 1-2 of 3 roll+mask+add triples drop out.
+
+    ``any_lane`` (plan-static): publishes read their segment sum from
+    an arbitrary accumulation lane through the B_LSRC carrier — one
+    extra lane gather buys the packer freedom from the per-lane depth-8
+    Poisson wall (fill ~0.37 -> ~0.7+ on uniform patterns, round 3)."""
     t1 = _r2_route((t >> B_R2) & 255, slab, g)
     t2 = jnp.take_along_axis(t1, (t >> B_LF) & 127, axis=1)   # THE lane op
     t3 = jnp.take_along_axis(t2, (t >> B_SD2) & 7, axis=0)
@@ -77,6 +82,13 @@ def _chunk_body(t, val, slab, g, dist_max):
         P = P + jnp.where(dist >= d, shifted, 0.0)
 
     RS = jnp.take_along_axis(P, (t >> B_PEND) & 7, axis=0)
+    if any_lane:
+        # G[s,l] = P[pend[s,l], l] landed each lane's selected depth;
+        # the publish slot's lsrc then gathers its value from its
+        # accumulation lane: RS[s,l] = P[pend[s, lsrc], lsrc] with the
+        # pend CARRIER at (s_pub, acc_lane) and lsrc at the publish
+        # slot (kernels/route2.py bit-layout note)
+        RS = jnp.take_along_axis(RS, (t >> B_LSRC) & 127, axis=1)
     vA = ((t >> B_VA) & 1).astype(jnp.float32)
     return RS * vA
 
@@ -84,7 +96,7 @@ def _chunk_body(t, val, slab, g, dist_max):
 def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
                    t_buf, v_buf, t_sem, v_sem, *, g: int,
                    has_aux: bool, init_from_x: bool = False,
-                   dist_max: int = 7):
+                   dist_max: int = 7, any_lane: bool = False):
     k = pl.program_id(0)
     nk = pl.num_programs(0)
 
@@ -121,7 +133,7 @@ def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
             ci = k * CB + i
             slab = src_ref[pl.ds(sb_ref[ci], SUBS * g), :]
             upd = _chunk_body(t_buf[slot, i], v_buf[slot, i], slab, g,
-                              dist_max)
+                              dist_max, any_lane)
             yb = yb_ref[ci]
             y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + upd
 
@@ -166,14 +178,15 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
                          plan.y_base, plan.src_flag, x2, g=g,
                          x_rows=plan.x_rows, out_rows=out_rows,
                          has_aux=plan.n_aux_chunks > 0,
-                         interpret=interpret, dist_max=plan.dist_max)
+                         interpret=interpret, dist_max=plan.dist_max,
+                         any_lane=plan.any_lane)
     return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(xdt)
 
 
 def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
                     g: int, x_rows: int, out_rows: int, has_aux: bool,
                     interpret: bool, init_from_x: bool = False,
-                    dist_max: int = 7):
+                    dist_max: int = 7, any_lane: bool = False):
     """The raw ROUTE2 pallas dispatch over plan arrays — shared by
     route2_spmv, route2_solve and the distributed per-shard executor
     (parallel/route_spmv.py), which cannot pass plan pytrees through
@@ -206,7 +219,8 @@ def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
     )
     return pl.pallas_call(
         functools.partial(_route2_kernel, g=g, has_aux=has_aux,
-                          init_from_x=init_from_x, dist_max=dist_max),
+                          init_from_x=init_from_x, dist_max=dist_max,
+                          any_lane=any_lane),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, LANES),
                                        jnp.float32),
@@ -240,7 +254,7 @@ def route2_solve(plan: Route2Plan, y0: jax.Array,
                          plan.y_base, plan.src_flag, pane0, g=plan.g,
                          x_rows=rows, out_rows=rows, has_aux=True,
                          interpret=interpret, init_from_x=True,
-                         dist_max=plan.dist_max)
+                         dist_max=plan.dist_max, any_lane=plan.any_lane)
     return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(y0dt)
 
 

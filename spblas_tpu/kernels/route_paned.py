@@ -76,6 +76,9 @@ class PanedPanel:
     # index — live slots only, ~8 B/nnz vs 4 B/slot for a full val_src
     src_pos: Optional[jax.Array] = None   # (L,) int32
     src_idx: Optional[jax.Array] = None   # (L,) int32
+    # any-lane publish (B_LSRC carriers, kernels/route2.py round 3)
+    any_lane: bool = dataclasses.field(default=False,
+                                       metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -189,7 +192,7 @@ def build_route_paned_plan(rowptr, colind, values, shape: Tuple[int, int],
             tile=t, val=v, sb=sb, yb=yb, fl=fl, eva=eva, evb=evb,
             evw=evw, evs=evs, rows=hp["rows"], out_rows=hp["out_rows"],
             has_aux=hp["has_aux"], dist_max=hp["dist_max"],
-            src_pos=pos, src_idx=idx))
+            src_pos=pos, src_idx=idx, any_lane=hp["any_lane"]))
     return RoutePanedPlan(
         panels=tuple(panels), shape=(m, n), g=g, pane_rows=pane_rows,
         x_rows_pad=x_rows_pad,
@@ -306,7 +309,7 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
                 np.array(evb, np.int32), np.array(evw, np.int32),
                 np.array(evs, np.int32), pos, idx),
         rows=rows_p, out_rows=out_rows, has_aux=len(idx1) > 0,
-        dist_max=sub["dist_max"])
+        dist_max=sub["dist_max"], any_lane=sub["any_lane"])
 
 
 # ------------------------------------------------------------------ #
@@ -316,7 +319,7 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
 def _paned_kernel(sb_ref, yb_ref, fl_ref, eva_ref, evb_ref, evw_ref,
                   evs_ref, t_hbm, v_hbm, x_hbm, y_ref, t_buf, v_buf,
                   x_buf, t_sem, v_sem, x_sem, *, g: int, pane_rows: int,
-                  has_aux: bool, dist_max: int):
+                  has_aux: bool, dist_max: int, any_lane: bool):
     k = pl.program_id(0)
     nk = pl.num_programs(0)
 
@@ -370,7 +373,7 @@ def _paned_kernel(sb_ref, yb_ref, fl_ref, eva_ref, evb_ref, evw_ref,
             ci = k * CB + i
             slab = src_ref[pl.ds(sb_ref[ci], SUBS * g), :]
             upd = _chunk_body(t_buf[slot, i], v_buf[slot, i], slab, g,
-                              dist_max)
+                              dist_max, any_lane)
             yb = yb_ref[ci]
             y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + upd
 
@@ -422,7 +425,8 @@ def _paned_dispatch(panel: PanedPanel, x2, *, g: int, pane_rows: int,
     return pl.pallas_call(
         functools.partial(_paned_kernel, g=g, pane_rows=pane_rows,
                           has_aux=panel.has_aux,
-                          dist_max=panel.dist_max),
+                          dist_max=panel.dist_max,
+                          any_lane=panel.any_lane),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((panel.out_rows, LANES),
                                        jnp.float32),

@@ -7,6 +7,16 @@
 //   r2   [0:8)   at (a, l)       lf  [8:15)  at (a, jd)
 //   sd2  [15:18) at (d, jd)      dist[18:21) at (d, jd)
 //   pend [21:24) at final slot   vA  [24:25) at final slot
+//   lsrc [25:32) ANY-LANE publish: at the publish slot (s, l), the
+//                accumulation lane the publish reads its segment sum
+//                from; its pend field rides the CARRIER slot
+//                (s, lsrc).  The kernel takes depth per lane first
+//                (pend), then lane-gathers by lsrc — so segments may
+//                accumulate at ANY lane with free depth instead of
+//                serializing on lane row&127 (the Poisson fill wall,
+//                round 3).  Each (s, acc_lane) carrier serves ONE
+//                direct publish; aux publishes are lane-matched so
+//                their carrier is their own slot.
 // r2 = col >> 7 is the column's FULL slab row; columns congruent
 // mod 1024 no longer conflict (no sel class table).
 //
@@ -34,7 +44,7 @@ constexpr int MAX_OPEN = 24;
 constexpr int HUB_T = 16;
 
 constexpr int B_R2 = 0, B_LF = 8, B_SD2 = 15, B_DIST = 18,
-              B_PEND = 21, B_VA = 24;
+              B_PEND = 21, B_VA = 24, B_LSRC = 25;
 
 struct Pub { int32_t slot; int16_t jd; int16_t pend; };
 struct AuxPub { int64_t abs_slot; int16_t jd; int16_t pend;
@@ -63,6 +73,10 @@ struct Chunk {
   uint8_t acl[LANES], acj[LANES];  // bitmask over colors a
   int8_t depth[LANES];
   uint64_t rows_pub[16];           // bitmask over 1024 local rows
+  // any-lane pend carriers: bitmask over (pub_sublane, acc_lane) —
+  // one direct publish per carrier slot (aux pubs are lane-matched
+  // and carry pend at their own slot, no bookkeeping needed)
+  uint64_t carrier[16];
   // edge hash: key = col*128+jd -> color; colcolor hash: col -> mask
   static constexpr int EH = 4096;  // power of two, >= 2*1024
   int64_t eh_key[EH]; int8_t eh_val[EH];
@@ -78,10 +92,19 @@ struct Chunk {
     std::memset(acj, 0, sizeof acj);
     std::memset(depth, 0, sizeof depth);
     std::memset(rows_pub, 0, sizeof rows_pub);
+    std::memset(carrier, 0, sizeof carrier);
     std::memset(eh_key, -1, sizeof eh_key);
     std::memset(ch_key, -1, sizeof ch_key);
     elems.clear(); pubs.clear(); aux_pubs.clear();
     cold = 0;
+  }
+  bool carrier_free(int s_pub, int jd) const {
+    int b = s_pub * LANES + jd;
+    return !((carrier[b >> 6] >> (b & 63)) & 1);
+  }
+  void carrier_set(int s_pub, int jd) {
+    int b = s_pub * LANES + jd;
+    carrier[b >> 6] |= 1ull << (b & 63);
   }
   bool row_published(int r) const {
     return (rows_pub[r >> 6] >> (r & 63)) & 1;
@@ -236,13 +259,18 @@ bool flush_chunk(Chunk& ck, int cell, Out& out,
     base[e.d * LANES + e.jd] |=
         (int32_t)((a << B_SD2) | (e.dist << B_DIST));
   }
-  // direct copy
+  // direct copy: publish slot gets valid bit + acc lane (lsrc); its
+  // pend rides the carrier slot (pub_sublane, acc_lane)
   if (!ck.pubs.empty() || ck.aux_pubs.empty()) {
     int32_t* t = out.add(cell, -1, group);
     if (!t) return false;
     std::memcpy(t, base, sizeof base);
-    for (const Pub& p : ck.pubs)
-      t[p.slot] |= (int32_t)((p.pend << B_PEND) | (1 << B_VA));
+    for (const Pub& p : ck.pubs) {
+      t[p.slot] |= (int32_t)((1u << B_VA)
+                             | ((uint32_t)p.jd << B_LSRC));
+      t[(p.slot >> 7) * LANES + p.jd] |=
+          (int32_t)(p.pend << B_PEND);
+    }
   }
   // aux copies, one per distinct window (slots allocated here, from
   // the allocator tail, so this chunk's pubs share windows)
@@ -263,7 +291,9 @@ bool flush_chunk(Chunk& ck, int cell, Out& out,
       for (; i < bywin.size() && bywin[i].first == w; ++i) {
         const AuxPub* p = bywin[i].second;
         int local = (int)(p->abs_slot - w * SLOTS);
-        t[local] |= (int32_t)((p->pend << B_PEND) | (1 << B_VA));
+        // lane-matched aux slot: its carrier is itself (lsrc = lane)
+        t[local] |= (int32_t)((p->pend << B_PEND) | (1u << B_VA)
+                              | ((uint32_t)(local & 127) << B_LSRC));
       }
     }
   }
@@ -402,49 +432,58 @@ extern "C" int64_t spblas_route2_pack(
       };
 
       // ---- direct publish of the segment head (non-hub, non-spill):
-      // longest prefix into the best chunk, remainder spills to aux
+      // ANY-LANE placement (round 3) — the B_LSRC carrier frees the
+      // publish from its home lane, so the segment takes the first
+      // lane with depth + colors + carrier room.  Home lane first
+      // (cheap, keeps low-congestion plans legacy-shaped), then a
+      // rotating probe across every open chunk.
       if (!hub && !spill_only) {
-        int order_buf[MAX_OPEN + 1];
         int nopen = (int)open.size();
-        for (int p2 = 0; p2 < nopen; ++p2) order_buf[p2] = p2;
-        std::sort(order_buf, order_buf + nopen, [&](int x, int y) {
-          return pool_store[open[x]].depth[jd] <
-                 pool_store[open[y]].depth[jd];
-        });
         int nas = 0;
-        for (int p2 = 0; p2 < nopen; ++p2) {
-          Chunk& ck = pool_store[open[order_buf[p2]]];
-          if (ck.row_published(row)) { ck.cold++; continue; }
-          int pr = ck.route_prefix(segc, len, jd, as_col, as_a,
+        int s_pub = row >> 7;
+        auto try_direct = [&](Chunk& ck, int jd2) -> bool {
+          if (ck.depth[jd2] + len > SUBS) return false;
+          if (!ck.carrier_free(s_pub, jd2)) return false;
+          int pr = ck.route_prefix(segc, len, jd2, as_col, as_a,
                                    as_new, &nas);
-          if (pr == len) {
-            int pend = ck.commit(segc, segi, len, jd, as_col, as_a,
-                                 as_new, nas);
-            ck.pubs.push_back({row, (int16_t)jd, (int16_t)pend});
-            ck.set_row_published(row);
-            off = len;
-            break;
+          if (pr < len) return false;
+          int pend = ck.commit(segc, segi, len, jd2, as_col, as_a,
+                               as_new, nas);
+          ck.carrier_set(s_pub, jd2);
+          ck.pubs.push_back({row, (int16_t)jd2, (int16_t)pend});
+          ck.set_row_published(row);
+          off = len;
+          return true;
+        };
+        // FIRST-FIT over chunks in insertion order (fullest first —
+        // emptiest-first equalized chunks and tripled the per-cell
+        // count, round-3 single-cell diagnostic); per chunk: home
+        // lane, then a hashed any-lane probe (<=16 viable lanes)
+        int h0 = (int)(((uint32_t)(row * 2654435761u) + oi * 97u)
+                       >> 8) & 127;
+        for (int p2 = 0; p2 < nopen && off == 0; ++p2) {
+          Chunk& ck = pool_store[open[p2]];
+          if (ck.row_published(row)) { ck.cold++; continue; }
+          int tried = 0;
+          for (int t = 0; t <= LANES && off == 0; ++t) {
+            int jd2 = t == 0 ? jd : (h0 + t - 1) & 127;
+            if (t > 0 && jd2 == jd) continue;
+            if (ck.depth[jd2] + len > SUBS) continue;
+            if (!ck.carrier_free(s_pub, jd2)) continue;
+            if (++tried > 16) break;
+            try_direct(ck, jd2);
           }
-          ck.cold++;
+          if (off == 0) ck.cold++;
         }
         if (off == 0) {
           if (cell_opened >= cell_budget) {
             spill_rest(0);
             continue;
           }
-          // no full fit: take a fresh chunk whole (partial-into-open
-          // would spill the remainder to aux, which measurably hurt
-          // uniform fill; prefix streaming is for hub/aux flows only)
+          // no fit anywhere: take a fresh chunk whole
           Chunk* ckp = open_fresh();
           if (!ckp) return out.overflow ? -1 : -2;
-          int pr = ckp->route_prefix(segc, len, jd, as_col, as_a,
-                                     as_new, &nas);
-          if (pr < len) return -2;
-          int pend = ckp->commit(segc, segi, len, jd, as_col, as_a,
-                                 as_new, nas);
-          ckp->pubs.push_back({row, (int16_t)jd, (int16_t)pend});
-          ckp->set_row_published(row);
-          off = len;
+          if (!try_direct(*ckp, jd)) return -2;
         }
       }
 
