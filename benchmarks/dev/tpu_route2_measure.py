@@ -36,12 +36,13 @@ def bench(tag, a, m, nnz, iters=100):
     print(f"  {per*1e6:.0f} us/spmv  {nnz/per/1e9:.2f} Gnnz/s  {per/plan.nchunks*1e9:.0f} ns/chunk", flush=True)
 
 which = sys.argv[1]
+iters = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 if which == "u100k":
     m, deg = 100_000, 10
-    bench("uniform100k", generate_csr(m, m, m*deg, seed=0), m, m*deg)
+    bench("uniform100k", generate_csr(m, m, m*deg, seed=0), m, m*deg, iters=iters or 100)
 elif which == "u300k":
     m, deg = 300_000, 10
-    bench("uniform300k", generate_csr(m, m, m*deg, seed=0), m, m*deg, iters=50)
+    bench("uniform300k", generate_csr(m, m, m*deg, seed=0), m, m*deg, iters=iters or 50)
 elif which == "rmat":
     m, deg = 131_072, 16
-    bench("rmat131k", generate_rmat_csr(m, m*deg, seed=5), m, m*deg, iters=50)
+    bench("rmat131k", generate_rmat_csr(m, m*deg, seed=5), m, m*deg, iters=iters or 50)

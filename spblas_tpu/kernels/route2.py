@@ -186,14 +186,15 @@ def _pick_g(n: int, max_g: int = 16) -> int:
 def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
                       nnz: int, g: Optional[int] = None,
                       dtype=np.float32,
-                      spill: Optional[bool] = None) -> Route2Plan:
+                      spill: Optional[bool] = None,
+                      any_lane: Optional[bool] = None) -> Route2Plan:
     """Build the ROUTE2 plan from host CSR arrays (inspector phase).
 
     O(nnz log nnz) host work; the hot path is the per-cell chunk packer
     (native C++ when available, python fallback otherwise).
     """
     A = _build_route2_arrays(rowptr, colind, values, shape, nnz, g=g,
-                             dtype=dtype, spill=spill)
+                             dtype=dtype, spill=spill, any_lane=any_lane)
     from spblas_tpu.utils.placement import device_put_batch
     tile, val, sb_d, yb_d, flags_d, srcs_d, ext_d = device_put_batch(
         A["tiles"], A["vals"], A["sb"], A["yb"], A["flags"], A["srcs"],
@@ -204,13 +205,14 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
         g=A["g"], shape=A["shape"], nat_slots=A["nat_slots"],
         x_rows=A["x_rows"], y_rows=A["y_rows"], aux_rows=A["aux_rows"],
         n_aux_chunks=A["n_aux_chunks"], fill=A["fill"],
-        dist_max=A["dist_max"], any_lane=True)
+        dist_max=A["dist_max"], any_lane=A["any_lane"])
 
 
 def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
                          nnz: int, g: Optional[int] = None,
                          dtype=np.float32,
-                         spill: Optional[bool] = None) -> dict:
+                         spill: Optional[bool] = None,
+                         any_lane: Optional[bool] = None) -> dict:
     """Host phase of :func:`build_route2_plan`: everything up to device
     placement, returned as numpy arrays + static meta.  The paned
     builder (kernels/route_paned.py) calls this per row panel and
@@ -247,20 +249,30 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     seg_len_est = nnz * window / max(m * n, 1)
     if spill is None:
         spill = seg_len_est >= 3.0
+    # any-lane publish (B_LSRC carrier) trades one extra lane gather
+    # per chunk (~15 ns) for packing freedom from the per-lane depth-8
+    # Poisson wall.  Round-3 A/B: it wins only on STARVED cell grids
+    # (expected elements/cell < ~0.75 chunk): m=1M deg10 2.87 -> 3.60
+    # Gnnz/s (e_cell 336), but m=300k 5.61 -> 5.27 (e_cell 1118, the
+    # 13% fill gain loses to the 21% chunk-cost increase).
+    if any_lane is None:
+        any_lane = seg_len_est * ROW_WINDOW < 768.0
     spilled = _pack_stream(rows, colind, values, ent, g, window, state,
-                           tgt_rows=None, spill=spill)
+                           tgt_rows=None, spill=spill,
+                           any_lane=any_lane)
     if spilled is not None:
         if not _pack_spill_native(*spilled, g, window, state):
             # no native library: repack the overflow per cell (denser
             # window-major packing needs the native spill_only mode)
-            _pack_stream(*spilled, g, window, state, tgt_rows=None)
+            _pack_stream(*spilled, g, window, state, tgt_rows=None,
+                         any_lane=any_lane)
 
     # aux levels: reduce spilled segment sums (living in the aux region
     # of the output pane) back into y, possibly recursively.  Aux chunks
     # gather from the output pane (src_flag=1); each level only reads
     # slots written by earlier chunks, so one sequential-grid dispatch
     # handles everything.
-    n_aux_chunks = _drain_aux(state, g, window)
+    n_aux_chunks = _drain_aux(state, g, window, any_lane=any_lane)
 
     if not state.tiles:
         state.append_empty()
@@ -297,10 +309,11 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
         ext=ext_cols.astype(np.int32),
         g=g, shape=(m, n), nat_slots=int(nat_slots), x_rows=x_rows,
         y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
-        fill=float(fill), dist_max=dist_max, any_lane=True)
+        fill=float(fill), dist_max=dist_max, any_lane=bool(any_lane))
 
 
-def _drain_aux(state: "_BuildState", g: int, window: int) -> int:
+def _drain_aux(state: "_BuildState", g: int, window: int,
+               any_lane: bool = True) -> int:
     """Pack the pending aux partial sums into reduction chunks (levels
     recurse until dry).  Returns the number of chunks appended."""
     n_aux_chunks = 0
@@ -317,7 +330,8 @@ def _drain_aux(state: "_BuildState", g: int, window: int) -> int:
         _pack_stream(a_rows[order], a_slots[order],
                      np.ones(len(aux), np.float32),
                      np.full(len(aux), -1, np.int64),
-                     g, window, state, tgt_rows=None, src_flag=1)
+                     g, window, state, tgt_rows=None, src_flag=1,
+                     any_lane=any_lane)
         n_aux_chunks += len(state.tiles) - first
     assert not state.aux_pending, "aux recursion runaway"
     return n_aux_chunks
@@ -502,7 +516,7 @@ class _BuildState:
 
 def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
                  tgt_rows, src_flag: int = 0, col_base: int = 0,
-                 spill: bool = False):
+                 spill: bool = False, any_lane: bool = True):
     """Sort a (row, col) element stream into cells and pack each cell.
 
     ``col_base`` offsets columns (used by aux levels whose "columns"
@@ -537,7 +551,8 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
     starts = np.concatenate([[0], bounds])
     ends = np.concatenate([bounds, [len(rows)]])
     res = _pack_cells_native(rows, cols, vals, ent, starts, ends,
-                             g, window, state, src_flag, spill=spill)
+                             g, window, state, src_flag, spill=spill,
+                             any_lane=any_lane)
     if res is not None:
         spill_idx = res
         if spill and len(spill_idx):
@@ -546,13 +561,13 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
         return None
     for a, b in zip(starts, ends):
         _pack_cell(rows[a:b], cols[a:b], vals[a:b], ent[a:b], g,
-                   window, state, src_flag)
+                   window, state, src_flag, any_lane=any_lane)
     return None
 
 
 def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
                        state: _BuildState, src_flag: int,
-                       spill: bool = False):
+                       spill: bool = False, any_lane: bool = True):
     """Native C++ cell packer (native/src/route2_pack.cpp); returns
     the spilled stream indices (possibly empty) or None when the
     library is unavailable."""
@@ -564,7 +579,7 @@ def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
     lcol = (cols % window).astype(np.int32)
     nat = native.route2_pack(ne, ncells, cell_start, lrow, lcol,
                              aux_windows_in=len(state.aux_windows),
-                             spill=spill)
+                             spill=spill, any_lane=any_lane)
     if nat is None:
         return None
     (nch, tiles, chunk_cell, chunk_auxwin, chunk_group, elem_group,
@@ -667,7 +682,8 @@ def _pack_spill_native(rows, cols, vals, ent, g, window,
 
 
 def _pack_cell(r, c, v, ent, g, window, state: _BuildState,
-               src_flag: int, spill_only: bool = False):
+               src_flag: int, spill_only: bool = False,
+               any_lane: bool = True):
     """Pack one cell's elements (global rows/cols) into chunks.
 
     Greedy multi-round: each round opens a chunk, walks unplaced
@@ -764,7 +780,8 @@ def _pack_cell(r, c, v, ent, g, window, state: _BuildState,
             for ck in open_chunks:
                 if (row not in ck.rows_published
                         and ck.try_place(lc[idx], row,
-                                         publish_slot=row)):
+                                         publish_slot=row,
+                                         any_lane=any_lane)):
                     ck.commit(lc[idx], v[idx], ent[idx], row)
                     placed = True
                     break
@@ -788,7 +805,8 @@ def _pack_cell(r, c, v, ent, g, window, state: _BuildState,
                 assert ck.try_place_aux(lc[idx])
                 place_aux(ck, idx, row)
             else:
-                assert ck.try_place(lc[idx], row, publish_slot=row)
+                assert ck.try_place(lc[idx], row, publish_slot=row,
+                                    any_lane=any_lane)
                 ck.commit(lc[idx], v[idx], ent[idx], row)
         # retire saturated chunks
         keep = []
@@ -869,16 +887,18 @@ class _Chunk:
             assigns.append((c, jd, a_found, new_color))
         return assigns
 
-    def try_place(self, lcs, row, publish_slot):
+    def try_place(self, lcs, row, publish_slot, any_lane=True):
         """ANY-LANE direct placement: the segment may accumulate at any
         lane with free depth / colors / carrier slot; the publish reads
         it back through the B_LSRC lane gather (home lane probed first
-        so low-congestion plans stay legacy-shaped)."""
+        so low-congestion plans stay legacy-shaped).  With
+        ``any_lane=False`` only the home lane is probed, so the emitted
+        tiles work with the cheaper no-lsrc kernel."""
         l_pub = int(publish_slot) & 127
         s_pub = int(publish_slot) >> 7
         h0 = (len(self.elems) * 53 + int(lcs[0])) & 127
         tried = 0
-        for t in range(LANES + 1):
+        for t in range(LANES + 1 if any_lane else 1):
             jd = l_pub if t == 0 else (h0 + t - 1) & 127
             if t > 0 and jd == l_pub:
                 continue

@@ -104,7 +104,7 @@ def _declare(lib):
     lib.spblas_route2_pack.argtypes = [
         i64, i64, i64p, i32p, i32p, i64, i64, ctypes.c_int32,
         i32p, i32p, i32p, i32p, i32p, i32p, i64p, i64p, i32p, i32p,
-        i32p, i64p, ctypes.c_int32]
+        i32p, i64p, ctypes.c_int32, ctypes.c_int32]
     lib.spblas_route2_mul_pack.restype = i64
     lib.spblas_route2_mul_pack.argtypes = [
         i64, i64, i64p, i32p, i32p, i32p, i64, i64,
@@ -385,7 +385,7 @@ def route_pack(ne, ncells, cell_start, lrow, lcol):
 
 
 def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
-                spill_only=False, spill=False):
+                spill_only=False, spill=False, any_lane=True):
     """Native ROUTE2 chunk packing (kernels/route2.py hot loop).
 
     Returns (nch, tiles(nch,8,128), chunk_cell, chunk_auxwin,
@@ -419,7 +419,7 @@ def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
             int(aux_windows_in), int(spill_only),
             tiles, chunk_cell, chunk_auxwin, chunk_group,
             elem_group, elem_scat, aux_info, aux_slot, aux_lrow,
-            aux_cell, spill_out, spill_n, int(spill))
+            aux_cell, spill_out, spill_n, int(spill), int(any_lane))
         if rc == -1:
             max_chunks *= 4
             continue

@@ -327,7 +327,13 @@ extern "C" int64_t spblas_route2_pack(
     // Poisson-tail overflow that fragments per-cell chunks), the
     // segment's elements are emitted to spill_out (stream indices)
     // for window-major repacking by the caller instead
-    int32_t* spill_out, int64_t* spill_n, int32_t spill_enable) {
+    int32_t* spill_out, int64_t* spill_n, int32_t spill_enable,
+    // any_lane=0 restricts direct publishes to their home lane
+    // (row & 127): the emitted tiles then have lsrc == own lane, so the
+    // kernel can skip the B_LSRC gather (plan.any_lane=False).  Packing
+    // fill drops on starved cell grids but each chunk is ~15 ns cheaper
+    // (round-3 A/B: home wins <= ~1024-elem cells, any-lane below).
+    int32_t any_lane) {
   Out out{tiles, chunk_cell, chunk_auxwin, chunk_group, elem_chunk,
           elem_scat, max_chunks};
   AuxAlloc aux;
@@ -465,7 +471,8 @@ extern "C" int64_t spblas_route2_pack(
           Chunk& ck = pool_store[open[p2]];
           if (ck.row_published(row)) { ck.cold++; continue; }
           int tried = 0;
-          for (int t = 0; t <= LANES && off == 0; ++t) {
+          int t_max = any_lane ? LANES : 0;
+          for (int t = 0; t <= t_max && off == 0; ++t) {
             int jd2 = t == 0 ? jd : (h0 + t - 1) & 127;
             if (t > 0 && jd2 == jd) continue;
             if (ck.depth[jd2] + len > SUBS) continue;

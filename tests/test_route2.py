@@ -57,6 +57,37 @@ def test_route2_kernel_matches_dense(m, n, nnz, skew):
     assert_close(y, a @ x)
 
 
+@pytest.mark.parametrize("any_lane", [False, True])
+def test_route2_any_lane_modes(any_lane):
+    """Both packer modes (home-lane-only legacy layout vs any-lane
+    B_LSRC carriers) must agree with the dense oracle through the
+    simulator AND the kernel; the home-only plan must advertise
+    any_lane=False so the kernel skips the lsrc gather (round-3 gate:
+    home wins on dense cell grids, any-lane on starved ones)."""
+    m, n, nnz = 2000, 1500, 20000
+    a = _random_csr(m, n, nnz, seed=77)
+    plan = build_route2_plan(a.indptr, a.indices, a.data, (m, n),
+                             a.nnz, any_lane=any_lane)
+    assert plan.any_lane == any_lane
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(n).astype(np.float32)
+    assert_close(route2_spmv_numpy(plan, x), a @ x)
+    assert_close(np.asarray(route2_spmv(plan, jnp.asarray(x))), a @ x)
+
+
+def test_route2_any_lane_gate_by_cell_starvation():
+    """The default gate packs home-only on dense cell grids and
+    any-lane when expected elements/cell < ~0.75 chunk."""
+    a = _random_csr(2000, 1500, 20000, seed=78)      # dense cells
+    plan = build_route2_plan(a.indptr, a.indices, a.data, (2000, 1500),
+                             a.nnz)
+    assert not plan.any_lane
+    b = _random_csr(40000, 40000, 25000, seed=79)    # starved cells
+    planb = build_route2_plan(b.indptr, b.indices, b.data,
+                              (40000, 40000), b.nnz)
+    assert planb.any_lane
+
+
 def test_route2_update_values_reuse():
     a = _random_csr(500, 500, 4000, seed=9)
     plan = build_route2_plan(a.indptr, a.indices, a.data, a.shape,
