@@ -1,4 +1,4 @@
-import time, numpy as np
+import sys, time, numpy as np
 import jax, jax.numpy as jnp
 import scipy.sparse as sp
 import scipy.sparse.linalg as spl
@@ -8,12 +8,15 @@ from spblas_tpu.kernels.route2_kernel import route2_solve
 from spblas_tpu import native
 
 m = 20_000
+any_lane = len(sys.argv) > 1 and sys.argv[1] == "any"
 L = generate_triangular_csr(m, seed=0, lower=True, density=0.0005)
 rp, ci, vv = np.asarray(L.rowptr), np.asarray(L.colind), np.asarray(L.values)
 nnz = int(L.nnz)
 levels, diag_pos, nl = native.level_schedule(m, nnz, rp.astype(np.int64), ci, True, False)
 t0 = time.perf_counter()
-plan = build_route2_solve_plan(rp, ci, vv, (m, m), nnz, levels, diag_pos, False, True)
+plan = build_route2_solve_plan(rp, ci, vv, (m, m), nnz, levels, diag_pos, False, True,
+                               any_lane=any_lane)
+print("any_lane =", plan.any_lane, flush=True)
 print(f"build {time.perf_counter()-t0:.1f}s levels={nl} nchunks={plan.nchunks} fill={plan.fill:.3f} nnz={nnz}", flush=True)
 b = np.random.default_rng(1).standard_normal(m).astype(np.float32)
 y0 = (b / vv[diag_pos]).astype(np.float32)

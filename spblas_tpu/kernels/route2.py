@@ -339,7 +339,8 @@ def _drain_aux(state: "_BuildState", g: int, window: int,
 
 def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
                             levels, diag_pos, unit_diag: bool,
-                            lower: bool) -> Route2Plan:
+                            lower: bool,
+                            any_lane: bool = False) -> Route2Plan:
     """ONE-dispatch level-scheduled triangular solve plan.
 
     Solving (aA) x = b row-wise gives x_i = b_i/(a d_i) - sum_j
@@ -392,8 +393,8 @@ def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
     for s0, s1 in zip(starts, ends):
         _pack_stream(e_rows[s0:s1], e_cols[s0:s1], e_coeff[s0:s1],
                      e_ent[s0:s1], g, window, state, tgt_rows=None,
-                     src_flag=1)
-        n_aux_chunks += _drain_aux(state, g, window)
+                     src_flag=1, any_lane=any_lane)
+        n_aux_chunks += _drain_aux(state, g, window, any_lane=any_lane)
 
     if not state.tiles:
         state.append_empty()
@@ -422,7 +423,7 @@ def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
         g=g, shape=(m, m), nat_slots=x_rows * LANES, x_rows=x_rows,
         y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
         fill=len(e_rows) / max(nchunks * SLOTS, 1), dist_max=dist_max,
-        any_lane=True)
+        any_lane=any_lane)
 
 
 def route2_solve_numpy(plan: Route2Plan, y0: np.ndarray) -> np.ndarray:

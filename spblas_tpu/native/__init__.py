@@ -92,6 +92,10 @@ def _declare(lib):
     lib.spblas_coo_to_csr.argtypes = [i64, i64, i32p, i32p, f64p, i64p]
     lib.spblas_rcm.restype = i64
     lib.spblas_rcm.argtypes = [i64, i64, i64p, i32p, i64p]
+    lib.spblas_mul_expand.restype = i64
+    lib.spblas_mul_expand.argtypes = [
+        i64, i64, i64p, i32p, i64, i64p, i32p, i64, i64p, i32p,
+        i64, i64, i64, i64p, i64p, i64p]
     lib.spblas_route_pack.restype = i64
     lib.spblas_route_pack.argtypes = [
         i64, i64, i64p, i32p, i32p, i64,
@@ -382,6 +386,36 @@ def route_pack(ne, ncells, cell_start, lrow, lcol):
                 chunk_cell[:nch], chunk_auxwin[:nch], int(aux_n[0]),
                 aux_slot[:na], aux_lrow[:na], aux_cell[:na])
     return None
+
+
+def mul_expand(m, a_nnz, a_rowptr, a_colind, b_nnz, b_rowptr, b_colind,
+               d_nnz, d_rowptr, d_colind, a_cap, b_cap, e_total):
+    """Fused SpGEMM expansion stream for the route2-mul engine build:
+    (slots, sa, sb, result_nnz) in (row, col)-sorted order, or None when
+    the library is unavailable.  Semantics identical to the numpy path
+    in ops/spgemm._try_build_route (stable within-(row,col) order: A@B
+    expansion entries first, then D)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a_rowptr = np.ascontiguousarray(a_rowptr, np.int64)
+    a_colind = np.ascontiguousarray(a_colind, np.int32)
+    b_rowptr = np.ascontiguousarray(b_rowptr, np.int64)
+    b_colind = np.ascontiguousarray(b_colind, np.int32)
+    d_rowptr = np.ascontiguousarray(
+        d_rowptr if d_nnz else np.zeros(1, np.int64), np.int64)
+    d_colind = np.ascontiguousarray(
+        d_colind if d_nnz else np.zeros(1, np.int32), np.int32)
+    slots = np.zeros(max(e_total, 1), np.int64)
+    sa = np.zeros(max(e_total, 1), np.int64)
+    sb = np.zeros(max(e_total, 1), np.int64)
+    rc = lib.spblas_mul_expand(
+        m, a_nnz, a_rowptr, a_colind, b_nnz, b_rowptr, b_colind,
+        d_nnz, d_rowptr, d_colind, a_cap, b_cap, e_total,
+        slots, sa, sb)
+    if rc < 0:
+        return None
+    return slots[:e_total], sa[:e_total], sb[:e_total], int(rc)
 
 
 def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,

@@ -241,35 +241,52 @@ def _try_build_route(a, b, d, c_capacity: int):
     total = int(cnt.sum())
     if total > 8_000_000:
         return None
-    sa = np.repeat(np.arange(a_nnz, dtype=np.int64), cnt)
-    off = np.concatenate([[0], np.cumsum(cnt)])
-    sb = (np.arange(total, dtype=np.int64)
-          - np.repeat(off[:-1], cnt) + np.repeat(b_rp[a_ci], cnt))
-    rows = np.repeat(rows_a, cnt)
-    cols = b_ci[sb]
-    if d is not None:
-        d_nnz = int(d.nnz)
-        d_rp = np.minimum(np.asarray(d.rowptr).astype(np.int64), d_nnz)
-        d_ci = np.asarray(d.colind)[:d_nnz].astype(np.int64)
-        rows = np.concatenate(
-            [rows, np.repeat(np.arange(m, dtype=np.int64),
-                             np.diff(d_rp))])
-        cols = np.concatenate([cols, d_ci])
-        sa = np.concatenate(
-            [sa, np.full(d_nnz, a.capacity, np.int64)])  # const-1 slot
-        sb = np.concatenate(
-            [sb, b.capacity + np.arange(d_nnz, dtype=np.int64)])
-    # packed single-key argsort beats lexsort ~2x on the 10^6-element
-    # expansion streams (row, col both < 2^31 so row*n+col fits int64)
-    order = np.argsort(rows * np.int64(b.shape[1]) + cols, kind="stable")
-    rows, cols, sa, sb = rows[order], cols[order], sa[order], sb[order]
-    head = np.empty(len(rows), bool)
-    if len(rows):
-        head[0] = True
-        head[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
-    slots = np.cumsum(head) - 1
-    if len(slots) and int(slots[-1]) >= c_capacity:
-        return None
+    d_nnz = int(d.nnz) if d is not None else 0
+    d_rp = (np.minimum(np.asarray(d.rowptr).astype(np.int64), d_nnz)
+            if d is not None else None)
+    d_ci = (np.asarray(d.colind)[:d_nnz].astype(np.int64)
+            if d is not None else None)
+    e_total = total + d_nnz
+    from spblas_tpu import native
+    nat = native.mul_expand(
+        m, a_nnz, a_rp, a_ci.astype(np.int32), b_nnz, b_rp,
+        b_ci.astype(np.int32), d_nnz, d_rp, d_ci, a.capacity,
+        b.capacity, e_total)
+    if nat is not None:
+        # native single pass: per-row stable column sorts (the stream
+        # is naturally row-ordered) — replaces the global argsort
+        slots, sa, sb, nnz_h = nat
+        if nnz_h > c_capacity:
+            return None
+    else:
+        sa = np.repeat(np.arange(a_nnz, dtype=np.int64), cnt)
+        off = np.concatenate([[0], np.cumsum(cnt)])
+        sb = (np.arange(total, dtype=np.int64)
+              - np.repeat(off[:-1], cnt) + np.repeat(b_rp[a_ci], cnt))
+        rows = np.repeat(rows_a, cnt)
+        cols = b_ci[sb]
+        if d is not None:
+            rows = np.concatenate(
+                [rows, np.repeat(np.arange(m, dtype=np.int64),
+                                 np.diff(d_rp))])
+            cols = np.concatenate([cols, d_ci])
+            sa = np.concatenate(
+                [sa, np.full(d_nnz, a.capacity, np.int64)])  # const-1
+            sb = np.concatenate(
+                [sb, b.capacity + np.arange(d_nnz, dtype=np.int64)])
+        # packed single-key argsort beats lexsort ~2x on the
+        # 10^6-element expansion streams (row, col < 2^31)
+        order = np.argsort(rows * np.int64(b.shape[1]) + cols,
+                           kind="stable")
+        rows, cols, sa, sb = (rows[order], cols[order], sa[order],
+                              sb[order])
+        head = np.empty(len(rows), bool)
+        if len(rows):
+            head[0] = True
+            head[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+        slots = np.cumsum(head) - 1
+        if len(slots) and int(slots[-1]) >= c_capacity:
+            return None
     from spblas_tpu.utils.profiling import record_phase
     record_phase("spgemm_engine", "expansion_s",
                  _time.perf_counter() - _t_exp)
@@ -366,10 +383,17 @@ def spgemm_compute(a_view, b_view, d_view=None,
         record_phase("spgemm_engine", "build_s",
                      _time.perf_counter() - _t0)
         if route is not None:
-            _t0 = _time.perf_counter()
-            jax.block_until_ready(route.tile1)
-            record_phase("spgemm_engine", "upload_wait_s",
-                         _time.perf_counter() - _t0)
+            # plan transfers are stream-ordered (the vendor norm): the
+            # batched device_put has been issued and XLA blocks the
+            # first numeric dispatch on it, so compute() returns while
+            # the tiles drain through the link.  SPBLAS_SYNC_UPLOAD=1
+            # restores blocking for transfer-time accounting.
+            import os
+            if os.environ.get("SPBLAS_SYNC_UPLOAD") == "1":
+                _t0 = _time.perf_counter()
+                jax.block_until_ready(route.tile1)
+                record_phase("spgemm_engine", "upload_wait_s",
+                             _time.perf_counter() - _t0)
     plan = SpgemmPlan(src_a=src_a_s, src_b=src_b_s, is_d=is_d_s,
                       valid=valid_s, slot=slot_all,
                       c_rowptr=c_rowptr, c_colind=c_colind,

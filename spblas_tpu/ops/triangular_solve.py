@@ -180,9 +180,15 @@ def triangular_solve_inspect(a_view, uplo: str = "lower",
         row_ids.astype(np.int32), dpos.astype(np.int32),
         lv_rstart.astype(np.int32), diag_pos.astype(np.int32),
         dpe.astype(np.int32))
-    jax.block_until_ready(ent_idx_d)
-    if route is not None:
-        jax.block_until_ready(route.tile)
+    # stream-ordered by default: the batched device_put is issued and
+    # the first solve dispatch blocks on it inside XLA, so inspect
+    # returns while the plan drains through the link.
+    # SPBLAS_SYNC_UPLOAD=1 restores blocking for transfer accounting.
+    import os
+    if os.environ.get("SPBLAS_SYNC_UPLOAD") == "1":
+        jax.block_until_ready(ent_idx_d)
+        if route is not None:
+            jax.block_until_ready(route.tile)
     record_phase("trsv_inspect", "upload_s", _time.perf_counter() - _t0)
     route_dpe = None
     if route is not None and not unit:

@@ -96,6 +96,41 @@ def test_band_plan_spmv_spmm():
                                atol=1e-4)
 
 
+def test_band_plan_bf16_storage_error_model():
+    """bf16 panel storage halves streamed bytes (the 84-Gnnz/s headline
+    variant); error analysis for the PERF_NOTES open item.
+
+    Values are rounded once to bf16 (rel err <= 2^-9 per entry) and the
+    in-kernel accumulation stays f32, so for a row with b entries the
+    rounding errors add as independent perturbations:
+    |y_bf16 - y| <= 2^-9 * sum_j |a_ij x_j|.  The test asserts that
+    entrywise bound (deterministic, not probabilistic) and that plain
+    f32 panels stay ~100x tighter, pinning the error to storage."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.utils.generate import generate_banded_csr
+    from spblas_tpu.kernels.banded import build_band_plan, band_spmv
+    m, bw = 1024, 65
+    a = generate_banded_csr(m, m, bw, seed=11)
+    dense = np.asarray(a.todense(), np.float64)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(m).astype(np.float32)
+    y_ref = dense @ x.astype(np.float64)
+    # the bound: 2^-9 * |A| |x| (+ f32 accumulation dust)
+    bound = (2.0 ** -9) * (np.abs(dense) @ np.abs(x)) + 1e-5 * np.abs(
+        y_ref).max()
+    y16 = np.asarray(band_spmv(build_band_plan(a, dtype=jnp.bfloat16),
+                               jnp.asarray(x), interpret=True),
+                     np.float64)
+    err16 = np.abs(y16 - y_ref)
+    assert (err16 <= bound).all(), (err16 / bound).max()
+    y32 = np.asarray(band_spmv(build_band_plan(a), jnp.asarray(x),
+                               interpret=True), np.float64)
+    err32 = np.abs(y32 - y_ref)
+    # f32 storage must be far inside the bf16 envelope
+    assert err32.max() <= bound.max() / 20
+
+
 def test_band_plan_rectangular_guard():
     import numpy as np
     import jax.numpy as jnp

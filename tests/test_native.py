@@ -145,3 +145,68 @@ def test_interop_scipy_roundtrip():
     back = from_scipy(to_scipy(a))
     np.testing.assert_allclose(np.asarray(back.todense()),
                                np.asarray(a.todense()))
+
+
+def test_mul_expand_matches_numpy_reference():
+    """Native fused expansion stream == the numpy argsort formulation
+    (ops/spgemm._try_build_route fallback), including the 4-arg D tail
+    (const-1 A slot, b_cap+t B slots)."""
+    from spblas_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    for trial, (m, k, n, annz, bnnz, dnnz) in enumerate(
+            [(40, 30, 35, 200, 180, 0), (25, 25, 25, 120, 120, 60)]):
+        import scipy.sparse as sp
+        A = sp.random(m, k, density=annz / (m * k), format="csr",
+                      random_state=rng, dtype=np.float32)
+        B = sp.random(k, n, density=bnnz / (k * n), format="csr",
+                      random_state=rng, dtype=np.float32)
+        D = (sp.random(m, n, density=dnnz / (m * n), format="csr",
+                       random_state=rng, dtype=np.float32)
+             if dnnz else None)
+        a_rp = A.indptr.astype(np.int64)
+        a_ci = A.indices.astype(np.int64)
+        b_rp = B.indptr.astype(np.int64)
+        b_ci = B.indices.astype(np.int64)
+        a_cap, b_cap = A.nnz + 3, B.nnz + 5
+        # numpy reference (the fallback path, verbatim)
+        rows_a = np.repeat(np.arange(m, dtype=np.int64), np.diff(a_rp))
+        cnt = b_rp[a_ci + 1] - b_rp[a_ci]
+        total = int(cnt.sum())
+        sa = np.repeat(np.arange(A.nnz, dtype=np.int64), cnt)
+        off = np.concatenate([[0], np.cumsum(cnt)])
+        sb = (np.arange(total, dtype=np.int64)
+              - np.repeat(off[:-1], cnt) + np.repeat(b_rp[a_ci], cnt))
+        rows = np.repeat(rows_a, cnt)
+        cols = b_ci[sb]
+        d_nnz = int(D.nnz) if D is not None else 0
+        if D is not None:
+            d_rp = D.indptr.astype(np.int64)
+            d_ci = D.indices.astype(np.int64)
+            rows = np.concatenate(
+                [rows, np.repeat(np.arange(m, dtype=np.int64),
+                                 np.diff(d_rp))])
+            cols = np.concatenate([cols, d_ci])
+            sa = np.concatenate([sa, np.full(d_nnz, a_cap, np.int64)])
+            sb = np.concatenate(
+                [sb, b_cap + np.arange(d_nnz, dtype=np.int64)])
+        else:
+            d_rp = d_ci = None
+        order = np.argsort(rows * np.int64(n) + cols, kind="stable")
+        rows, cols, sa, sb = (rows[order], cols[order], sa[order],
+                              sb[order])
+        head = np.empty(len(rows), bool)
+        head[0] = True
+        head[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+        slots_ref = np.cumsum(head) - 1
+        nat = native.mul_expand(
+            m, A.nnz, a_rp, a_ci.astype(np.int32), B.nnz, b_rp,
+            b_ci.astype(np.int32), d_nnz, d_rp, d_ci, a_cap, b_cap,
+            total + d_nnz)
+        assert nat is not None
+        slots_n, sa_n, sb_n, nnz_n = nat
+        np.testing.assert_array_equal(slots_n, slots_ref)
+        np.testing.assert_array_equal(sa_n, sa)
+        np.testing.assert_array_equal(sb_n, sb)
+        assert nnz_n == int(slots_ref[-1]) + 1
