@@ -502,6 +502,7 @@ def main():
     # default-recorded general/spgemm/sptrsv numbers (VERDICT items 3/4)
     defaults = [
         ("spmv_general_route", 540),
+        ("spmv_general_route_1m", 900),
         ("spmv_rmat", 540),
         ("spgemm", 480),
         ("sptrsv", 480),
@@ -510,7 +511,6 @@ def main():
     ]
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         defaults += [
-            ("spmv_general_route_1m", 900),
             ("spmv_general_paned_4m", 1800),
             ("spmm_general_k64", 420),
             ("sptrsv_100k", 600),
