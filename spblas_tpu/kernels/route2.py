@@ -1255,18 +1255,53 @@ def build_route2_mul_plan(slots, src_a, src_b, a_len: int, b_len: int,
     import time as _time
     from spblas_tpu.utils.profiling import record_phase
     _t0 = _time.perf_counter()
+    A = _build_route2_mul_arrays(slots, src_a, src_b, a_len, b_len,
+                                 capacity)
+    from spblas_tpu.utils.placement import device_put_batch
+    t1_d, t2_d, ab_d, bb_d, flags_d, yb_d = device_put_batch(
+        A["t1"], A["t2"], A["ab"], A["bb"], A["flags"], A["yb"])
+    record_phase("route2_mul", "stack_put_s", _time.perf_counter() - _t0)
+    return Route2MulPlan(
+        tile1=t1_d, tile2=t2_d, a_base=ab_d, b_base=bb_d,
+        src_flag=flags_d, y_base=yb_d,
+        g_a=A["g_a"], g_b=A["g_b"], a_rows=A["a_rows"],
+        b_rows=A["b_rows"], y_rows=A["y_rows"], aux_rows=A["aux_rows"],
+        n_aux_chunks=A["n_aux_chunks"], capacity=capacity,
+        fill=A["fill"], dist_max=A["dist_max"])
+
+
+def mul_pane_g(length: int, max_g: int = 32) -> int:
+    """Window factor spanning a value pane of ``length`` entries (the
+    mul chains address whole panes; shared with the paned builder so
+    per-panel geometry matches the pane streaming)."""
+    g = 1
+    while g * SLOTS < length and g < max_g:
+        g *= 2
+    return g
+
+
+def _build_route2_mul_arrays(slots, src_a, src_b, a_len: int,
+                             b_len: int, capacity: int,
+                             g_a: Optional[int] = None,
+                             g_b: Optional[int] = None) -> dict:
+    """Host phase of :func:`build_route2_mul_plan`: sort + pack + aux
+    drain + flag alignment, returned as numpy arrays + static meta.
+    The paned builder (kernels/route_mul_paned.py) calls this per
+    output-slot panel with a COMMON (g_a, g_b) so every panel's slab
+    geometry matches the streamed pane size."""
+    import time as _time
+    from spblas_tpu.utils.profiling import record_phase
+    _t0 = _time.perf_counter()
     slots = np.asarray(slots, np.int64)
     src_a = np.asarray(src_a, np.int64)
     src_b = np.asarray(src_b, np.int64)
 
     # both panes are covered whole (windows grow to span the full
     # A / B value arrays, capped at g=32)
-    g_a = 1
-    while g_a * SLOTS < a_len and g_a < 32:
-        g_a *= 2
-    g_b = 1
-    while g_b * SLOTS < b_len and g_b < 32:
-        g_b *= 2
+    if g_a is None:
+        g_a = mul_pane_g(a_len)
+    if g_b is None:
+        g_b = mul_pane_g(b_len)
     win_a = g_a * SLOTS
     win_b = g_b * SLOTS
 

@@ -52,6 +52,14 @@ class DistRoutePlan:
     has_aux: bool = dataclasses.field(metadata=dict(static=True))
     dist_max: int = dataclasses.field(default=7,
                                       metadata=dict(static=True))
+    # COMMON any-lane-publish flag across shards: the stacked SPMD
+    # program compiles ONE kernel, so per-shard builders must agree
+    # (round-3 regression: shard plans built with the auto gate could
+    # pick any_lane=True while the dispatch defaulted False — wrong
+    # values on starved shards).  Default False so old serialized
+    # plans keep the legacy home-lane semantics.
+    any_lane: bool = dataclasses.field(default=False,
+                                       metadata=dict(static=True))
 
     @property
     def p(self) -> int:
@@ -75,8 +83,22 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
 
     # common g from the global density heuristic (the per-device
     # heuristic could disagree across skewed blocks)
-    from spblas_tpu.kernels.route2 import pick_window_g
+    from spblas_tpu.kernels.route2 import (ROW_WINDOW, SLOTS,
+                                           pick_window_g)
     g = pick_window_g(mloc, n, max(nnz // p, 1))
+
+    # COMMON any-lane flag: apply the single-chip gate (route2.py
+    # `_build_route2_arrays`: expected elements/cell < 768) per shard,
+    # then take the majority so every shard packs with the SAME publish
+    # semantics as the one compiled kernel (VERDICT r3 #1).
+    window = g * SLOTS
+    votes = 0
+    for d in range(p):
+        r0, r1 = d * mloc, min((d + 1) * mloc, m)
+        nnz_d = int(rowptr[min(r1, m)] - rowptr[min(r0, m)])
+        if nnz_d * window / max(mloc * n, 1) * ROW_WINDOW < 768.0:
+            votes += 1
+    any_lane = votes * 2 > p
 
     plans = []
     for d in range(p):
@@ -88,7 +110,7 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
         sub_rp[r1 - r0 + 1:] = hi - lo
         plans.append(build_route2_plan(
             sub_rp, colind[lo:hi], values[lo:hi], (mloc, n), hi - lo,
-            g=g))
+            g=g, any_lane=any_lane))
 
     nch = max(pl.nchunks for pl in plans)
     # pad to whole CB groups so per-device tails stay flag-homogeneous
@@ -120,7 +142,8 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
                                 sharding),
         shape=(m, n), mloc=mloc, nloc=nloc, g=g,
         x_rows=x_rows, out_rows=out_rows, has_aux=has_aux,
-        dist_max=max(pl.dist_max for pl in plans))
+        dist_max=max(pl.dist_max for pl in plans),
+        any_lane=any_lane)
 
 
 def dist_route_spmv(plan: DistRoutePlan, x: jax.Array, mesh: Mesh
@@ -147,7 +170,8 @@ def dist_route_spmv(plan: DistRoutePlan, x: jax.Array, mesh: Mesh
                              out_rows=plan.out_rows,
                              has_aux=plan.has_aux,
                              interpret=interpret,
-                             dist_max=plan.dist_max)
+                             dist_max=plan.dist_max,
+                             any_lane=plan.any_lane)
         return jax.lax.slice(y2.reshape(-1), (0,),
                              (mloc,)).astype(x.dtype)
 
