@@ -247,6 +247,76 @@ def section_spgemm(m=2_000, nnz=40_000):
             "result_nnz": info.result_nnz}
 
 
+def section_spgemm_large(m=100_000, nnz=1_000_000, reuse_iters=20,
+                         xla_iters=5):
+    """SpGEMM at scale (VERDICT r3 #2): C = A·A at m=100k / nnz=1M —
+    expansion ~10M, output ~10M, far past the resident engine envelope;
+    exercises the PANED mul engine (kernels/route_mul_paned.py).
+    Records the reuse numeric against the engine's own traffic+compute
+    model (plan stream at HBM speed + measured ns/chunk + per-dispatch
+    platform cost)."""
+    import jax
+    import jax.numpy as jnp
+    from spblas_tpu.ops.spgemm import _numeric, spgemm_compute
+    from spblas_tpu.utils.generate import generate_csr
+
+    a = generate_csr(m, m, nnz, seed=0)
+    jax.block_until_ready(a.values)
+    spgemm_compute(a, a, reuse=False)          # warm the symbolic compile
+    t0 = time.perf_counter()
+    info_plain = spgemm_compute(a, a, reuse=False)
+    t_sym = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    info = spgemm_compute(a, a)               # + paned numeric engine
+    t_sym_reuse = time.perf_counter() - t0
+
+    def numeric_chain(plan, iters):
+        one = jnp.ones((), jnp.float32)
+
+        @jax.jit
+        def chain(plan, av, bv):
+            def body(_, carry):
+                s, av2 = carry
+                out = _numeric(plan, av2, bv, None, one, one)
+                return (s + out[0], av2 * jnp.float32(1.0000001))
+            return jax.lax.fori_loop(0, iters, body,
+                                     (jnp.float32(0), av))
+        jax.block_until_ready(chain(plan, a.values, a.values))
+        best = float("inf")
+        for r in range(3):
+            av = a.values * (1 + 1e-4 * (r + 1))
+            jax.block_until_ready(av)
+            t0 = time.perf_counter()
+            out = chain(plan, av, a.values)
+            jax.block_until_ready(out)
+            float(out[0])
+            best = min(best, time.perf_counter() - t0)
+        return best / iters
+
+    best = numeric_chain(info.plan, reuse_iters)
+    best_plain = numeric_chain(info_plain.plan, xla_iters)
+    route = info.plan.route
+    model = None
+    extra = {}
+    if route is not None and hasattr(route, "panels"):
+        nchunks = route.nchunks
+        # plan stream 8 KB/chunk at the 650 GB/s roofline + the measured
+        # ~60 ns/chunk VPU cost + ~300 us/dispatch platform cost
+        model = (nchunks * 8192 / 650e9 + nchunks * 60e-9
+                 + len(route.panels) * 300e-6)
+        extra = {"engine_chunks": nchunks, "engine_fill": route.fill,
+                 "engine_panels": len(route.panels),
+                 "model_s": model,
+                 "vs_model": best / model if model else None}
+    from spblas_tpu.utils.profiling import inspect_phases
+    return {"symbolic_s": t_sym, "symbolic_reuse_s": t_sym_reuse,
+            "engine_phases": {**inspect_phases("spgemm_engine"),
+                              **inspect_phases("route2_mul")},
+            "numeric_reuse_s": best, "numeric_xla_s": best_plain,
+            "numeric_engine": type(info.plan.route).__name__,
+            "result_nnz": info.result_nnz, **extra}
+
+
 def section_sptrsv(m=20_000):
     import jax
     import jax.numpy as jnp
@@ -413,6 +483,41 @@ def section_spmv_mesh(iters=300):
     return out
 
 
+def section_spmv_real(iters=300):
+    """Checked-in real-matrix files through `load_matrix_market` and the
+    full matvec chooser (VERDICT r3 #5; BASELINE.md row 1 names the
+    SuiteSparse set — with zero egress the data/ files are generator
+    exports round-tripped through the Matrix Market IO path, plus an
+    RMAT web-graph stand-in, so the loader is exercised end-to-end)."""
+    import os as _os
+    import jax, jax.numpy as jnp
+    from spblas_tpu.kernels import plans as _plans
+    from spblas_tpu.utils.io import load_matrix_market
+
+    base = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "data")
+    out = {}
+    for name in ("fem2d_128", "stencil3d_32", "rmat_32k"):
+        path = _os.path.join(base, name + ".mtx.gz")
+        t0 = time.perf_counter()
+        a = load_matrix_market(path)
+        t_load = time.perf_counter() - t0
+        m = a.shape[0]
+        kind, plan = _plans.build_matvec_plan(a)
+
+        def step(plan, x):
+            y = _plans.plan_spmv((kind, plan), x)
+            return y * jax.lax.rsqrt(jnp.sum(y * y) / m + 1e-9)
+
+        sec = _time_chained(step, plan, jnp.ones((m,), jnp.float32),
+                            iters=iters)
+        nnz_s = int(a.nnz) / sec
+        out[name] = {"path": kind, "nnz_s": nnz_s, "nnz": int(a.nnz),
+                     "load_s": t_load,
+                     "roofline_frac": nnz_s / 68.25e9}
+    return out
+
+
 def section_spmv_rmat(m=131_072, deg=16, iters=300):
     """Power-law (RMAT) pattern through the plan chooser — the
     SuiteSparse-class skewed-degree case (hub mass routes to the v1
@@ -443,6 +548,7 @@ SECTIONS = {
         lambda: section_spmv_general_route(m=1_000_000, iters=100),
     "spmv_general_xla": section_spmv_general_xla,
     "spgemm": section_spgemm,
+    "spgemm_large": section_spgemm_large,
     "sptrsv": section_sptrsv,
     "headline_bf16": section_headline_bf16,
     "spmm_banded": section_spmm_banded,
@@ -452,6 +558,7 @@ SECTIONS = {
     "sptrsv_100k": lambda: section_sptrsv(m=100_000),
     "spmv_general_paned_4m": section_spmv_general_paned,
     "spmv_mesh": section_spmv_mesh,
+    "spmv_real": section_spmv_real,
 }
 
 
@@ -505,9 +612,11 @@ def main():
         ("spmv_general_route_1m", 900),
         ("spmv_rmat", 540),
         ("spgemm", 480),
+        ("spgemm_large", 1500),
         ("sptrsv", 480),
         ("spmm_general", 600),
         ("spmv_mesh", 700),
+        ("spmv_real", 700),
     ]
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         defaults += [

@@ -1340,10 +1340,10 @@ def _build_route2_mul_arrays(slots, src_a, src_b, a_len: int,
         level += 1
         aux = state.aux_pending
         state.aux_pending = []
-        a_slots = np.array([s for s, _ in aux], np.int64)
-        tgts = np.array([t for _, t in aux], np.int64)
+        a_slots = np.concatenate([p[0] for p in aux])
+        tgts = np.concatenate([p[1] for p in aux])
         order2 = np.lexsort((a_slots, tgts))
-        first = len(state.t1)
+        first = state.n
         # out-pane slots play the B-column role; windows sized win_b
         key2 = (tgts[order2] // ROW_WINDOW
                 * (int(a_slots.max()) // win_b + 2)
@@ -1351,50 +1351,51 @@ def _build_route2_mul_arrays(slots, src_a, src_b, a_len: int,
         bounds2 = np.flatnonzero(np.diff(key2)) + 1
         starts2 = np.concatenate([[0], bounds2])
         _pack_mul_stream(tgts[order2],
-                         np.full(len(aux), a_len - 1, np.int64),
+                         np.full(len(a_slots), a_len - 1, np.int64),
                          a_slots[order2], starts2, win_a, win_b,
                          state, src_flag=1)
-        n_aux_chunks += len(state.t1) - first
+        n_aux_chunks += state.n - first
     assert not state.aux_pending, "route2-mul aux runaway"
 
-    if not state.t1:
+    if not state.n:
         state.append_empty()
 
-    # align the flag transition to CB groups
-    flags_arr = np.array(state.flags)
-    trans = np.flatnonzero(flags_arr == 1)
+    t1_np = np.concatenate(state.t1)
+    t2_np = np.concatenate(state.t2)
+    ab_np = np.array(state.ab, np.int32)
+    bb_np = np.array(state.bb, np.int32)
+    yb_np = np.array(state.yb, np.int32)
+    flags_np = np.array(state.flags, np.int32)
+
+    # align the flag transition to a CB (=8) chunk-group boundary
+    trans = np.flatnonzero(flags_np == 1)
     if len(trans):
         t0 = int(trans[0])
-        for _ in range((-t0) % 8):
-            state.t1.insert(t0, np.zeros((SUBS, LANES), np.int32))
-            state.t2.insert(t0, np.zeros((SUBS, LANES), np.int32))
-            state.ab.insert(t0, 0)
-            state.bb.insert(t0, 0)
-            state.yb.insert(t0, 0)
-            state.flags.insert(t0, 0)
+        pad_n = (-t0) % 8
+        if pad_n:
+            zblk = np.zeros((pad_n, SUBS, LANES), np.int32)
+            t1_np = np.concatenate([t1_np[:t0], zblk, t1_np[t0:]])
+            t2_np = np.concatenate([t2_np[:t0], zblk, t2_np[t0:]])
+            at = [t0] * pad_n
+            ab_np = np.insert(ab_np, at, 0)
+            bb_np = np.insert(bb_np, at, 0)
+            yb_np = np.insert(yb_np, at, 0)
+            flags_np = np.insert(flags_np, at, 0)
 
-    nchunks = len(state.t1)
+    nchunks = t1_np.shape[0]
     a_rows = -(-max(a_len, 1) // LANES)
     a_rows = -(-a_rows // (SUBS * g_a)) * (SUBS * g_a)
     b_rows = -(-max(b_len, 1) // LANES)
     b_rows = -(-b_rows // (SUBS * g_b)) * (SUBS * g_b)
     record_phase("route2_mul", "aux_s", _time.perf_counter() - _t0)
-    _t0 = _time.perf_counter()
-    t1_np = np.stack(state.t1)
     dist_max = int(((t1_np >> B_DIST) & 7).max()) if nchunks else 0
-    from spblas_tpu.utils.placement import device_put_batch
-    t1_d, t2_d, ab_d, bb_d, flags_d, yb_d = device_put_batch(
-        t1_np, np.stack(state.t2), np.array(state.ab, np.int32),
-        np.array(state.bb, np.int32), np.array(state.flags, np.int32),
-        np.array(state.yb, np.int32))
-    record_phase("route2_mul", "stack_put_s", _time.perf_counter() - _t0)
-    return Route2MulPlan(
-        tile1=t1_d, tile2=t2_d, a_base=ab_d, b_base=bb_d,
-        src_flag=flags_d, y_base=yb_d,
+    return dict(
+        t1=t1_np, t2=t2_np,
+        ab=ab_np, bb=bb_np, flags=flags_np, yb=yb_np,
         g_a=g_a, g_b=g_b, a_rows=a_rows, b_rows=b_rows, y_rows=y_rows,
         aux_rows=(len(state.aux_windows) * SUBS + SUBS * max(g_a, g_b)
                   if state.aux_windows else 0),
-        n_aux_chunks=n_aux_chunks, capacity=capacity,
+        n_aux_chunks=n_aux_chunks,
         fill=len(slots) / max(nchunks * SLOTS, 1), dist_max=dist_max)
 
 
@@ -1440,24 +1441,32 @@ def _pack_mul_cells_native(slots, sa, sb, starts, win_a, win_b,
         state.aux_windows.append(np.full(LANES, SUBS, np.int64))
     yb = np.where(chunk_auxwin < 0, cell_yb[chunk_cell],
                   state.aux_base + chunk_auxwin * SUBS).astype(np.int32)
-    state.t1.extend(t1)
-    state.t2.extend(t2)
+    state.t1.append(np.ascontiguousarray(t1))
+    state.t2.append(np.ascontiguousarray(t2))
+    state.n += int(nch)
     state.ab.extend(cell_ab[chunk_cell].tolist())
     state.bb.extend(cell_bb[chunk_cell].tolist())
     state.yb.extend(yb.tolist())
     state.flags.extend([src_flag] * nch)
-    for k in range(len(aux_slot)):
-        state.aux_pending.append(
-            (state.aux_base * LANES + int(aux_slot[k]),
-             int(cell_yb[aux_cell[k]]) * LANES + int(aux_lslot[k])))
+    if len(aux_slot):
+        state.aux_pending.append((
+            state.aux_base * LANES + np.asarray(aux_slot, np.int64),
+            cell_yb[aux_cell].astype(np.int64) * LANES
+            + np.asarray(aux_lslot, np.int64)))
     return True
 
 
 class _MulBuildState:
+    """t1/t2 hold BLOCKS of chunks ((k, 8, 128) each — the native
+    packer emits one block per call); ``n`` counts chunks.  aux_pending
+    holds (abs_slots, targets) int64 ARRAY pairs (per-tuple python
+    entries were a round-4 profile hot spot at 300k chunks)."""
+
     def __init__(self, g, y_rows):
         self.g = g
         self.y_rows = y_rows
         self.t1, self.t2 = [], []
+        self.n = 0
         self.ab, self.bb, self.yb = [], [], []
         self.flags = []
         self.aux_windows = []
@@ -1477,8 +1486,9 @@ class _MulBuildState:
         return self.aux_base * LANES + w * SLOTS + d * LANES + jd
 
     def append_empty(self):
-        self.t1.append(np.zeros((SUBS, LANES), np.int32))
-        self.t2.append(np.zeros((SUBS, LANES), np.int32))
+        self.t1.append(np.zeros((1, SUBS, LANES), np.int32))
+        self.t2.append(np.zeros((1, SUBS, LANES), np.int32))
+        self.n += 1
         self.ab.append(0)
         self.bb.append(0)
         self.yb.append(0)
@@ -1514,8 +1524,9 @@ def _pack_mul_cell(slots, sa, sb, win_a, win_b, state: _MulBuildState,
 
     def flush(ck):
         for (t1, t2, base) in ck.emit(yb):
-            state.t1.append(t1)
-            state.t2.append(t2)
+            state.t1.append(t1[None])
+            state.t2.append(t2[None])
+            state.n += 1
             state.ab.append(ab)
             state.bb.append(bb)
             state.yb.append(base)
@@ -1526,7 +1537,9 @@ def _pack_mul_cell(slots, sa, sb, win_a, win_b, state: _MulBuildState,
         abs_slot = state.alloc_aux_slot(jd)
         rel = abs_slot - state.aux_base * LANES
         ck.commit_aux(la[idx], lb[idx], rel, state.aux_base)
-        state.aux_pending.append((abs_slot, yb * LANES + slot_l))
+        state.aux_pending.append(
+            (np.array([abs_slot], np.int64),
+             np.array([yb * LANES + slot_l], np.int64)))
 
     open_chunks: List[_MulChunk] = []
     for s_ in ffd:

@@ -166,13 +166,17 @@ def _numeric(plan: SpgemmPlan, a_values, b_values, d_values, alpha, beta):
     jaxpr is cached and later differentiated as-is."""
     if plan.route is not None:
         from spblas_tpu.kernels.route2 import Route2MulPlan
+        from spblas_tpu.kernels.route_mul_paned import Route2MulPanedPlan
         one = jnp.ones((1,), dtype=a_values.dtype)
         a_arr = jnp.concatenate([alpha * a_values, one])
         if d_values is not None:
             b_arr = jnp.concatenate([b_values, beta * d_values])
         else:
             b_arr = b_values
-        if isinstance(plan.route, Route2MulPlan):
+        if isinstance(plan.route, Route2MulPanedPlan):
+            from spblas_tpu.kernels.route_mul_paned import route2_mul_paned
+            out = route2_mul_paned(plan.route, a_arr, b_arr)
+        elif isinstance(plan.route, Route2MulPlan):
             from spblas_tpu.kernels.route2_kernel import route2_mul
             out = route2_mul(plan.route, a_arr, b_arr)
         else:
@@ -200,6 +204,13 @@ def _numeric(plan: SpgemmPlan, a_values, b_values, d_values, alpha, beta):
         v, mode="drop")
 
 
+# paned mul engine gate: the A pane stays VMEM-resident (chunks are
+# B-window-major sorted, so A windows change fastest); 12,288 sublane
+# rows = 6 MB f32, leaving VMEM for the y panel (4 MB), B pane double
+# buffer (4 MB) and tile buffers
+_PANED_A_ROWS_MAX = 12_288
+
+
 def _try_build_route(a, b, d, c_capacity: int):
     """Build the fused route numeric engine when the operands fit its
     VMEM-residency and dtype envelope (real f32; A/B/out panes resident).
@@ -225,7 +236,12 @@ def _try_build_route(a, b, d, c_capacity: int):
     a_len = a.capacity + 1
     b_len = b.capacity + (d.capacity if d is not None else 0)
     rows = (-(-a_len // 128) + -(-b_len // 128) + -(-c_capacity // 128))
-    if rows > 18_000:
+    # beyond the resident envelope the PANED engine streams B panes and
+    # panels the output (kernels/route_mul_paned.py, VERDICT r3 #2);
+    # only the A pane must still be VMEM-resident
+    resident_ok = rows <= 18_000
+    paned_ok = -(-a_len // 128) <= _PANED_A_ROWS_MAX
+    if not (resident_ok or paned_ok):
         return None
 
     import time as _time
@@ -239,8 +255,16 @@ def _try_build_route(a, b, d, c_capacity: int):
     rows_a = np.repeat(np.arange(m, dtype=np.int64), np.diff(a_rp))
     cnt = b_rp[a_ci + 1] - b_rp[a_ci]
     total = int(cnt.sum())
-    if total > 8_000_000:
-        return None
+    paned = not (resident_ok and total <= 8_000_000)
+    if os.environ.get("SPBLAS_FORCE_PANED_SPGEMM") == "1":
+        paned = True
+    if paned:
+        if not paned_ok:
+            return None
+        if total > int(os.environ.get(
+                "SPBLAS_MUL_EXPANSION_BUDGET", 64_000_000)):
+            # host pack time scales with the expansion (~1 s / 2M elems)
+            return None
     d_nnz = int(d.nnz) if d is not None else 0
     d_rp = (np.minimum(np.asarray(d.rowptr).astype(np.int64), d_nnz)
             if d is not None else None)
@@ -293,14 +317,20 @@ def _try_build_route(a, b, d, c_capacity: int):
     _t_pack = _time.perf_counter()
     try:
         return _build_route_packer(slots, sa, sb, a_len, b_len,
-                                   c_capacity)
+                                   c_capacity, paned=paned)
     finally:
         record_phase("spgemm_engine", "pack_s",
                      _time.perf_counter() - _t_pack)
 
 
-def _build_route_packer(slots, sa, sb, a_len, b_len, c_capacity):
+def _build_route_packer(slots, sa, sb, a_len, b_len, c_capacity,
+                        paned: bool = False):
     import os
+    if paned:
+        from spblas_tpu.kernels.route_mul_paned import \
+            build_route2_mul_paned_plan
+        return build_route2_mul_paned_plan(slots, sa, sb, a_len, b_len,
+                                           c_capacity)
     if os.environ.get("SPBLAS_ROUTE_SPGEMM") == "1":
         # the v1 engine, kept selectable for A/B comparison
         from spblas_tpu.kernels.route_mul import build_route_mul_plan

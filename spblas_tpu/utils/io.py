@@ -20,7 +20,21 @@ def load_matrix_market(path: str, dtype=np.float32) -> CSR:
 
     Symmetric/skew storage is expanded, duplicates are summed (the
     Matrix Market convention), rows arrive sorted by (row, col).
+    ``.mtx.gz`` files are decompressed transparently (the checked-in
+    benchmark matrices under data/ ship gzipped).
     """
+    if path.endswith(".gz"):
+        import gzip
+        import os
+        import shutil
+        import tempfile
+        fd, tmp = tempfile.mkstemp(suffix=".mtx")
+        try:
+            with gzip.open(path, "rb") as src, os.fdopen(fd, "wb") as dst:
+                shutil.copyfileobj(src, dst)
+            return load_matrix_market(tmp, dtype=dtype)
+        finally:
+            os.unlink(tmp)
     rows, cols, vals, (m, n) = native.mm_read(path)
     rows, cols, vals, rowptr = native.coo_to_csr(m, rows, cols, vals)
     # coalesce duplicates (summing) on the sorted stream

@@ -1,0 +1,57 @@
+"""Checked-in benchmark matrices (data/*.mtx.gz) load through the full
+Matrix Market IO path and match their generators (VERDICT r3 #5: the
+bench must exercise `load_matrix_market` end-to-end; with zero egress
+the files are generator exports, so equality against the generator is
+the integrity check)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from spblas_tpu.utils.io import load_matrix_market
+
+DATA = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data")
+
+
+def _gen(name):
+    from spblas_tpu.utils.generate import (generate_fem_graph_csr,
+                                           generate_rmat_csr,
+                                           generate_stencil_csr)
+    return {
+        "fem2d_128": lambda: generate_fem_graph_csr(128, 128, seed=9),
+        "stencil3d_32": lambda: generate_stencil_csr((32, 32, 32)),
+        "rmat_32k": lambda: generate_rmat_csr(32768, 32768 * 16, seed=5),
+    }[name]()
+
+
+@pytest.mark.parametrize("name", ["fem2d_128", "stencil3d_32",
+                                  "rmat_32k"])
+def test_checked_in_matrix_matches_generator(name):
+    a = _gen(name)
+    b = load_matrix_market(os.path.join(DATA, name + ".mtx.gz"))
+    assert b.shape == a.shape
+    na, nb = int(a.nnz), int(b.nnz)
+    assert na == nb
+    np.testing.assert_array_equal(np.asarray(a.rowptr)[: a.shape[0] + 1],
+                                  np.asarray(b.rowptr)[: a.shape[0] + 1])
+    np.testing.assert_array_equal(np.asarray(a.colind)[:na],
+                                  np.asarray(b.colind)[:nb])
+    np.testing.assert_allclose(np.asarray(a.values)[:na],
+                               np.asarray(b.values)[:nb], rtol=1e-6)
+
+
+def test_loaded_matrix_spmv_oracle():
+    """SpMV through the chooser on a loaded file matches the dense
+    oracle (the IO -> plan -> kernel path end-to-end)."""
+    from spblas_tpu.kernels import plans as _plans
+    from tests.util import assert_close, dense_from_csr
+
+    a = load_matrix_market(os.path.join(DATA, "fem2d_128.mtx.gz"))
+    kind, plan = _plans.build_matvec_plan(a)
+    m, n = a.shape
+    x = np.random.default_rng(3).standard_normal(n).astype(np.float32)
+    import jax.numpy as jnp
+    y = np.asarray(_plans.plan_spmv((kind, plan), jnp.asarray(x)))
+    assert_close(y, dense_from_csr(a) @ x, abs_floor=1e-3)
