@@ -82,6 +82,9 @@ ROW_WINDOW = SLOTS            # 1024-row stripes
 #                wall that capped fill at ~0.37, round 3)
 B_R2, B_LF, B_SD2, B_DIST, B_PEND, B_VA = 0, 8, 15, 18, 21, 24
 B_LSRC = 25
+# supercell publish sub-window (round 4): home-lane plans only — the
+# field shares the (then unused) lsrc bit range
+B_SUBW = 29
 MAX_G = 32                    # r2 field spans 8g <= 256 slab rows
 
 
@@ -115,6 +118,12 @@ class Route2Plan:
     # publishes (old serialized plans load with the old semantics)
     any_lane: bool = dataclasses.field(default=False,
                                        metadata=dict(static=True))
+    # supercell height multiplier (round 4): one chunk publishes into a
+    # row_window_mult*1024-row window via 3 sub-window bits in the
+    # (home-lane-only) lsrc range — lifts the per-cell chunk
+    # quantization fill wall on starved cell grids.  1 = legacy.
+    row_window_mult: int = dataclasses.field(default=1,
+                                             metadata=dict(static=True))
 
     @property
     def nchunks(self) -> int:
@@ -187,14 +196,18 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
                       nnz: int, g: Optional[int] = None,
                       dtype=np.float32,
                       spill: Optional[bool] = None,
-                      any_lane: Optional[bool] = None) -> Route2Plan:
+                      any_lane: Optional[bool] = None,
+                      row_window_mult: Optional[int] = None
+                      ) -> Route2Plan:
     """Build the ROUTE2 plan from host CSR arrays (inspector phase).
 
     O(nnz log nnz) host work; the hot path is the per-cell chunk packer
     (native C++ when available, python fallback otherwise).
+    ``row_window_mult=None`` auto-picks the supercell height (round 4).
     """
     A = _build_route2_arrays(rowptr, colind, values, shape, nnz, g=g,
-                             dtype=dtype, spill=spill, any_lane=any_lane)
+                             dtype=dtype, spill=spill, any_lane=any_lane,
+                             row_window_mult=row_window_mult)
     from spblas_tpu.utils.placement import device_put_batch
     tile, val, sb_d, yb_d, flags_d, srcs_d, ext_d = device_put_batch(
         A["tiles"], A["vals"], A["sb"], A["yb"], A["flags"], A["srcs"],
@@ -205,14 +218,16 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
         g=A["g"], shape=A["shape"], nat_slots=A["nat_slots"],
         x_rows=A["x_rows"], y_rows=A["y_rows"], aux_rows=A["aux_rows"],
         n_aux_chunks=A["n_aux_chunks"], fill=A["fill"],
-        dist_max=A["dist_max"], any_lane=A["any_lane"])
+        dist_max=A["dist_max"], any_lane=A["any_lane"],
+        row_window_mult=A["row_window_mult"])
 
 
 def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
                          nnz: int, g: Optional[int] = None,
                          dtype=np.float32,
                          spill: Optional[bool] = None,
-                         any_lane: Optional[bool] = None) -> dict:
+                         any_lane: Optional[bool] = None,
+                         row_window_mult: Optional[int] = 1) -> dict:
     """Host phase of :func:`build_route2_plan`: everything up to device
     placement, returned as numpy arrays + static meta.  The paned
     builder (kernels/route_paned.py) calls this per row panel and
@@ -236,10 +251,6 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     nat_slots = -(-max(n, 1) // window) * window
     ext_cols = np.zeros(0, np.int64)
 
-    # one 8-row pane window per 1024-row stripe (full windows: every
-    # chunk accumulates an (8,128) tile at its stripe base)
-    y_rows = -(-max(m, 1) // ROW_WINDOW) * SUBS
-    state = _BuildState(g, y_rows)
     # window-major overflow spill pays only when spilled segments are
     # long enough to amortize their aux-reduction stream (one aux slot
     # per segment, reduced by ~8x per level): expected per-(row,window)
@@ -249,30 +260,64 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     seg_len_est = nnz * window / max(m * n, 1)
     if spill is None:
         spill = seg_len_est >= 3.0
+    # supercell height (round 4): a ~1100-element cell paying 2 chunks
+    # caps fill at ~0.53 (per-cell chunk quantization, VERDICT r3 #3a).
+    # Stacking W stripes per cell multiplies expected elements/cell by
+    # W; the publish carries a 3-bit sub-window in the lsrc range and
+    # the kernel writes one (8W,128) select-ladder RMW (measured cost-
+    # neutral: 112.3 vs 111.9 ns/chunk, benchmarks/dev/
+    # subwindow_publish_ab.py).  Home-lane only (lsrc bits).  Needs the
+    # native packer.
+    # round-4 A/B (benchmarks/dev/supercell_ab.py, 300-iter chains):
+    #   m=300k deg10: any-lane 5.33 / W=1 5.29 / W=8 7.22 Gnnz/s
+    #   m=1M   deg10: any-lane 3.54 / W=1 3.31 / W=8 5.67 Gnnz/s
+    # — supercells dominate any-lane on every starved grid measured;
+    # the gate targets supercell e_cell >= ~8192 (8 chunks' worth, so
+    # quantization waste <= ~12%), capped at W=8 (3 sub-window bits).
+    e_cell = seg_len_est * ROW_WINDOW
+    if row_window_mult is None:
+        from spblas_tpu import native
+        row_window_mult = 1
+        if native.get_lib() is not None and any_lane is not True:
+            while (row_window_mult < 8
+                   and e_cell * row_window_mult < 8192.0):
+                row_window_mult *= 2
+    ww = int(row_window_mult)
+    row_window = ROW_WINDOW * ww
     # any-lane publish (B_LSRC carrier) trades one extra lane gather
     # per chunk (~15 ns) for packing freedom from the per-lane depth-8
     # Poisson wall.  Round-3 A/B: it wins only on STARVED cell grids
     # (expected elements/cell < ~0.75 chunk): m=1M deg10 2.87 -> 3.60
     # Gnnz/s (e_cell 336), but m=300k 5.61 -> 5.27 (e_cell 1118, the
-    # 13% fill gain loses to the 21% chunk-cost increase).
+    # 13% fill gain loses to the 21% chunk-cost increase).  Supercells
+    # lift the same wall without the per-chunk cost, so they take
+    # precedence (round-4 A/B: m=1M supercell vs any-lane).
     if any_lane is None:
-        any_lane = seg_len_est * ROW_WINDOW < 768.0
+        any_lane = ww == 1 and e_cell < 768.0
+    assert not (any_lane and ww > 1), \
+        "supercells use the lsrc bits; any_lane must be off"
+
+    # one 8W-row pane window per 1024W-row supercell stripe
+    y_rows = -(-max(m, 1) // row_window) * (SUBS * ww)
+    state = _BuildState(g, y_rows)
     spilled = _pack_stream(rows, colind, values, ent, g, window, state,
                            tgt_rows=None, spill=spill,
-                           any_lane=any_lane)
+                           any_lane=any_lane, row_window=row_window)
     if spilled is not None:
-        if not _pack_spill_native(*spilled, g, window, state):
+        if not _pack_spill_native(*spilled, g, window, state,
+                                  row_window=row_window):
             # no native library: repack the overflow per cell (denser
             # window-major packing needs the native spill_only mode)
             _pack_stream(*spilled, g, window, state, tgt_rows=None,
-                         any_lane=any_lane)
+                         any_lane=any_lane, row_window=row_window)
 
     # aux levels: reduce spilled segment sums (living in the aux region
     # of the output pane) back into y, possibly recursively.  Aux chunks
     # gather from the output pane (src_flag=1); each level only reads
     # slots written by earlier chunks, so one sequential-grid dispatch
     # handles everything.
-    n_aux_chunks = _drain_aux(state, g, window, any_lane=any_lane)
+    n_aux_chunks = _drain_aux(state, g, window, any_lane=any_lane,
+                              row_window=row_window)
 
     if not state.tiles:
         state.append_empty()
@@ -295,6 +340,9 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     nchunks = len(state.tiles)
     fill = nnz / max(nchunks * SLOTS, 1)
     aux_rows = state.aux_rows()
+    if aux_rows and ww > 1:
+        # the wide publish RMW spans 8*ww rows from any aux window base
+        aux_rows += SUBS * (ww - 1)
     total_slots = nat_slots + len(ext_cols)
     x_rows = max(-(-total_slots // LANES), 1)
     x_rows = -(-x_rows // (SUBS * g)) * (SUBS * g)
@@ -309,11 +357,13 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
         ext=ext_cols.astype(np.int32),
         g=g, shape=(m, n), nat_slots=int(nat_slots), x_rows=x_rows,
         y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
-        fill=float(fill), dist_max=dist_max, any_lane=bool(any_lane))
+        fill=float(fill), dist_max=dist_max, any_lane=bool(any_lane),
+        row_window_mult=ww)
 
 
 def _drain_aux(state: "_BuildState", g: int, window: int,
-               any_lane: bool = True) -> int:
+               any_lane: bool = True,
+               row_window: int = ROW_WINDOW) -> int:
     """Pack the pending aux partial sums into reduction chunks (levels
     recurse until dry).  Returns the number of chunks appended."""
     n_aux_chunks = 0
@@ -331,7 +381,7 @@ def _drain_aux(state: "_BuildState", g: int, window: int,
                      np.ones(len(aux), np.float32),
                      np.full(len(aux), -1, np.int64),
                      g, window, state, tgt_rows=None, src_flag=1,
-                     any_lane=any_lane)
+                     any_lane=any_lane, row_window=row_window)
         n_aux_chunks += len(state.tiles) - first
     assert not state.aux_pending, "aux recursion runaway"
     return n_aux_chunks
@@ -517,7 +567,8 @@ class _BuildState:
 
 def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
                  tgt_rows, src_flag: int = 0, col_base: int = 0,
-                 spill: bool = False, any_lane: bool = True):
+                 spill: bool = False, any_lane: bool = True,
+                 row_window: int = ROW_WINDOW):
     """Sort a (row, col) element stream into cells and pack each cell.
 
     ``col_base`` offsets columns (used by aux levels whose "columns"
@@ -529,17 +580,18 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
     if len(rows) == 0:
         return None
     cols = cols + col_base
-    stripe = rows // ROW_WINDOW
+    stripe = rows // row_window
     cellc = cols // window
     # packed single-key argsort (the 4-key lexsort was the dominant
     # cost of the whole inspect at 10M nnz — round-3 profile): order by
     # (cell, local row, local col); cell ids are compacted to keep the
     # packed key within 63 bits at any matrix size
+    lrow_bits = (row_window - 1).bit_length()
     ncellc = int(cellc.max()) + 1 if len(cellc) else 1
     cell_id = stripe * ncellc + cellc
-    if (int(cell_id.max()) + 1) << 25 < (1 << 62):
-        key = ((cell_id << 25)
-               | ((rows % ROW_WINDOW) << 15)
+    if (int(cell_id.max()) + 1) << (15 + lrow_bits) < (1 << 62):
+        key = ((cell_id << (15 + lrow_bits))
+               | ((rows % row_window) << 15)
                | (cols % window))
         order = np.argsort(key, kind="stable")
         cell_key = cell_id[order]
@@ -553,13 +605,17 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
     ends = np.concatenate([bounds, [len(rows)]])
     res = _pack_cells_native(rows, cols, vals, ent, starts, ends,
                              g, window, state, src_flag, spill=spill,
-                             any_lane=any_lane)
+                             any_lane=any_lane, row_window=row_window)
     if res is not None:
         spill_idx = res
         if spill and len(spill_idx):
             return (rows[spill_idx], cols[spill_idx],
                     vals[spill_idx], ent[spill_idx])
         return None
+    if row_window != ROW_WINDOW:
+        raise RuntimeError(
+            "supercell packing (row_window_mult > 1) requires the "
+            "native packer; build with g++ or pass row_window_mult=1")
     for a, b in zip(starts, ends):
         _pack_cell(rows[a:b], cols[a:b], vals[a:b], ent[a:b], g,
                    window, state, src_flag, any_lane=any_lane)
@@ -568,7 +624,8 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
 
 def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
                        state: _BuildState, src_flag: int,
-                       spill: bool = False, any_lane: bool = True):
+                       spill: bool = False, any_lane: bool = True,
+                       row_window: int = ROW_WINDOW):
     """Native C++ cell packer (native/src/route2_pack.cpp); returns
     the spilled stream indices (possibly empty) or None when the
     library is unavailable."""
@@ -576,11 +633,12 @@ def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
     ne = len(rows)
     ncells = len(starts)
     cell_start = np.concatenate([starts, [ne]]).astype(np.int64)
-    lrow = (rows % ROW_WINDOW).astype(np.int32)
+    lrow = (rows % row_window).astype(np.int32)
     lcol = (cols % window).astype(np.int32)
     nat = native.route2_pack(ne, ncells, cell_start, lrow, lcol,
                              aux_windows_in=len(state.aux_windows),
-                             spill=spill, any_lane=any_lane)
+                             spill=spill, any_lane=any_lane,
+                             row_window=row_window)
     if nat is None:
         return None
     (nch, tiles, chunk_cell, chunk_auxwin, chunk_group, elem_group,
@@ -588,8 +646,8 @@ def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
      spill_idx) = nat
     cell_sb = ((cols[starts] // window) * (window // LANES)).astype(
         np.int32)
-    cell_yb = ((rows[starts] // ROW_WINDOW)
-               * (ROW_WINDOW // LANES)).astype(np.int32)
+    cell_yb = ((rows[starts] // row_window)
+               * (row_window // LANES)).astype(np.int32)
     # group val/src tiles (chunk copies share their group's values).
     # SPILLED elements were never committed — their elem_group/scat
     # entries are uninitialized zeros and must not scatter (they would
@@ -630,7 +688,8 @@ def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
 
 
 def _pack_spill_native(rows, cols, vals, ent, g, window,
-                       state: _BuildState) -> bool:
+                       state: _BuildState,
+                       row_window: int = ROW_WINDOW) -> bool:
     """Window-major repack of the per-cell Poisson-tail overflow: cells
     span ALL stripes of one x window, every segment publishes to an aux
     slot (spill_only), and the pending targets carry the GLOBAL row.
@@ -649,7 +708,11 @@ def _pack_spill_native(rows, cols, vals, ent, g, window,
         ne, len(starts), cell_start,
         rows.astype(np.int32),                 # GLOBAL rows
         (cols % window).astype(np.int32),
-        aux_windows_in=len(state.aux_windows), spill_only=True)
+        aux_windows_in=len(state.aux_windows), spill_only=True,
+        # spill chunks publish aux-only; any_lane is unused but the
+        # native validation requires it off in supercell plans, and
+        # row_window keeps the lsrc bit range clear of the subw field
+        any_lane=False, row_window=row_window)
     if nat is None:
         return False
     (nch, tiles, chunk_cell, chunk_auxwin, chunk_group, elem_group,
@@ -1692,5 +1755,11 @@ def route2_spmv_numpy(plan: Route2Plan, x: np.ndarray) -> np.ndarray:
             RS = RS[ii, (t >> B_LSRC) & 127]
         RS = RS * vA
         yb = int(ybs[k])
-        y2[yb:yb + SUBS] += RS
+        if plan.row_window_mult == 1:
+            y2[yb:yb + SUBS] += RS
+        else:
+            subw = (t >> B_SUBW) & 7
+            for sw in range(plan.row_window_mult):
+                y2[yb + sw * SUBS: yb + (sw + 1) * SUBS] += \
+                    np.where(subw == sw, RS, 0.0)
     return y2.reshape(-1)[:m]

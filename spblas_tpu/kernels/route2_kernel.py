@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spblas_tpu.kernels.route2 import (B2_LF, B2_R2, B2_SD2,
                                        B_DIST, B_LF, B_LSRC, B_PEND,
-                                       B_R2, B_SD2, B_VA,
+                                       B_R2, B_SD2, B_SUBW, B_VA,
                                        LANES, SUBS, Route2MulPlan,
                                        Route2Plan)
 from spblas_tpu.types import on_tpu as _on_tpu
@@ -96,7 +96,8 @@ def _chunk_body(t, val, slab, g, dist_max, any_lane=False):
 def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
                    t_buf, v_buf, t_sem, v_sem, *, g: int,
                    has_aux: bool, init_from_x: bool = False,
-                   dist_max: int = 7, any_lane: bool = False):
+                   dist_max: int = 7, any_lane: bool = False,
+                   ww: int = 1):
     k = pl.program_id(0)
     nk = pl.num_programs(0)
 
@@ -131,11 +132,26 @@ def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
     def group(src_ref):
         for i in range(CB):
             ci = k * CB + i
+            t = t_buf[slot, i]
             slab = src_ref[pl.ds(sb_ref[ci], SUBS * g), :]
-            upd = _chunk_body(t_buf[slot, i], v_buf[slot, i], slab, g,
+            upd = _chunk_body(t, v_buf[slot, i], slab, g,
                               dist_max, any_lane)
             yb = yb_ref[ci]
-            y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + upd
+            if ww == 1:
+                y_ref[pl.ds(yb, SUBS), :] = \
+                    y_ref[pl.ds(yb, SUBS), :] + upd
+            else:
+                # supercell publish: route the (8,128) publish tile to
+                # its sub-window via a select ladder + ONE (8ww,128)
+                # RMW (A/B'd cost-neutral vs the plain publish —
+                # benchmarks/dev/subwindow_publish_ab.py: wide 112.3 vs
+                # base 111.9 ns/chunk; 8 masked RMWs were +22 ns)
+                subw = (t >> B_SUBW) & 7
+                wide = jnp.concatenate(
+                    [jnp.where(subw == sw, upd, 0.0)
+                     for sw in range(ww)], axis=0)
+                y_ref[pl.ds(yb, ww * SUBS), :] = \
+                    y_ref[pl.ds(yb, ww * SUBS), :] + wide
 
     if has_aux:
         @pl.when(fl_ref[k * CB] == 0)
@@ -179,14 +195,16 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
                          x_rows=plan.x_rows, out_rows=out_rows,
                          has_aux=plan.n_aux_chunks > 0,
                          interpret=interpret, dist_max=plan.dist_max,
-                         any_lane=plan.any_lane)
+                         any_lane=plan.any_lane,
+                         row_window_mult=plan.row_window_mult)
     return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(xdt)
 
 
 def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
                     g: int, x_rows: int, out_rows: int, has_aux: bool,
                     interpret: bool, init_from_x: bool = False,
-                    dist_max: int = 7, any_lane: bool = False):
+                    dist_max: int = 7, any_lane: bool = False,
+                    row_window_mult: int = 1):
     """The raw ROUTE2 pallas dispatch over plan arrays — shared by
     route2_spmv, route2_solve and the distributed per-shard executor
     (parallel/route_spmv.py), which cannot pass plan pytrees through
@@ -220,7 +238,7 @@ def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
     return pl.pallas_call(
         functools.partial(_route2_kernel, g=g, has_aux=has_aux,
                           init_from_x=init_from_x, dist_max=dist_max,
-                          any_lane=any_lane),
+                          any_lane=any_lane, ww=row_window_mult),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, LANES),
                                        jnp.float32),

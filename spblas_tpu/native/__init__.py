@@ -108,7 +108,7 @@ def _declare(lib):
     lib.spblas_route2_pack.argtypes = [
         i64, i64, i64p, i32p, i32p, i64, i64, ctypes.c_int32,
         i32p, i32p, i32p, i32p, i32p, i32p, i64p, i64p, i32p, i32p,
-        i32p, i64p, ctypes.c_int32, ctypes.c_int32]
+        i32p, i64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
     lib.spblas_route2_mul_pack.restype = i64
     lib.spblas_route2_mul_pack.argtypes = [
         i64, i64, i64p, i32p, i32p, i32p, i64, i64,
@@ -419,7 +419,8 @@ def mul_expand(m, a_nnz, a_rowptr, a_colind, b_nnz, b_rowptr, b_colind,
 
 
 def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
-                spill_only=False, spill=False, any_lane=True):
+                spill_only=False, spill=False, any_lane=True,
+                row_window=1024):
     """Native ROUTE2 chunk packing (kernels/route2.py hot loop).
 
     Returns (nch, tiles(nch,8,128), chunk_cell, chunk_auxwin,
@@ -453,7 +454,8 @@ def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
             int(aux_windows_in), int(spill_only),
             tiles, chunk_cell, chunk_auxwin, chunk_group,
             elem_group, elem_scat, aux_info, aux_slot, aux_lrow,
-            aux_cell, spill_out, spill_n, int(spill), int(any_lane))
+            aux_cell, spill_out, spill_n, int(spill), int(any_lane),
+            int(row_window))
         if rc == -1:
             max_chunks *= 4
             continue

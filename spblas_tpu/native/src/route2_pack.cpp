@@ -45,6 +45,13 @@ constexpr int HUB_T = 16;
 
 constexpr int B_R2 = 0, B_LF = 8, B_SD2 = 15, B_DIST = 18,
               B_PEND = 21, B_VA = 24, B_LSRC = 25;
+// supercell mode (round 4): home-lane plans reuse the (unused) lsrc
+// bit range to carry a 3-bit publish sub-window — one chunk then
+// publishes into an up-to-8192-row window (8 stacked (8,128) tiles),
+// lifting the per-cell chunk-quantization fill wall.  Mutually
+// exclusive with any-lane (B_LSRC needs all 7 bits).
+constexpr int B_SUBW = 29;
+constexpr int MAX_ROW_WINDOW = 8 * SLOTS;
 
 struct Pub { int32_t slot; int16_t jd; int16_t pend; };
 struct AuxPub { int64_t abs_slot; int16_t jd; int16_t pend;
@@ -72,7 +79,7 @@ struct AuxAlloc {
 struct Chunk {
   uint8_t acl[LANES], acj[LANES];  // bitmask over colors a
   int8_t depth[LANES];
-  uint64_t rows_pub[16];           // bitmask over 1024 local rows
+  uint64_t rows_pub[MAX_ROW_WINDOW / 64];  // bitmask over local rows
   // any-lane pend carriers: bitmask over (pub_sublane, acc_lane) —
   // one direct publish per carrier slot (aux pubs are lane-matched
   // and carry pend at their own slot, no bookkeeping needed)
@@ -236,7 +243,8 @@ struct Out {
 };
 
 bool flush_chunk(Chunk& ck, int cell, Out& out,
-                 std::vector<AuxPub>* aux_pending, AuxAlloc* aux) {
+                 std::vector<AuxPub>* aux_pending, AuxAlloc* aux,
+                 int row_window = SLOTS) {
   if (ck.elems.empty() && ck.pubs.empty() && ck.aux_pubs.empty())
     return true;
   int group = (int)out.ngroup++;
@@ -266,9 +274,15 @@ bool flush_chunk(Chunk& ck, int cell, Out& out,
     if (!t) return false;
     std::memcpy(t, base, sizeof base);
     for (const Pub& p : ck.pubs) {
-      t[p.slot] |= (int32_t)((1u << B_VA)
-                             | ((uint32_t)p.jd << B_LSRC));
-      t[(p.slot >> 7) * LANES + p.jd] |=
+      // supercell (row_window > SLOTS): publish lands at the row's
+      // 1024-class tile position, with the sub-window id in the lsrc
+      // bit range (home-lane only, so lsrc is free)
+      int local = p.slot & (SLOTS - 1);
+      int32_t hi = row_window == SLOTS
+          ? (int32_t)((uint32_t)p.jd << B_LSRC)
+          : (int32_t)((uint32_t)(p.slot / SLOTS) << B_SUBW);
+      t[local] |= (int32_t)(1u << B_VA) | hi;
+      t[(local >> 7) * LANES + p.jd] |=
           (int32_t)(p.pend << B_PEND);
     }
   }
@@ -291,9 +305,12 @@ bool flush_chunk(Chunk& ck, int cell, Out& out,
       for (; i < bywin.size() && bywin[i].first == w; ++i) {
         const AuxPub* p = bywin[i].second;
         int local = (int)(p->abs_slot - w * SLOTS);
-        // lane-matched aux slot: its carrier is itself (lsrc = lane)
-        t[local] |= (int32_t)((p->pend << B_PEND) | (1u << B_VA)
-                              | ((uint32_t)(local & 127) << B_LSRC));
+        // lane-matched aux slot: its carrier is itself (lsrc = lane);
+        // supercell plans must keep the lsrc range clear (the kernel
+        // reads it as the sub-window, which must be 0 for aux tiles)
+        int32_t hi = row_window == SLOTS
+            ? (int32_t)((uint32_t)(local & 127) << B_LSRC) : 0;
+        t[local] |= (int32_t)((p->pend << B_PEND) | (1u << B_VA)) | hi;
       }
     }
   }
@@ -333,7 +350,13 @@ extern "C" int64_t spblas_route2_pack(
     // kernel can skip the B_LSRC gather (plan.any_lane=False).  Packing
     // fill drops on starved cell grids but each chunk is ~15 ns cheaper
     // (round-3 A/B: home wins <= ~1024-elem cells, any-lane below).
-    int32_t any_lane) {
+    int32_t any_lane,
+    // row_window (SLOTS..8*SLOTS, round 4): supercell height — local
+    // rows span this many slots, publishes carry a sub-window id in
+    // the lsrc bit range (requires any_lane=0)
+    int32_t row_window) {
+  if (row_window < SLOTS || row_window > MAX_ROW_WINDOW
+      || (row_window > SLOTS && any_lane)) return -2;
   Out out{tiles, chunk_cell, chunk_auxwin, chunk_group, elem_chunk,
           elem_scat, max_chunks};
   AuxAlloc aux;
@@ -395,7 +418,7 @@ extern "C" int64_t spblas_route2_pack(
     auto flush_at = [&](int pos) -> bool {
       int id = open[pos];
       bool ok = flush_chunk(pool_store[id], (int)cell, out, &pending,
-                            &aux);
+                            &aux, row_window);
       pool_store[id].reset();
       freelist.push_back(id);
       open.erase(open.begin() + pos);
@@ -446,7 +469,10 @@ extern "C" int64_t spblas_route2_pack(
       if (!hub && !spill_only) {
         int nopen = (int)open.size();
         int nas = 0;
-        int s_pub = row >> 7;
+        // carrier tracks the publish TILE POSITION (1024-class): for
+        // supercells this doubles as the position-collision guard (two
+        // rows congruent mod 1024 cannot both publish in one chunk)
+        int s_pub = (row & (SLOTS - 1)) >> 7;
         auto try_direct = [&](Chunk& ck, int jd2) -> bool {
           if (ck.depth[jd2] + len > SUBS) return false;
           if (!ck.carrier_free(s_pub, jd2)) return false;

@@ -108,9 +108,12 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
         if r1 > r0:
             sub_rp[: r1 - r0 + 1] = rowptr[r0: r1 + 1] - lo
         sub_rp[r1 - r0 + 1:] = hi - lo
+        # row_window_mult pinned to 1: DistRoutePlan does not carry the
+        # supercell field, so the stacked dispatch must stay classic
+        # (same flag-threading lesson as the any_lane regression)
         plans.append(build_route2_plan(
             sub_rp, colind[lo:hi], values[lo:hi], (mloc, n), hi - lo,
-            g=g, any_lane=any_lane))
+            g=g, any_lane=any_lane, row_window_mult=1))
 
     nch = max(pl.nchunks for pl in plans)
     # pad to whole CB groups so per-device tails stay flag-homogeneous

@@ -75,9 +75,12 @@ def test_route2_any_lane_modes(any_lane):
     assert_close(np.asarray(route2_spmv(plan, jnp.asarray(x))), a @ x)
 
 
-def test_route2_any_lane_gate_by_cell_starvation():
-    """The default gate packs home-only on dense cell grids and
-    any-lane when expected elements/cell < ~0.75 chunk."""
+def test_route2_starved_cells_gate():
+    """Round 4: starved cell grids auto-pick SUPERCELLS (home-lane,
+    row_window_mult > 1) — they dominated any-lane on every measured
+    shape (benchmarks/dev/supercell_ab.py: m=1M 5.67 vs 3.54 Gnnz/s).
+    Dense grids stay classic; explicit any_lane=True still packs
+    any-lane with W pinned to 1 (the lsrc bits are shared)."""
     a = _random_csr(2000, 1500, 20000, seed=78)      # dense cells
     plan = build_route2_plan(a.indptr, a.indices, a.data, (2000, 1500),
                              a.nnz)
@@ -85,7 +88,39 @@ def test_route2_any_lane_gate_by_cell_starvation():
     b = _random_csr(40000, 40000, 25000, seed=79)    # starved cells
     planb = build_route2_plan(b.indptr, b.indices, b.data,
                               (40000, 40000), b.nnz)
-    assert planb.any_lane
+    assert planb.row_window_mult > 1 and not planb.any_lane
+    x = np.random.default_rng(5).standard_normal(40000).astype(
+        np.float32)
+    assert_close(route2_spmv_numpy(planb, x), b @ x)
+    assert_close(np.asarray(route2_spmv(planb, jnp.asarray(x))), b @ x)
+    planc = build_route2_plan(b.indptr, b.indices, b.data,
+                              (40000, 40000), b.nnz, any_lane=True)
+    assert planc.any_lane and planc.row_window_mult == 1
+
+
+def test_route2_supercell_oracle_with_hubs():
+    """Supercell plans with hub rows (aux spill) against the dense
+    oracle through BOTH the simulator and the interpret kernel — the
+    wide publish must coexist with aux reduction chunks (whose tiles
+    carry sub-window 0 and land at their own aux window)."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(11)
+    m = 30_000
+    rows = rng.integers(0, m, 60_000)
+    rows[:3000] = 17                  # a hub row (aux spill)
+    cols = rng.integers(0, m, 60_000)
+    vals = rng.standard_normal(60_000).astype(np.float32)
+    a = sp.csr_matrix((vals, (rows, cols)), shape=(m, m))
+    a.sum_duplicates()
+    plan = build_route2_plan(a.indptr, a.indices, a.data, (m, m),
+                             a.nnz, row_window_mult=8, any_lane=False)
+    assert plan.row_window_mult == 8 and plan.n_aux_chunks > 0
+    x = rng.standard_normal(m).astype(np.float32)
+    want = a @ x
+    floor = 1e-4 * float(np.abs(want).max() + 1)
+    assert_close(route2_spmv_numpy(plan, x), want, abs_floor=floor)
+    assert_close(np.asarray(route2_spmv(plan, jnp.asarray(x))), want,
+                 abs_floor=floor)
 
 
 def test_route2_update_values_reuse():
