@@ -374,6 +374,51 @@ def section_sptrsv(m=20_000):
                      else "level_sweep")}
 
 
+def section_sptrsv_deep(m=1_000_000, block=64, deg=4, iters=50):
+    """High-level-count solve (VERDICT r3 #6): m=1M block-chain lower
+    with m/block = 15,625 dependency levels.  The round-4 envelope lift
+    (batched level packing + chained dispatches) keeps this on the
+    ROUTE substitution; the bar is well under 1 ms per 1k levels (the
+    ragged sweep pays ~300 us/level = ~4.7 s/solve here)."""
+    import jax
+    import jax.numpy as jnp
+    from spblas_tpu.ops.triangular_solve import (
+        triangular_solve, triangular_solve_inspect)
+    from spblas_tpu.utils.generate import generate_block_chain_lower
+
+    L = generate_block_chain_lower(m, block=block, deg=deg, seed=0)
+    jax.block_until_ready(L.values)
+    t0 = time.perf_counter()
+    info = triangular_solve_inspect(L, uplo="lower")
+    t_inspect = time.perf_counter() - t0
+    levels = info.plan.num_levels
+    b0 = jnp.ones((m,), jnp.float32)
+
+    @jax.jit
+    def chain(b):
+        def body(_, v):
+            x = triangular_solve(L, v, uplo="lower", info=info)
+            return x * 1e-3 + b * 0.5
+        return jax.lax.fori_loop(0, iters, body, b)
+
+    jax.block_until_ready(chain(b0))
+    best = float("inf")
+    for r in range(3):
+        br = b0 + jnp.float32(r * 1e-3)
+        jax.block_until_ready(br)
+        t0 = time.perf_counter()
+        out = chain(br)
+        jax.block_until_ready(out)
+        float(out[0])
+        best = min(best, time.perf_counter() - t0)
+    best /= iters
+    return {"inspect_s": t_inspect, "solve_s": best, "levels": levels,
+            "rows_per_s": m / best,
+            "ms_per_1k_levels": best * 1e3 / (levels / 1e3),
+            "path": ("route_one_dispatch"
+                     if info.plan.route is not None else "level_sweep")}
+
+
 def section_headline_bf16(m=409_600, half_bw=50, iters=300):
     import jax.numpy as jnp
     from spblas_tpu.kernels.banded import band_spmv
@@ -556,6 +601,7 @@ SECTIONS = {
     "spmm_general": section_spmm_general,
     "spmm_general_k64": lambda: section_spmm_general(k=64),
     "sptrsv_100k": lambda: section_sptrsv(m=100_000),
+    "sptrsv_deep": section_sptrsv_deep,
     "spmv_general_paned_4m": section_spmv_general_paned,
     "spmv_mesh": section_spmv_mesh,
     "spmv_real": section_spmv_real,
@@ -623,6 +669,7 @@ def main():
             ("spmv_general_paned_4m", 1800),
             ("spmm_general_k64", 420),
             ("sptrsv_100k", 600),
+            ("sptrsv_deep", 900),
             ("spmv_general_xla", 300),
             ("headline_bf16", 420),
             ("spmm_banded", 420),

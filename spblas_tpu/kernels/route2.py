@@ -124,6 +124,10 @@ class Route2Plan:
     # quantization fill wall on starved cell grids.  1 = legacy.
     row_window_mult: int = dataclasses.field(default=1,
                                              metadata=dict(static=True))
+    # hub-split plans carry flag-2 chunks (identity-lane hub rows whose
+    # tiles full-sum to one scalar — round 4, VERDICT r3 #4)
+    has_hub: bool = dataclasses.field(default=False,
+                                      metadata=dict(static=True))
 
     @property
     def nchunks(self) -> int:
@@ -197,17 +201,19 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
                       dtype=np.float32,
                       spill: Optional[bool] = None,
                       any_lane: Optional[bool] = None,
-                      row_window_mult: Optional[int] = None
-                      ) -> Route2Plan:
+                      row_window_mult: Optional[int] = None,
+                      hub_deg: Optional[int] = None) -> Route2Plan:
     """Build the ROUTE2 plan from host CSR arrays (inspector phase).
 
     O(nnz log nnz) host work; the hot path is the per-cell chunk packer
     (native C++ when available, python fallback otherwise).
-    ``row_window_mult=None`` auto-picks the supercell height (round 4).
+    ``row_window_mult=None`` auto-picks the supercell height and
+    ``hub_deg=None`` auto-gates the hub split (both round 4).
     """
     A = _build_route2_arrays(rowptr, colind, values, shape, nnz, g=g,
                              dtype=dtype, spill=spill, any_lane=any_lane,
-                             row_window_mult=row_window_mult)
+                             row_window_mult=row_window_mult,
+                             hub_deg=hub_deg)
     from spblas_tpu.utils.placement import device_put_batch
     tile, val, sb_d, yb_d, flags_d, srcs_d, ext_d = device_put_batch(
         A["tiles"], A["vals"], A["sb"], A["yb"], A["flags"], A["srcs"],
@@ -219,7 +225,7 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
         x_rows=A["x_rows"], y_rows=A["y_rows"], aux_rows=A["aux_rows"],
         n_aux_chunks=A["n_aux_chunks"], fill=A["fill"],
         dist_max=A["dist_max"], any_lane=A["any_lane"],
-        row_window_mult=A["row_window_mult"])
+        row_window_mult=A["row_window_mult"], has_hub=A["has_hub"])
 
 
 def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
@@ -227,7 +233,8 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
                          dtype=np.float32,
                          spill: Optional[bool] = None,
                          any_lane: Optional[bool] = None,
-                         row_window_mult: Optional[int] = 1) -> dict:
+                         row_window_mult: Optional[int] = 1,
+                         hub_deg: Optional[int] = 0) -> dict:
     """Host phase of :func:`build_route2_plan`: everything up to device
     placement, returned as numpy arrays + static meta.  The paned
     builder (kernels/route_paned.py) calls this per row panel and
@@ -297,6 +304,32 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     assert not (any_lane and ww > 1), \
         "supercells use the lsrc bits; any_lane must be off"
 
+    # hub split (round 4, VERDICT r3 #4): rows past hub_deg leave the
+    # coloring-constrained packing entirely — their elements sit at
+    # their identity lane (slot (a, col&127), r2 = in-window col>>7),
+    # the kernel skips the lane gather + prefix and full-sums the tile
+    # to ONE scalar per chunk, published to the row's slot (flag-2
+    # chunks; partials accumulate across chunks through the y RMW).
+    # AUTO IS OFF: the round-4 A/B (benchmarks/dev/rmat_hub_ab.py,
+    # RMAT 131k deg16) measured hub splits at 1.05-1.14 Gnnz/s vs 1.17
+    # for plain v2 — real RMAT per-window degrees (~d/4 at 4 windows)
+    # are too low for dense hub tiles, and v1 (2.49, its own SoL)
+    # keeps the chooser.  The mechanism stays for explicit use on
+    # matrices with genuinely dense rows (deg/windows >~ 700).
+    if hub_deg is None:
+        hub_deg = 0
+    h_stream = None
+    if hub_deg:
+        deg = np.diff(np.minimum(rowptr[:m + 1], nnz))
+        hub_elem = (deg >= hub_deg)[rows]
+        if hub_elem.any():
+            h_stream = (rows[hub_elem], colind[hub_elem],
+                        values[hub_elem], ent[hub_elem])
+            rows, colind, values, ent = (rows[~hub_elem],
+                                         colind[~hub_elem],
+                                         values[~hub_elem],
+                                         ent[~hub_elem])
+
     # one 8W-row pane window per 1024W-row supercell stripe
     y_rows = -(-max(m, 1) // row_window) * (SUBS * ww)
     state = _BuildState(g, y_rows)
@@ -310,6 +343,15 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
             # window-major packing needs the native spill_only mode)
             _pack_stream(*spilled, g, window, state, tgt_rows=None,
                          any_lane=any_lane, row_window=row_window)
+
+    # hub chunks (flag 2) come after the flag-0 run, each run padded to
+    # whole CB groups so per-group flags stay homogeneous
+    n_hub_chunks = 0
+    if h_stream is not None:
+        _pad_to_cb(state, 0)
+        n_hub_chunks = _pack_hub_stream(*h_stream, g, window,
+                                        row_window, state)
+        _pad_to_cb(state, 2)
 
     # aux levels: reduce spilled segment sums (living in the aux region
     # of the output pane) back into y, possibly recursively.  Aux chunks
@@ -358,7 +400,92 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
         g=g, shape=(m, n), nat_slots=int(nat_slots), x_rows=x_rows,
         y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
         fill=float(fill), dist_max=dist_max, any_lane=bool(any_lane),
-        row_window_mult=ww)
+        row_window_mult=ww, has_hub=n_hub_chunks > 0)
+
+
+def _pad_to_cb(state: "_BuildState", flag: int, cb: int = 8) -> None:
+    """Pad the chunk list to a whole CB group with zero chunks carrying
+    ``flag`` (groups must stay flag-homogeneous — the kernel picks the
+    per-group body once)."""
+    while len(state.tiles) % cb:
+        state.tiles.append(np.zeros((SUBS, LANES), np.int32))
+        state.vals.append(np.zeros((SUBS, LANES), np.float32))
+        state.srcs.append(np.full((SUBS, LANES), -1, np.int32))
+        state.sb.append(0)
+        state.yb.append(0)
+        state.flags.append(flag)
+
+
+def _pack_hub_stream(rows, cols, vals, ent, g: int, window: int,
+                     row_window: int, state: "_BuildState") -> int:
+    """Pack hub-row elements into flag-2 chunks (vectorized numpy).
+
+    Layout per (row, x-window) group: element with in-window column c
+    sits at slot (sublane, c & 127) with r2 = c >> 7 — identity lanes,
+    no lane gather, no coloring.  A column class with more than 8
+    distinct columns round-robins across the group's chunks (chunk
+    count = ceil(max class size / 8)).  Each chunk's publish slot
+    (B_VA + sub-window bits at the row's local position) receives the
+    FULL tile sum; partial sums from the group's chunks accumulate
+    through the output-pane RMW.  Returns the chunk count."""
+    if len(rows) == 0:
+        return 0
+    order = np.lexsort((cols, rows))
+    rows, cols, vals, ent = (rows[order], cols[order], vals[order],
+                             ent[order])
+    win = cols // window
+    lane = (cols & 127).astype(np.int64)
+    grp_change = np.concatenate(
+        [[True], (rows[1:] != rows[:-1]) | (win[1:] != win[:-1])])
+    grp_id = np.cumsum(grp_change) - 1
+    n_groups = int(grp_id[-1]) + 1
+    g_first = np.flatnonzero(grp_change)
+
+    # rank within (group, lane) class
+    key_order = np.lexsort((lane, grp_id))
+    gl = grp_id[key_order] * LANES + lane[key_order]
+    gl_change = np.concatenate([[True], gl[1:] != gl[:-1]])
+    idx = np.arange(len(gl))
+    cls_start = np.maximum.accumulate(np.where(gl_change, idx, 0))
+    rank_sorted = idx - cls_start
+    rank = np.empty(len(gl), np.int64)
+    rank[key_order] = rank_sorted
+
+    # chunks per group = ceil(max class size / 8)
+    maxc = np.zeros(n_groups, np.int64)
+    np.maximum.at(maxc, grp_id[key_order], rank_sorted + 1)
+    nch_g = -(-maxc // SUBS)
+    chunk_base = np.concatenate([[0], np.cumsum(nch_g)])
+    total = int(chunk_base[-1])
+
+    chunk = chunk_base[grp_id] + rank % nch_g[grp_id]
+    sub = rank // nch_g[grp_id]
+
+    tiles = np.zeros((total, SUBS, LANES), np.int32)
+    vt = np.zeros((total, SUBS, LANES), np.float32)
+    st = np.full((total, SUBS, LANES), -1, np.int32)
+    tiles[chunk, sub, lane] = ((cols % window) >> 7).astype(np.int32)
+    vt[chunk, sub, lane] = vals
+    st[chunk, sub, lane] = np.where(ent >= 0, ent, -1).astype(np.int32)
+
+    g_row = rows[g_first]
+    g_win = win[g_first]
+    lr = g_row % row_window
+    pos = lr % SLOTS
+    pub = ((1 << B_VA) | ((lr // SLOTS) << B_SUBW)).astype(np.int64)
+    chunk_grp = np.repeat(np.arange(n_groups), nch_g)
+    tiles[np.arange(total), (pos >> 7)[chunk_grp],
+          (pos & 127)[chunk_grp]] |= pub[chunk_grp].astype(np.int32)
+
+    sb = (g_win * (window // LANES)).astype(np.int32)
+    yb = ((g_row // row_window) * (row_window // LANES)).astype(np.int32)
+    state.tiles.extend(tiles)
+    state.vals.extend(vt)
+    state.srcs.extend(st)
+    state.sb.extend(sb[chunk_grp].tolist())
+    state.yb.extend(yb[chunk_grp].tolist())
+    state.flags.extend([2] * total)
+    return total
 
 
 def _drain_aux(state: "_BuildState", g: int, window: int,
@@ -425,9 +552,15 @@ def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
     y_rows = -(-max(m, 1) // ROW_WINDOW) * SUBS
     state = _BuildState(g, y_rows)
 
-    # per-level packing: a chunk may only gather rows completed by
-    # earlier chunks, so each level's entries (and its hub-spill
-    # reductions) pack before the next level's
+    # level-ordered packing: a chunk may only gather rows completed by
+    # earlier chunks.  The native packer flushes its whole pool at each
+    # CELL boundary and emits cells in sorted order, so consecutive
+    # NON-HUB levels batch into ONE call with a level-augmented cell
+    # key (round 4 — the old per-level python loop was the origin of
+    # the 4096-level gate, ~40 us/level of call overhead).  Levels
+    # containing hub rows (> HUB_T entries in one cell, the only aux
+    # source) still pack alone so their aux reductions land before the
+    # next level's gathers.
     e_rows = rows[off]
     e_cols = colind[off]
     e_coeff = coeff[off].astype(np.float32)
@@ -436,15 +569,26 @@ def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
     order = np.argsort(e_lv, kind="stable")
     e_rows, e_cols = e_rows[order], e_cols[order]
     e_coeff, e_ent, e_lv = e_coeff[order], e_ent[order], e_lv[order]
-    bounds = np.flatnonzero(np.diff(e_lv)) + 1
-    starts = np.concatenate([[0], bounds]) if len(e_lv) else []
-    ends = np.concatenate([bounds, [len(e_lv)]]) if len(e_lv) else []
     n_aux_chunks = 0
-    for s0, s1 in zip(starts, ends):
-        _pack_stream(e_rows[s0:s1], e_cols[s0:s1], e_coeff[s0:s1],
-                     e_ent[s0:s1], g, window, state, tgt_rows=None,
-                     src_flag=1, any_lane=any_lane)
-        n_aux_chunks += _drain_aux(state, g, window, any_lane=any_lane)
+    if len(e_lv):
+        # hub levels: any (row, window) with > 16 entries (HUB_T in
+        # native/src/route2_pack.cpp)
+        rw_key = e_rows * ((m // window) + 2) + e_cols // window
+        _, rw_inv, rw_cnt = np.unique(rw_key, return_inverse=True,
+                                      return_counts=True)
+        hub_lv = np.unique(e_lv[rw_cnt[rw_inv] > 16])
+        is_hub_lv = np.isin(e_lv, hub_lv)
+        bounds = np.flatnonzero((np.diff(e_lv) != 0)
+                                & (is_hub_lv[1:] | is_hub_lv[:-1])) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(e_lv)]])
+        for s0, s1 in zip(starts, ends):
+            _pack_stream(e_rows[s0:s1], e_cols[s0:s1], e_coeff[s0:s1],
+                         e_ent[s0:s1], g, window, state, tgt_rows=None,
+                         src_flag=1, any_lane=any_lane,
+                         cell_level=e_lv[s0:s1])
+            n_aux_chunks += _drain_aux(state, g, window,
+                                       any_lane=any_lane)
 
     if not state.tiles:
         state.append_empty()
@@ -568,7 +712,7 @@ class _BuildState:
 def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
                  tgt_rows, src_flag: int = 0, col_base: int = 0,
                  spill: bool = False, any_lane: bool = True,
-                 row_window: int = ROW_WINDOW):
+                 row_window: int = ROW_WINDOW, cell_level=None):
     """Sort a (row, col) element stream into cells and pack each cell.
 
     ``col_base`` offsets columns (used by aux levels whose "columns"
@@ -589,6 +733,13 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
     lrow_bits = (row_window - 1).bit_length()
     ncellc = int(cellc.max()) + 1 if len(cellc) else 1
     cell_id = stripe * ncellc + cellc
+    if cell_level is not None:
+        # level-major cells (one-dispatch solve, round 4): the packer
+        # flushes at every cell boundary, so folding the dependency
+        # level into the cell key keeps chunk emission level-ordered
+        # within ONE native call
+        cell_id = cell_id + cell_level * ((int(stripe.max()) + 1)
+                                          * ncellc if len(stripe) else 1)
     if (int(cell_id.max()) + 1) << (15 + lrow_bits) < (1 << 62):
         key = ((cell_id << (15 + lrow_bits))
                | ((rows % row_window) << 15)
@@ -596,7 +747,7 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
         order = np.argsort(key, kind="stable")
         cell_key = cell_id[order]
     else:  # astronomically many cells: fall back to the lexsort
-        order = np.lexsort((cols, rows, cellc, stripe))
+        order = np.lexsort((cols, rows, cell_id))
         cell_key = cell_id[order]
     rows, cols, vals, ent = (rows[order], cols[order], vals[order],
                              ent[order])
@@ -1729,7 +1880,7 @@ def route2_spmv_numpy(plan: Route2Plan, x: np.ndarray) -> np.ndarray:
 
     for k in range(plan.nchunks):
         t = tiles[k].astype(np.int64)
-        pane = x2 if flags[k] == 0 else y2
+        pane = x2 if flags[k] != 1 else y2
         sb = int(sbs[k])
         slab = np.zeros((SUBS * g, LANES), np.float32)
         avail = min(SUBS * g, pane.shape[0] - sb)
@@ -1737,23 +1888,27 @@ def route2_spmv_numpy(plan: Route2Plan, x: np.ndarray) -> np.ndarray:
             slab[:avail] = pane[sb:sb + avail]
         r2 = (t >> B_R2) & 255
         t1 = slab[np.minimum(r2, SUBS * g - 1), jj]
-        lf = (t >> B_LF) & 127
-        t2 = t1[ii, lf]
-        sd2 = (t >> B_SD2) & 7
-        t3 = t2[sd2, jj]
-        c = t3 * vals[k]
-        dist = (t >> B_DIST) & 7
-        P = c.copy()
-        for d in (1, 2, 4):
-            sh = np.roll(P, d, axis=0)
-            sh[:d] = 0
-            P = P + np.where(dist >= d, sh, 0.0)
-        pend = (t >> B_PEND) & 7
         vA = (t >> B_VA) & 1
-        RS = P[pend, jj]
-        if plan.any_lane:
-            RS = RS[ii, (t >> B_LSRC) & 127]
-        RS = RS * vA
+        if flags[k] == 2:
+            # hub chunk: identity lanes, full-tile reduce to one scalar
+            RS = vA * float((t1 * vals[k]).sum())
+        else:
+            lf = (t >> B_LF) & 127
+            t2 = t1[ii, lf]
+            sd2 = (t >> B_SD2) & 7
+            t3 = t2[sd2, jj]
+            c = t3 * vals[k]
+            dist = (t >> B_DIST) & 7
+            P = c.copy()
+            for d in (1, 2, 4):
+                sh = np.roll(P, d, axis=0)
+                sh[:d] = 0
+                P = P + np.where(dist >= d, sh, 0.0)
+            pend = (t >> B_PEND) & 7
+            RS = P[pend, jj]
+            if plan.any_lane:
+                RS = RS[ii, (t >> B_LSRC) & 127]
+            RS = RS * vA
         yb = int(ybs[k])
         if plan.row_window_mult == 1:
             y2[yb:yb + SUBS] += RS

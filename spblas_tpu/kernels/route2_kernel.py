@@ -93,11 +93,22 @@ def _chunk_body(t, val, slab, g, dist_max, any_lane=False):
     return RS * vA
 
 
+def _hub_chunk_body(t, val, slab, g):
+    """Flag-2 hub chunk: elements sit at identity lanes (no lane
+    gather, no prefix) and the whole tile reduces to ONE scalar —
+    published at the single B_VA slot.  Hub rows thus pack at fill ~1
+    with no coloring constraints (round 4, VERDICT r3 #4)."""
+    t1 = _r2_route((t >> B_R2) & 255, slab, g)
+    s = jnp.sum(t1 * val)
+    vA = ((t >> B_VA) & 1).astype(jnp.float32)
+    return vA * s
+
+
 def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
                    t_buf, v_buf, t_sem, v_sem, *, g: int,
                    has_aux: bool, init_from_x: bool = False,
                    dist_max: int = 7, any_lane: bool = False,
-                   ww: int = 1):
+                   ww: int = 1, has_hub: bool = False):
     k = pl.program_id(0)
     nk = pl.num_programs(0)
 
@@ -129,6 +140,23 @@ def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
     for d in dmas(slot, k):
         d.wait()
 
+    def publish(t, upd, ci):
+        yb = yb_ref[ci]
+        if ww == 1:
+            y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + upd
+        else:
+            # supercell publish: route the (8,128) publish tile to its
+            # sub-window via a select ladder + ONE (8ww,128) RMW
+            # (A/B'd cost-neutral vs the plain publish — benchmarks/
+            # dev/subwindow_publish_ab.py: wide 112.3 vs base 111.9
+            # ns/chunk; 8 masked RMWs were +22 ns)
+            subw = (t >> B_SUBW) & 7
+            wide = jnp.concatenate(
+                [jnp.where(subw == sw, upd, 0.0)
+                 for sw in range(ww)], axis=0)
+            y_ref[pl.ds(yb, ww * SUBS), :] = \
+                y_ref[pl.ds(yb, ww * SUBS), :] + wide
+
     def group(src_ref):
         for i in range(CB):
             ci = k * CB + i
@@ -136,29 +164,42 @@ def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
             slab = src_ref[pl.ds(sb_ref[ci], SUBS * g), :]
             upd = _chunk_body(t, v_buf[slot, i], slab, g,
                               dist_max, any_lane)
-            yb = yb_ref[ci]
-            if ww == 1:
-                y_ref[pl.ds(yb, SUBS), :] = \
-                    y_ref[pl.ds(yb, SUBS), :] + upd
-            else:
-                # supercell publish: route the (8,128) publish tile to
-                # its sub-window via a select ladder + ONE (8ww,128)
-                # RMW (A/B'd cost-neutral vs the plain publish —
-                # benchmarks/dev/subwindow_publish_ab.py: wide 112.3 vs
-                # base 111.9 ns/chunk; 8 masked RMWs were +22 ns)
-                subw = (t >> B_SUBW) & 7
-                wide = jnp.concatenate(
-                    [jnp.where(subw == sw, upd, 0.0)
-                     for sw in range(ww)], axis=0)
-                y_ref[pl.ds(yb, ww * SUBS), :] = \
-                    y_ref[pl.ds(yb, ww * SUBS), :] + wide
+            publish(t, upd, ci)
 
-    if has_aux:
-        @pl.when(fl_ref[k * CB] == 0)
+    def hub_group():
+        for i in range(CB):
+            ci = k * CB + i
+            t = t_buf[slot, i]
+            slab = x_ref[pl.ds(sb_ref[ci], SUBS * g), :]
+            publish(t, _hub_chunk_body(t, v_buf[slot, i], slab, g), ci)
+
+    fl = fl_ref[k * CB]
+    if has_hub and has_aux:
+        @pl.when(fl == 0)
         def _():
             group(x_ref)
 
-        @pl.when(fl_ref[k * CB] != 0)
+        @pl.when(fl == 2)
+        def _():
+            hub_group()
+
+        @pl.when(fl == 1)
+        def _():
+            group(y_ref)
+    elif has_hub:
+        @pl.when(fl == 0)
+        def _():
+            group(x_ref)
+
+        @pl.when(fl == 2)
+        def _():
+            hub_group()
+    elif has_aux:
+        @pl.when(fl == 0)
+        def _():
+            group(x_ref)
+
+        @pl.when(fl != 0)
         def _():
             group(y_ref)
     else:
@@ -196,7 +237,8 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
                          has_aux=plan.n_aux_chunks > 0,
                          interpret=interpret, dist_max=plan.dist_max,
                          any_lane=plan.any_lane,
-                         row_window_mult=plan.row_window_mult)
+                         row_window_mult=plan.row_window_mult,
+                         has_hub=plan.has_hub)
     return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(xdt)
 
 
@@ -204,7 +246,7 @@ def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
                     g: int, x_rows: int, out_rows: int, has_aux: bool,
                     interpret: bool, init_from_x: bool = False,
                     dist_max: int = 7, any_lane: bool = False,
-                    row_window_mult: int = 1):
+                    row_window_mult: int = 1, has_hub: bool = False):
     """The raw ROUTE2 pallas dispatch over plan arrays — shared by
     route2_spmv, route2_solve and the distributed per-shard executor
     (parallel/route_spmv.py), which cannot pass plan pytrees through
@@ -238,7 +280,8 @@ def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
     return pl.pallas_call(
         functools.partial(_route2_kernel, g=g, has_aux=has_aux,
                           init_from_x=init_from_x, dist_max=dist_max,
-                          any_lane=any_lane, ww=row_window_mult),
+                          any_lane=any_lane, ww=row_window_mult,
+                          has_hub=has_hub),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, LANES),
                                        jnp.float32),
@@ -252,28 +295,45 @@ def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
     )(sb, yb, fl, t, v, x2)
 
 
+# SMEM holds 3 x 4 B of chunk scalars per chunk (~1 MB scalar memory);
+# deeper solves chain dispatches, each re-seeding the pane from the
+# previous one's output (round 4 — lifts the old ~85k-chunk cap)
+_SOLVE_CHUNKS_PER_DISPATCH = 60_000
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def route2_solve(plan: Route2Plan, y0: jax.Array,
                  interpret: bool | None = None) -> jax.Array:
-    """x = one-dispatch level-scheduled triangular substitution over a
-    plan from kernels.route2.build_route2_solve_plan: the output pane
-    starts at y0 and every chunk gathers from it (chunks are packed in
+    """x = level-scheduled triangular substitution over a plan from
+    kernels.route2.build_route2_solve_plan: the output pane starts at
+    y0 and every chunk gathers from it (chunks are packed in
     dependency-level order, so earlier grid steps' publishes are
-    visible to later gathers)."""
+    visible to later gathers).  One Pallas dispatch within the SMEM
+    chunk budget; beyond it the chunk stream splits at CB boundaries
+    into chained dispatches over the same pane."""
     if interpret is None:
         interpret = not _on_tpu()
     m = plan.shape[0]
     rows = max(plan.pane_rows, plan.x_rows)
     y0dt = y0.dtype
-    pane0 = jnp.pad(y0.astype(jnp.float32),
-                    (0, rows * LANES - y0.shape[0])).reshape(rows, LANES)
+    pane = jnp.pad(y0.astype(jnp.float32),
+                   (0, rows * LANES - y0.shape[0])).reshape(rows, LANES)
 
-    y2 = route2_dispatch(plan.tile, plan.val, plan.slab_base,
-                         plan.y_base, plan.src_flag, pane0, g=plan.g,
-                         x_rows=rows, out_rows=rows, has_aux=True,
-                         interpret=interpret, init_from_x=True,
-                         dist_max=plan.dist_max, any_lane=plan.any_lane)
-    return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(y0dt)
+    nc = plan.nchunks
+    seg = _SOLVE_CHUNKS_PER_DISPATCH - _SOLVE_CHUNKS_PER_DISPATCH % CB
+    lo = 0
+    while True:
+        hi = min(nc, lo + seg)
+        pane = route2_dispatch(
+            plan.tile[lo:hi], plan.val[lo:hi], plan.slab_base[lo:hi],
+            plan.y_base[lo:hi], plan.src_flag[lo:hi], pane, g=plan.g,
+            x_rows=rows, out_rows=rows, has_aux=True,
+            interpret=interpret, init_from_x=True,
+            dist_max=plan.dist_max, any_lane=plan.any_lane)
+        lo = hi
+        if lo >= nc:
+            break
+    return jax.lax.slice(pane.reshape(-1), (0,), (m,)).astype(y0dt)
 
 
 # ------------------------------------------------------------------ #

@@ -213,8 +213,11 @@ def triangular_solve_inspect(a_view, uplo: str = "lower",
 
 def _route_solve_eligible(a, m, nnz, num_levels) -> bool:
     # one-dispatch substitution envelope: TPU (or forced), real f32
-    # values, pane VMEM-resident, chunk scalars within SMEM, and a
-    # level count the per-level host packer can walk
+    # values, pane VMEM-resident.  Round 4 lifted the old 4096-level
+    # gate: non-hub levels batch into one native pack call (level-
+    # augmented cell keys) and the executor chains dispatches past the
+    # SMEM chunk budget.  The residual level cap bounds plan memory
+    # (>= 1 chunk/level at 8 KB each).
     import os
     from spblas_tpu.types import on_tpu
     if os.environ.get("SPBLAS_NO_ROUTE_TRSV") == "1":
@@ -225,9 +228,10 @@ def _route_solve_eligible(a, m, nnz, num_levels) -> bool:
         return False
     # TWO panes of m//128 rows stay VMEM-resident (the y0 input pane
     # and the output pane, route2_solve), so the row budget is half the
-    # single-pane ~18k cap
-    return (m // 128 <= 9_000 and nnz <= 4_000_000
-            and num_levels <= 4_096)
+    # single-pane ~18k cap; the nnz/level caps bound host pack time and
+    # plan bytes (the plan streams from HBM, not VMEM)
+    return (m // 128 <= 9_000 and nnz <= 16_000_000
+            and num_levels <= 200_000)
 
 
 @jax.jit

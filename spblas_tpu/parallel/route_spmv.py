@@ -108,12 +108,13 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
         if r1 > r0:
             sub_rp[: r1 - r0 + 1] = rowptr[r0: r1 + 1] - lo
         sub_rp[r1 - r0 + 1:] = hi - lo
-        # row_window_mult pinned to 1: DistRoutePlan does not carry the
-        # supercell field, so the stacked dispatch must stay classic
-        # (same flag-threading lesson as the any_lane regression)
+        # row_window_mult/hub_deg pinned off: DistRoutePlan does not
+        # carry the supercell/hub fields, so the stacked dispatch must
+        # stay classic (same flag-threading lesson as the any_lane
+        # regression)
         plans.append(build_route2_plan(
             sub_rp, colind[lo:hi], values[lo:hi], (mloc, n), hi - lo,
-            g=g, any_lane=any_lane, row_window_mult=1))
+            g=g, any_lane=any_lane, row_window_mult=1, hub_deg=0))
 
     nch = max(pl.nchunks for pl in plans)
     # pad to whole CB groups so per-device tails stay flag-homogeneous

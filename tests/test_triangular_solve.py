@@ -262,3 +262,54 @@ def test_route_solve_grad_falls_back(monkeypatch):
     assert np.isfinite(np.asarray(g)).all()
     np.testing.assert_allclose(float(g[7]), float(fd), rtol=2e-2,
                                atol=1e-3)
+
+
+def test_deep_level_chain_route_solve(monkeypatch):
+    """Round-4 envelope lift: a 625-level chain solve on the ROUTE
+    substitution path (the old gate refused > 4096 levels; the builder
+    now batches non-hub levels into one native pack call and the
+    executor chains dispatches past the SMEM chunk budget)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.ops.triangular_solve import (
+        triangular_solve, triangular_solve_inspect)
+    from spblas_tpu.utils.generate import generate_block_chain_lower
+    from tests.util import dense_from_csr
+
+    monkeypatch.setenv("SPBLAS_FORCE_ROUTE_TRSV", "1")
+    m = 40_000
+    L = generate_block_chain_lower(m, block=64, deg=4, seed=3)
+    info = triangular_solve_inspect(L, uplo="lower")
+    assert info.plan.num_levels == m // 64
+    assert info.plan.route is not None, "deep chain must stay on route"
+    b = np.random.default_rng(1).standard_normal(m).astype(np.float32)
+    x = np.asarray(triangular_solve(L, jnp.asarray(b), uplo="lower",
+                                    info=info))
+    res = np.abs(dense_from_csr(L) @ x - b).max()
+    assert res < 1e-3
+
+
+def test_solve_dispatch_chaining(monkeypatch):
+    """Chunk streams past _SOLVE_CHUNKS_PER_DISPATCH split into chained
+    dispatches over the same pane — force a tiny budget so the split
+    itself is exercised on a small solve."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.kernels import route2_kernel as rk
+    from spblas_tpu.ops.triangular_solve import (
+        triangular_solve, triangular_solve_inspect)
+    from spblas_tpu.utils.generate import generate_block_chain_lower
+    from tests.util import dense_from_csr
+
+    monkeypatch.setenv("SPBLAS_FORCE_ROUTE_TRSV", "1")
+    monkeypatch.setattr(rk, "_SOLVE_CHUNKS_PER_DISPATCH", 16)
+    m = 4_096
+    L = generate_block_chain_lower(m, block=64, deg=4, seed=4)
+    info = triangular_solve_inspect(L, uplo="lower")
+    assert info.plan.route is not None
+    assert info.plan.route.nchunks > 16, "fixture must exceed the budget"
+    b = np.random.default_rng(2).standard_normal(m).astype(np.float32)
+    x = np.asarray(triangular_solve(L, jnp.asarray(b), uplo="lower",
+                                    info=info))
+    res = np.abs(dense_from_csr(L) @ x - b).max()
+    assert res < 1e-3
