@@ -14,7 +14,10 @@ from spblas_tpu.parallel.dist_csr import (
 from spblas_tpu.parallel.rowblock import (
     RowBlockCSR, partition_rowblock, assemble_csr,
 )
-from spblas_tpu.parallel.spmv import dist_spmv, dist_spmm
+from spblas_tpu.parallel.spmv import (
+    dist_spmv, dist_spmm, partition_spmv, partition_spmv_vector,
+    dist_plan_spmv,
+)
 from spblas_tpu.parallel.banded import (
     DistBandPlan, partition_band, partition_band_vector, dist_band_spmv,
     dist_band_spmm,
@@ -38,6 +41,7 @@ __all__ = [
     "DistCSR", "partition_csr", "partition_vector", "gather_result",
     "to_local_csr",
     "RowBlockCSR", "partition_rowblock", "assemble_csr",
+    "partition_spmv", "partition_spmv_vector", "dist_plan_spmv",
     "dist_spmv", "dist_spmm",
     "DistBandPlan", "partition_band", "partition_band_vector",
     "dist_band_spmv", "dist_band_spmm",

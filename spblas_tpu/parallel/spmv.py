@@ -5,7 +5,17 @@ the reference delegates all device work to single-queue vendor libraries.
 Specified by BASELINE.json's north-star: row-partitioned distributed
 SpMV with halo collectives overlapped with local compute.
 
-Two execution strategies, both inside ``shard_map``:
+**TPU entry point: use the chooser.**  ``partition_spmv`` picks the
+fast per-shard execution for the pattern (banded halo pipeline,
+per-shard ROUTE2 plans for unstructured, generic gather blocks on
+CPU-class backends) and ``dist_plan_spmv`` runs it.  The raw
+``dist_spmv`` below executes gather·mul·segment-sum local blocks —
+on TPU that is the ~0.13 G elem/s XLA element-gather wall
+(PERF_NOTES.md), 2-3 orders of magnitude under the ROUTE2 path, and
+it WARNS when invoked there.  It remains the reference/debug path and
+the CPU default.
+
+Two ``dist_spmv`` strategies, both inside ``shard_map``:
 
 * ``ring``  — systolic pipeline: x stays block-sharded; at step s every
   device multiplies its (rotation-scheduled) local block s against the x
@@ -79,12 +89,102 @@ def _allgather_kernel(values, rowloc, colloc, x, *, p, mloc, nloc):
 
 def dist_spmv(a: DistCSR, x: jax.Array, mesh, strategy: str = "ring"
               ) -> jax.Array:
-    """y = A @ x, A row-partitioned, x/y block-sharded over the mesh.
+    """y = A @ x, A row-partitioned, x/y block-sharded over the mesh —
+    the GENERIC gather-block path (reference/debug; CPU default).
 
-    Returns y of padded length p*mloc sharded over ``rows``; use
-    ``gather_result`` to strip padding.
+    On TPU this runs at the XLA element-gather wall and warns — use
+    :func:`partition_spmv` + :func:`dist_plan_spmv` instead (VERDICT
+    r3 #7).  Returns y of padded length p*mloc sharded over ``rows``;
+    use ``gather_result`` to strip padding.
     """
+    _warn_if_tpu("dist_spmv")
     return _dist_apply(a, x, mesh, strategy)
+
+
+def _warn_if_tpu(name: str) -> None:
+    import warnings
+    from spblas_tpu.types import on_tpu
+    if on_tpu():
+        warnings.warn(
+            f"{name}: the generic gather-block kernel runs at the XLA "
+            "element-gather wall on TPU (~0.13 G elem/s); use "
+            "partition_spmv(a, mesh) + dist_plan_spmv for the "
+            "per-shard ROUTE2/banded fast paths", stacklevel=3)
+
+
+# ------------------------------------------------------------------ #
+# distributed matvec chooser — the TPU default entry (VERDICT r3 #7)
+# ------------------------------------------------------------------ #
+
+def partition_spmv(a, mesh, prefer: str | None = None):
+    """Distributed matvec chooser: returns ``(kind, plan)``.
+
+    ``kind`` is one of ``"band"`` (halo band pipeline for narrow-band
+    patterns), ``"route"`` (per-shard ROUTE2 plans — the unstructured
+    TPU fast path), or ``"csr"`` (generic gather blocks — the CPU
+    default).  ``prefer`` forces a kind (used by tests/dryrun to
+    exercise the TPU selection on CPU meshes).  Run the result with
+    :func:`dist_plan_spmv`; shard operands with
+    :func:`partition_spmv_vector`."""
+    import numpy as np
+    from spblas_tpu.formats.convert import to_csr
+    from spblas_tpu.types import on_tpu
+
+    a = to_csr(a)
+    if prefer is None:
+        if not on_tpu():
+            prefer = "csr"
+        else:
+            m, n = a.shape
+            nnz = int(a.nnz)
+            colind = np.asarray(a.colind)[:nnz].astype(np.int64)
+            rows = np.repeat(np.arange(m, dtype=np.int64),
+                             np.diff(np.minimum(
+                                 np.asarray(a.rowptr).astype(np.int64),
+                                 nnz)))
+            bw = int(np.abs(colind - rows).max()) if nnz else 0
+            band_fill = nnz / max(m * (2 * bw + 1), 1)
+            # band panels pay 2*bw+1 slots/row; worth it when the band
+            # is mostly dense (same spirit as the single-chip chooser)
+            prefer = ("band" if m == n and bw <= 512
+                      and band_fill >= 0.25 else "route")
+    if prefer == "band":
+        from spblas_tpu.parallel.banded import partition_band
+        return "band", partition_band(a, mesh)
+    if prefer == "route":
+        from spblas_tpu.parallel.route_spmv import partition_route
+        return "route", partition_route(a, mesh)
+    if prefer == "csr":
+        from spblas_tpu.parallel.dist_csr import partition_csr
+        return "csr", partition_csr(a, mesh)
+    raise ValueError(f"unknown kind {prefer!r}")
+
+
+def partition_spmv_vector(kind_plan, x, mesh):
+    """Shard a global operand vector for :func:`dist_plan_spmv`
+    according to the chosen kind's layout."""
+    kind, plan = kind_plan
+    x = jnp.asarray(x)
+    if kind == "band":
+        from spblas_tpu.parallel.banded import partition_band_vector
+        return partition_band_vector(x, plan, mesh)
+    n = plan.shape[1]
+    xp = jnp.pad(x, (0, plan.p * plan.nloc - n))
+    return jax.device_put(xp, NamedSharding(mesh, P(ROW_AXIS)))
+
+
+def dist_plan_spmv(kind_plan, x, mesh):
+    """Run the distributed matvec picked by :func:`partition_spmv`.
+    Returns the padded row-sharded result (kind-specific padding; rows
+    [0, m) are the answer for every kind)."""
+    kind, plan = kind_plan
+    if kind == "band":
+        from spblas_tpu.parallel.banded import dist_band_spmv
+        return dist_band_spmv(plan, x, mesh)
+    if kind == "route":
+        from spblas_tpu.parallel.route_spmv import dist_route_spmv
+        return dist_route_spmv(plan, x, mesh)
+    return _dist_apply(plan, x, mesh, "ring")
 
 
 def dist_spmm(a: DistCSR, b: jax.Array, mesh, strategy: str = "ring"
