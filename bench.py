@@ -473,14 +473,15 @@ def section_spmv_general_paned(m=4_000_000, deg=10, iters=60):
     import jax, jax.numpy as jnp, numpy as np
     from spblas_tpu.kernels.route_paned import (build_route_paned_plan,
                                                 route_paned_spmv)
-    from spblas_tpu.utils.generate import generate_csr
+    from spblas_tpu.utils.generate import generate_csr_arrays
 
     nnz = m * deg
-    a = generate_csr(m, m, nnz, seed=3)
+    # HOST arrays: the inspector runs on host, and a 480 MB device
+    # round-trip through the tunnel costs minutes (the round-4 1297 s
+    # inspect_s reading was mostly that pull)
+    vals, rowptr, cols = generate_csr_arrays(m, m, nnz, seed=3)
     t0 = _t.perf_counter()
-    plan = build_route_paned_plan(
-        np.asarray(a.rowptr), np.asarray(a.colind),
-        np.asarray(a.values), a.shape, int(a.nnz))
+    plan = build_route_paned_plan(rowptr, cols, vals, (m, m), nnz)
     build_s = _t.perf_counter() - t0
 
     def step(plan, x):

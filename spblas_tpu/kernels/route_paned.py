@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spblas_tpu.kernels.route2 import (B_DIST, MAX_G, ROW_WINDOW,
+from spblas_tpu.kernels.route2 import (B_DIST, B_SUBW, MAX_G,
+                                       ROW_WINDOW,
                                        _build_route2_arrays,
                                        pick_window_g)
 from spblas_tpu.kernels.route2_kernel import CB, _chunk_body
@@ -90,6 +91,10 @@ class RoutePanedPlan:
     pane_rows: int = dataclasses.field(metadata=dict(static=True))
     x_rows_pad: int = dataclasses.field(metadata=dict(static=True))
     fill: float = dataclasses.field(metadata=dict(static=True))
+    # supercell height (round 4): common across panels; panels with
+    # ww > 1 pack home-lane (the sub-window shares the lsrc bits)
+    row_window_mult: int = dataclasses.field(default=1,
+                                             metadata=dict(static=True))
 
     @property
     def nchunks(self) -> int:
@@ -141,7 +146,9 @@ def estimate_paned_bytes(m: int, n: int, nnz: int,
 def build_route_paned_plan(rowptr, colind, values, shape: Tuple[int, int],
                            nnz: int, g: Optional[int] = None,
                            panel_rows: int = _PANEL_ROWS,
-                           pane_rows: int = _PANE_ROWS) -> RoutePanedPlan:
+                           pane_rows: int = _PANE_ROWS,
+                           row_window_mult: Optional[int] = None
+                           ) -> RoutePanedPlan:
     """Inspector: per-panel route2 builds + pane-major chunk regroup.
 
     ``panel_rows`` adapts downward when a panel would exceed the
@@ -155,20 +162,37 @@ def build_route_paned_plan(rowptr, colind, values, shape: Tuple[int, int],
         g = _paned_g(m, n, nnz)
     assert pane_rows % (SUBS * g) == 0, "panes must hold whole slabs"
 
-    panel_rows = max(ROW_WINDOW,
-                     (panel_rows // ROW_WINDOW) * ROW_WINDOW)
+    # supercell height (round 4): same gate as the resident builder —
+    # beyond-VMEM sizes are starvation-bound, so the 8x-taller cells
+    # cut both chunk count AND the 8/fill-B-per-nnz plan footprint
+    # (VERDICT r3 weak #3)
+    window = g * SLOTS
+    e_cell = nnz * window * ROW_WINDOW / max(m * n, 1)
+    ww = row_window_mult
+    if ww is None:
+        ww = 1
+        from spblas_tpu import native
+        if native.get_lib() is not None:
+            while (ww < 8 and e_cell * ww < 8192.0
+                   and ROW_WINDOW * ww * 2 <= panel_rows):
+                ww *= 2
+    row_window = ROW_WINDOW * ww
+
+    panel_rows = max(row_window,
+                     (panel_rows // row_window) * row_window)
     host_panels = []
     x_rows = None
     total_slots = 0
     r0 = 0
     while r0 < m:
         rows_p = min(panel_rows, m - r0)
-        sub = _panel_arrays(rowptr, colind, values, r0, rows_p, n, g)
+        sub = _panel_arrays(rowptr, colind, values, r0, rows_p, n, g,
+                            ww=ww)
         if (sub["tiles"].shape[0] > _CHUNKS_PER_DISPATCH
-                and rows_p > ROW_WINDOW):
+                and rows_p > row_window):
             # too many chunks for one dispatch: halve this panel
-            panel_rows = max(ROW_WINDOW,
-                             (rows_p // 2 // ROW_WINDOW) * ROW_WINDOW)
+            panel_rows = max(row_window,
+                             (rows_p // 2 // row_window) * row_window)
             continue
         host_panels.append(
             _regroup_by_pane(sub, pane_rows, rows_p))
@@ -196,15 +220,18 @@ def build_route_paned_plan(rowptr, colind, values, shape: Tuple[int, int],
     return RoutePanedPlan(
         panels=tuple(panels), shape=(m, n), g=g, pane_rows=pane_rows,
         x_rows_pad=x_rows_pad,
-        fill=float(nnz) / max(total_slots, 1))
+        fill=float(nnz) / max(total_slots, 1), row_window_mult=ww)
 
 
-def _panel_arrays(rowptr, colind, values, r0, rows_p, n, g):
+def _panel_arrays(rowptr, colind, values, r0, rows_p, n, g, ww=1):
     e0 = int(min(rowptr[r0], len(colind)))
     e1 = int(min(rowptr[r0 + rows_p], len(colind)))
     sub_rp = rowptr[r0:r0 + rows_p + 1] - rowptr[r0]
     sub = _build_route2_arrays(sub_rp, colind[e0:e1], values[e0:e1],
-                               (rows_p, n), e1 - e0, g=g)
+                               (rows_p, n), e1 - e0, g=g,
+                               row_window_mult=ww,
+                               any_lane=False if ww > 1 else None,
+                               hub_deg=0)
     sub["e0"] = e0
     return sub
 
@@ -319,7 +346,8 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
 def _paned_kernel(sb_ref, yb_ref, fl_ref, eva_ref, evb_ref, evw_ref,
                   evs_ref, t_hbm, v_hbm, x_hbm, y_ref, t_buf, v_buf,
                   x_buf, t_sem, v_sem, x_sem, *, g: int, pane_rows: int,
-                  has_aux: bool, dist_max: int, any_lane: bool):
+                  has_aux: bool, dist_max: int, any_lane: bool,
+                  ww: int = 1):
     k = pl.program_id(0)
     nk = pl.num_programs(0)
 
@@ -371,11 +399,23 @@ def _paned_kernel(sb_ref, yb_ref, fl_ref, eva_ref, evb_ref, evw_ref,
     def group(src_ref):
         for i in range(CB):
             ci = k * CB + i
+            t = t_buf[slot, i]
             slab = src_ref[pl.ds(sb_ref[ci], SUBS * g), :]
-            upd = _chunk_body(t_buf[slot, i], v_buf[slot, i], slab, g,
+            upd = _chunk_body(t, v_buf[slot, i], slab, g,
                               dist_max, any_lane)
             yb = yb_ref[ci]
-            y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + upd
+            if ww == 1:
+                y_ref[pl.ds(yb, SUBS), :] = \
+                    y_ref[pl.ds(yb, SUBS), :] + upd
+            else:
+                # supercell publish (round 4): select-ladder into one
+                # (8ww,128) RMW — same as route2_kernel
+                subw = (t >> B_SUBW) & 7
+                wide = jnp.concatenate(
+                    [jnp.where(subw == sw, upd, 0.0)
+                     for sw in range(ww)], axis=0)
+                y_ref[pl.ds(yb, ww * SUBS), :] = \
+                    y_ref[pl.ds(yb, ww * SUBS), :] + wide
 
     us = evs_ref[k]
     if has_aux:
@@ -401,7 +441,7 @@ def _paned_kernel(sb_ref, yb_ref, fl_ref, eva_ref, evb_ref, evw_ref,
 
 
 def _paned_dispatch(panel: PanedPanel, x2, *, g: int, pane_rows: int,
-                    interpret: bool):
+                    interpret: bool, ww: int = 1):
     nc = int(panel.tile.shape[0])
     nsteps = nc // CB
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -426,7 +466,7 @@ def _paned_dispatch(panel: PanedPanel, x2, *, g: int, pane_rows: int,
         functools.partial(_paned_kernel, g=g, pane_rows=pane_rows,
                           has_aux=panel.has_aux,
                           dist_max=panel.dist_max,
-                          any_lane=panel.any_lane),
+                          any_lane=panel.any_lane, ww=ww),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((panel.out_rows, LANES),
                                        jnp.float32),
@@ -456,6 +496,7 @@ def route_paned_spmv(plan: RoutePanedPlan, x: jax.Array,
     for panel in plan.panels:
         yp = _paned_dispatch(panel, x2, g=plan.g,
                              pane_rows=plan.pane_rows,
-                             interpret=interpret)
+                             interpret=interpret,
+                             ww=plan.row_window_mult)
         parts.append(jax.lax.slice(yp.reshape(-1), (0,), (panel.rows,)))
     return jnp.concatenate(parts).astype(xdt)

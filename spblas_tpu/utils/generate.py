@@ -67,9 +67,12 @@ def generate_csr_sorted(m, n, nnz, seed=0, dtype=np.float32, complex_=False,
                            nnz=nnz, capacity=capacity)
 
 
-def generate_csr(m, n, nnz, seed=0, dtype=np.float32, complex_=False,
-                 capacity=None) -> CSR:
-    """CSR with *shuffled* colind within each row (generate.hpp:107-120)."""
+def generate_csr_arrays(m, n, nnz, seed=0, dtype=np.float32,
+                        complex_=False):
+    """HOST (numpy) arrays of :func:`generate_csr` — for inspectors
+    that run on host anyway: on TPU, wrapping in a CSR places the
+    arrays on device and pulling them back through the tunnel costs
+    minutes per 100 MB (PERF_NOTES.md)."""
     vals, rows, cols = _coo_arrays(m, n, nnz, seed, dtype, complex_)
     rowptr = _rows_to_rowptr(rows, m)
     # Vectorised within-row shuffle: lexsort by (row, random key) applies
@@ -78,6 +81,14 @@ def generate_csr(m, n, nnz, seed=0, dtype=np.float32, complex_=False,
     rng = np.random.default_rng(seed)
     order = np.lexsort((rng.random(nnz), rows))
     cols, vals = cols[order], vals[order]
+    return vals, rowptr, cols
+
+
+def generate_csr(m, n, nnz, seed=0, dtype=np.float32, complex_=False,
+                 capacity=None) -> CSR:
+    """CSR with *shuffled* colind within each row (generate.hpp:107-120)."""
+    vals, rowptr, cols = generate_csr_arrays(m, n, nnz, seed, dtype,
+                                             complex_)
     return CSR.from_arrays(vals, rowptr, cols, (m, n), nnz=nnz,
                            capacity=capacity)
 

@@ -152,3 +152,20 @@ def test_update_values_hub_aux_preserved():
     import dataclasses
     a2 = dataclasses.replace(a, values=jnp.asarray(new_vals))
     assert_close(y, dense_from_csr(a2) @ x, factor=64, abs_floor=1e-3)
+
+
+def test_paned_supercell_panels():
+    """Round 4: paned plans take supercell publishes too (common ww
+    across panels).  Starved fixture so the auto gate trips; checked
+    through the interpret kernel against the dense oracle."""
+    a = gen.generate_csr(40_960, 40_960, 120_000, seed=7)
+    plan = build_route_paned_plan(
+        np.asarray(a.rowptr), np.asarray(a.colind),
+        np.asarray(a.values), a.shape, int(a.nnz),
+        panel_rows=16_384, pane_rows=256)
+    assert plan.row_window_mult > 1, "fixture must trip the ww gate"
+    assert len(plan.panels) > 1
+    x = gen.generate_vector(a.shape[1], seed=8)
+    y = np.asarray(route_paned_spmv(plan, jnp.asarray(x),
+                                    interpret=True))
+    assert_close(y, dense_from_csr(a) @ x, factor=64, abs_floor=1e-3)
