@@ -60,6 +60,10 @@ class DistRoutePlan:
     # plans keep the legacy home-lane semantics.
     any_lane: bool = dataclasses.field(default=False,
                                        metadata=dict(static=True))
+    # COMMON supercell height across shards (round 4) — same
+    # flag-threading contract as any_lane
+    row_window_mult: int = dataclasses.field(default=1,
+                                             metadata=dict(static=True))
 
     @property
     def p(self) -> int:
@@ -87,18 +91,32 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
                                            pick_window_g)
     g = pick_window_g(mloc, n, max(nnz // p, 1))
 
-    # COMMON any-lane flag: apply the single-chip gate (route2.py
-    # `_build_route2_arrays`: expected elements/cell < 768) per shard,
-    # then take the majority so every shard packs with the SAME publish
-    # semantics as the one compiled kernel (VERDICT r3 #1).
+    # COMMON publish geometry across shards — every shard must pack
+    # with the SAME semantics as the one compiled kernel (the round-3
+    # any_lane regression lesson, VERDICT r3 #1).  Supercells take
+    # precedence (the single-chip round-4 rule: e_cell * W >= 8192,
+    # W <= 8, home-lane); any-lane is the fallback gate when the
+    # native packer is unavailable.
+    from spblas_tpu import native
     window = g * SLOTS
-    votes = 0
-    for d in range(p):
-        r0, r1 = d * mloc, min((d + 1) * mloc, m)
-        nnz_d = int(rowptr[min(r1, m)] - rowptr[min(r0, m)])
-        if nnz_d * window / max(mloc * n, 1) * ROW_WINDOW < 768.0:
-            votes += 1
-    any_lane = votes * 2 > p
+    e_cell_min = min(
+        (int(rowptr[min((d + 1) * mloc, m)] - rowptr[min(d * mloc, m)])
+         * window / max(mloc * n, 1) * ROW_WINDOW)
+        for d in range(p))
+    ww = 1
+    if native.get_lib() is not None:
+        while ww < 8 and e_cell_min * ww < 8192.0 \
+                and ROW_WINDOW * ww * 2 <= mloc:
+            ww *= 2
+    any_lane = False
+    if ww == 1:
+        votes = 0
+        for d in range(p):
+            r0, r1 = d * mloc, min((d + 1) * mloc, m)
+            nnz_d = int(rowptr[min(r1, m)] - rowptr[min(r0, m)])
+            if nnz_d * window / max(mloc * n, 1) * ROW_WINDOW < 768.0:
+                votes += 1
+        any_lane = votes * 2 > p
 
     plans = []
     for d in range(p):
@@ -108,13 +126,10 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
         if r1 > r0:
             sub_rp[: r1 - r0 + 1] = rowptr[r0: r1 + 1] - lo
         sub_rp[r1 - r0 + 1:] = hi - lo
-        # row_window_mult/hub_deg pinned off: DistRoutePlan does not
-        # carry the supercell/hub fields, so the stacked dispatch must
-        # stay classic (same flag-threading lesson as the any_lane
-        # regression)
+        # hub_deg pinned off (DistRoutePlan carries no hub field)
         plans.append(build_route2_plan(
             sub_rp, colind[lo:hi], values[lo:hi], (mloc, n), hi - lo,
-            g=g, any_lane=any_lane, row_window_mult=1, hub_deg=0))
+            g=g, any_lane=any_lane, row_window_mult=ww, hub_deg=0))
 
     nch = max(pl.nchunks for pl in plans)
     # pad to whole CB groups so per-device tails stay flag-homogeneous
@@ -147,7 +162,7 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
         shape=(m, n), mloc=mloc, nloc=nloc, g=g,
         x_rows=x_rows, out_rows=out_rows, has_aux=has_aux,
         dist_max=max(pl.dist_max for pl in plans),
-        any_lane=any_lane)
+        any_lane=any_lane, row_window_mult=ww)
 
 
 def dist_route_spmv(plan: DistRoutePlan, x: jax.Array, mesh: Mesh
@@ -175,7 +190,8 @@ def dist_route_spmv(plan: DistRoutePlan, x: jax.Array, mesh: Mesh
                              has_aux=plan.has_aux,
                              interpret=interpret,
                              dist_max=plan.dist_max,
-                             any_lane=plan.any_lane)
+                             any_lane=plan.any_lane,
+                             row_window_mult=plan.row_window_mult)
         return jax.lax.slice(y2.reshape(-1), (0,),
                              (mloc,)).astype(x.dtype)
 

@@ -232,25 +232,24 @@ def test_dist_route_spmv_matches_dense():
         assert_close(y, dense_from_csr(a) @ x, abs_floor=1e-2)
 
 
-def test_dist_route_spmv_any_lane_gate_crossing():
-    """Round-3 regression: per-shard plans built with the auto any-lane
-    gate while the stacked dispatch defaulted to home-lane semantics —
-    wrong values on every gate-crossing shard (VERDICT r3 #1).  The
-    fix forces one COMMON flag (majority vote) and threads it through
-    DistRoutePlan to route2_dispatch.  This matrix is starved enough
-    (nnz_d < 0.75*mloc with the window covering n) that EVERY shard
-    votes any-lane, so the test fails loudly if the flag is dropped
-    anywhere on the path again."""
+def test_dist_route_spmv_publish_gate_crossing():
+    """Round-3 regression class: per-shard plans built with a publish
+    geometry the stacked dispatch didn't know about — wrong values on
+    every gate-crossing shard (VERDICT r3 #1; originally the any-lane
+    flag, round 4 added supercells with the same threading contract).
+    This matrix is starved enough that the common gate trips (round 4:
+    supercells take precedence over any-lane), so the test fails
+    loudly if either flag is dropped anywhere on the path again."""
     from spblas_tpu.parallel import (make_row_mesh, partition_route,
                                      dist_route_spmv)
     from spblas_tpu.utils.generate import generate_csr
     from tests.util import assert_close, dense_from_csr
 
     mesh = make_row_mesh(8)
-    a = generate_csr(2048, 2048, 1024, seed=7)
+    a = generate_csr(16384, 16384, 8192, seed=7)
     plan = partition_route(a, mesh)
-    assert plan.any_lane, (
-        "fixture no longer crosses the any-lane gate; pick a sparser "
+    assert plan.row_window_mult > 1 or plan.any_lane, (
+        "fixture no longer crosses any publish gate; pick a sparser "
         "matrix so the regression stays covered")
     m, n = a.shape
     x = np.random.default_rng(2).standard_normal(n).astype(np.float32)
