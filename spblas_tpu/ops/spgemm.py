@@ -314,6 +314,24 @@ def _try_build_route(a, b, d, c_capacity: int):
     from spblas_tpu.utils.profiling import record_phase
     record_phase("spgemm_engine", "expansion_s",
                  _time.perf_counter() - _t_exp)
+    if paned:
+        # plan-size gate (round 4): mul chunks ~= occupied
+        # (slot-stripe, B-window) cells, and the B-window shatter makes
+        # fill collapse on large expanders (measured ns/elem curve in
+        # PERF_NOTES round 4: 2M expansion -> 13k chunks, 32M -> 2.1M
+        # chunks = a 17 GB plan).  Estimate cells with one unique pass
+        # and refuse past the chunk budget — the XLA numeric handles
+        # those sizes, slower but without the multi-GB plan.
+        from spblas_tpu.kernels.route2 import SLOTS as _SLOTS
+        from spblas_tpu.kernels.route2 import mul_pane_g
+        win_b = mul_pane_g(b_len) * _SLOTS
+        cellkey = ((np.asarray(slots, np.int64) >> 10)
+                   * (b_len // win_b + 2)
+                   + np.asarray(sb, np.int64) // win_b)
+        est_chunks = len(np.unique(cellkey))
+        if est_chunks > int(os.environ.get(
+                "SPBLAS_MUL_CHUNK_BUDGET", 400_000)):
+            return None
     _t_pack = _time.perf_counter()
     try:
         return _build_route_packer(slots, sa, sb, a_len, b_len,
