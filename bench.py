@@ -142,7 +142,7 @@ def section_headline_xla(m=409_600, half_bw=50, iters=300):
     return {"nnz_s": nnz / sec, "nnz": nnz, "path": "xla_dia"}
 
 
-def section_spmv_general_route(m=300_000, deg=10, iters=300):
+def section_spmv_general_route(m=300_000, deg=10, iters=500):
     """Unstructured uniform-random SpMV through the ROUTE2 Pallas plan
     (the round-2 kernel, rev 2; VERDICT item 1).  m=300k keeps the host
     plan build inside the section budget; the m=1M point runs in the
@@ -160,7 +160,8 @@ def section_spmv_general_route(m=300_000, deg=10, iters=300):
         return y * jax.lax.rsqrt(jnp.sum(y * y) / m + 1e-9)
 
     sec = _time_chained(step, plan,
-                        jnp.ones((m,), jnp.float32), iters=iters)
+                        jnp.ones((m,), jnp.float32), iters=iters,
+                        reps=5)
     return {"nnz_s": int(a.nnz) / sec, "nnz": int(a.nnz),
             "fill": getattr(plan, "fill", None),
             "chunks": getattr(plan, "nchunks", None),
@@ -591,7 +592,7 @@ SECTIONS = {
     "headline_xla": section_headline_xla,
     "spmv_general_route": section_spmv_general_route,
     "spmv_general_route_1m":
-        lambda: section_spmv_general_route(m=1_000_000, iters=100),
+        lambda: section_spmv_general_route(m=1_000_000, iters=200),
     "spmv_general_xla": section_spmv_general_xla,
     "spgemm": section_spgemm,
     "spgemm_large": section_spgemm_large,
@@ -654,16 +655,19 @@ def main():
     details["banded_nnz"] = head.get("nnz")
 
     # default-recorded general/spgemm/sptrsv numbers (VERDICT items 3/4)
+    # spgemm_large runs LAST: its multi-GB plan upload drains through
+    # the tunnel during the NEXT section's first round-trips otherwise
+    # (observed: 121 s of sptrsv pull_s right after it, round 4)
     defaults = [
         ("spmv_general_route", 540),
         ("spmv_general_route_1m", 900),
         ("spmv_rmat", 540),
         ("spgemm", 480),
-        ("spgemm_large", 1500),
         ("sptrsv", 480),
         ("spmm_general", 600),
         ("spmv_mesh", 700),
         ("spmv_real", 700),
+        ("spgemm_large", 1500),
     ]
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         defaults += [
@@ -680,7 +684,7 @@ def main():
         # next section's first device round-trips otherwise (BENCH_r02's
         # 109 s sptrsv.inspect_s reproduced only right after another
         # section and measured 1.9 s in isolation)
-        time.sleep(4)
+        time.sleep(10)
         res, err = _run_section(name, tmo)
         if res is not None:
             details[name] = res
