@@ -248,8 +248,11 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
         g = pick_window_g(m, n, nnz, max_g=MAX_G)
     window = g * SLOTS
 
-    rows = np.repeat(np.arange(m, dtype=np.int64),
-                     np.diff(np.minimum(rowptr, nnz)))
+    from spblas_tpu import native
+    rows = native.expand_rowptr(m, nnz, np.minimum(rowptr, nnz))
+    if rows is None:
+        rows = np.repeat(np.arange(m, dtype=np.int64),
+                         np.diff(np.minimum(rowptr, nnz)))
     ent = np.arange(nnz, dtype=np.int64)
 
     # the r2 routing index addresses the full slab row, so no column
@@ -357,27 +360,17 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     # of the output pane) back into y, possibly recursively.  Aux chunks
     # gather from the output pane (src_flag=1); each level only reads
     # slots written by earlier chunks, so one sequential-grid dispatch
-    # handles everything.
+    # handles everything.  Pad the flag=0 -> flag=1 transition to a CB
+    # (=8) chunk-group boundary FIRST (the kernel picks the slab source
+    # per group); appending the pad here is equivalent to the old
+    # insert-at-first-flag-1 and keeps the state append-only.
+    if state.aux_pending:
+        _pad_to_cb(state, 0)
     n_aux_chunks = _drain_aux(state, g, window, any_lane=any_lane,
                               row_window=row_window)
 
     if not state.tiles:
         state.append_empty()
-
-    # align the flag=0 -> flag=1 transition to a CB (=8) chunk-group
-    # boundary: the kernel picks the slab source per group
-    flags_arr = np.array(state.flags)
-    trans = np.flatnonzero(flags_arr == 1)
-    if len(trans):
-        t0 = int(trans[0])
-        pad_n = (-t0) % 8
-        for _ in range(pad_n):
-            state.tiles.insert(t0, np.zeros((SUBS, LANES), np.int32))
-            state.vals.insert(t0, np.zeros((SUBS, LANES), np.float32))
-            state.srcs.insert(t0, np.full((SUBS, LANES), -1, np.int32))
-            state.sb.insert(t0, 0)
-            state.yb.insert(t0, 0)
-            state.flags.insert(t0, 0)
 
     nchunks = len(state.tiles)
     fill = nnz / max(nchunks * SLOTS, 1)
@@ -388,14 +381,15 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     total_slots = nat_slots + len(ext_cols)
     x_rows = max(-(-total_slots // LANES), 1)
     x_rows = -(-x_rows // (SUBS * g)) * (SUBS * g)
-    tiles_np = np.stack(state.tiles)
+    tiles_np = state.tiles.stack()
     dist_max = int(((tiles_np >> B_DIST) & 7).max()) if nchunks else 0
     return dict(
-        tiles=tiles_np, vals=np.stack(state.vals).astype(dtype),
-        srcs=np.stack(state.srcs),
-        sb=np.array(state.sb, np.int32),
-        yb=np.array(state.yb, np.int32),
-        flags=np.array(state.flags, np.int32),
+        tiles=tiles_np, vals=state.vals.stack().astype(dtype,
+                                                       copy=False),
+        srcs=state.srcs.stack(),
+        sb=state.sb.stack(),
+        yb=state.yb.stack(),
+        flags=state.flags.stack(),
         ext=ext_cols.astype(np.int32),
         g=g, shape=(m, n), nat_slots=int(nat_slots), x_rows=x_rows,
         y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
@@ -407,13 +401,15 @@ def _pad_to_cb(state: "_BuildState", flag: int, cb: int = 8) -> None:
     """Pad the chunk list to a whole CB group with zero chunks carrying
     ``flag`` (groups must stay flag-homogeneous — the kernel picks the
     per-group body once)."""
-    while len(state.tiles) % cb:
-        state.tiles.append(np.zeros((SUBS, LANES), np.int32))
-        state.vals.append(np.zeros((SUBS, LANES), np.float32))
-        state.srcs.append(np.full((SUBS, LANES), -1, np.int32))
-        state.sb.append(0)
-        state.yb.append(0)
-        state.flags.append(flag)
+    pad = (-len(state.tiles)) % cb
+    if not pad:
+        return
+    state.tiles.append_fill(pad)
+    state.vals.append_fill(pad)
+    state.srcs.append_fill(pad)
+    state.sb.append_fill(pad)
+    state.yb.append_fill(pad)
+    state.flags.extend_const(flag, pad)
 
 
 def _pack_hub_stream(rows, cols, vals, ent, g: int, window: int,
@@ -482,9 +478,9 @@ def _pack_hub_stream(rows, cols, vals, ent, g: int, window: int,
     state.tiles.extend(tiles)
     state.vals.extend(vt)
     state.srcs.extend(st)
-    state.sb.extend(sb[chunk_grp].tolist())
-    state.yb.extend(yb[chunk_grp].tolist())
-    state.flags.extend([2] * total)
+    state.sb.extend(sb[chunk_grp])
+    state.yb.extend(yb[chunk_grp])
+    state.flags.extend_const(2, total)
     return total
 
 
@@ -497,21 +493,49 @@ def _drain_aux(state: "_BuildState", g: int, window: int,
     level = 0
     while state.aux_pending and level < 8:
         level += 1
-        aux = state.aux_pending
-        state.aux_pending = []
-        a_slots = np.array([s for s, _ in aux], np.int64)
-        a_rows = np.array([r for _, r in aux], np.int64)
-        order = np.lexsort((a_slots, a_rows))
+        a_slots, a_rows = _aux_pending_arrays(state)
+        # no pre-sort: _pack_stream orders by (cell, local row, local
+        # col) = (cell, row, slot) — slots are unique, so the final
+        # order is independent of the input permutation
         first = len(state.tiles)
         # aux "columns" are absolute output-pane slot positions
-        _pack_stream(a_rows[order], a_slots[order],
-                     np.ones(len(aux), np.float32),
-                     np.full(len(aux), -1, np.int64),
+        _pack_stream(a_rows, a_slots,
+                     np.ones(len(a_slots), np.float32),
+                     np.full(len(a_slots), -1, np.int64),
                      g, window, state, tgt_rows=None, src_flag=1,
                      any_lane=any_lane, row_window=row_window)
         n_aux_chunks += len(state.tiles) - first
     assert not state.aux_pending, "aux recursion runaway"
     return n_aux_chunks
+
+
+def _gather(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """``src[idx]`` via the threaded native gather when the dtype is
+    supported (f32 / int64 / (k,8,128) 4-byte tiles), numpy
+    otherwise."""
+    from spblas_tpu import native
+    out = native.gather(idx, src)
+    return out if out is not None else src[idx]
+
+
+def _aux_pending_arrays(state: "_BuildState"):
+    """Drain ``state.aux_pending`` into (slots, rows) int64 arrays.
+    Entries are either scalar ``(slot, row)`` tuples (python fallback
+    paths) or vectorized ``(slot_array, row_array)`` pairs (native
+    paths, round 4 — the per-publish python loop was ~2 s at 1M aux
+    publishes)."""
+    aux = state.aux_pending
+    state.aux_pending = []
+    if len(aux) == 1 and isinstance(aux[0][0], np.ndarray):
+        return (np.asarray(aux[0][0], np.int64),
+                np.asarray(aux[0][1], np.int64))
+    slots = np.concatenate(
+        [np.atleast_1d(np.asarray(s, np.int64)) for s, _ in aux]) \
+        if aux else np.zeros(0, np.int64)
+    rows = np.concatenate(
+        [np.atleast_1d(np.asarray(r, np.int64)) for _, r in aux]) \
+        if aux else np.zeros(0, np.int64)
+    return slots, rows
 
 
 def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
@@ -603,13 +627,13 @@ def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
     # bounds (advisor round-2 high finding).
     x_rows = max(pane_rows, SUBS * g)
     x_rows = -(-x_rows // (SUBS * g)) * (SUBS * g)
-    tiles_np = np.stack(state.tiles)
+    tiles_np = state.tiles.stack()
     dist_max = int(((tiles_np >> B_DIST) & 7).max()) if nchunks else 0
     from spblas_tpu.utils.placement import device_put_batch
     tile, val, sb_d, yb_d, flags_d, srcs_d, ext_d = device_put_batch(
-        tiles_np, np.stack(state.vals).astype(np.float32),
-        np.array(state.sb, np.int32), np.array(state.yb, np.int32),
-        np.array(state.flags, np.int32), np.stack(state.srcs),
+        tiles_np, state.vals.stack(),
+        state.sb.stack(), state.yb.stack(),
+        state.flags.stack(), state.srcs.stack(),
         np.zeros(0, np.int32))
     return Route2Plan(
         tile=tile, val=val, slab_base=sb_d, y_base=yb_d,
@@ -660,16 +684,76 @@ def route2_solve_numpy(plan: Route2Plan, y0: np.ndarray) -> np.ndarray:
     return y2.reshape(-1)[:m]
 
 
+class _RunList:
+    """Per-chunk plan arrays accumulated as RUNS (one ndarray block per
+    packer call) instead of per-chunk python list entries: at m=1M the
+    35k-element lists cost more host time than the native pack itself
+    (round-4 profile: 1.1 s of extend/tolist vs 0.7 s of C++).  Scalars
+    still append (the rare pad/fallback paths); ``stack`` concatenates
+    everything once at finalize."""
+
+    def __init__(self, item_shape, dtype, fill=0):
+        self._shape = tuple(item_shape)
+        self._dtype = dtype
+        self._fill = fill
+        self._runs: List[np.ndarray] = []
+        self._n = 0
+
+    def __len__(self):
+        return self._n
+
+    def append(self, v):
+        """One item: an ``item_shape`` ndarray, or a scalar for 0-d."""
+        a = np.asarray(v, self._dtype).reshape((1,) + self._shape)
+        self._runs.append(a)
+        self._n += 1
+
+    def append_fill(self, count: int = 1):
+        """``count`` items of the fill value (zero tiles / -1 srcs)."""
+        if count <= 0:
+            return
+        a = np.full((count,) + self._shape, self._fill, self._dtype)
+        self._runs.append(a)
+        self._n += count
+
+    def extend(self, arr):
+        """A whole run: ndarray ``(k, *item_shape)`` (kept by
+        reference, not copied) or any sequence of items."""
+        a = np.asarray(arr, self._dtype)
+        if a.ndim == len(self._shape):  # a single item by mistake
+            a = a.reshape((1,) + self._shape)
+        if a.shape[1:] != self._shape:
+            raise ValueError(f"run shape {a.shape} != {self._shape}")
+        self._runs.append(a)
+        self._n += a.shape[0]
+
+    def extend_const(self, value, count: int):
+        if count <= 0:
+            return
+        self._runs.append(np.full((count,) + self._shape, value,
+                                  self._dtype))
+        self._n += count
+
+    def stack(self) -> np.ndarray:
+        if not self._runs:
+            return np.zeros((0,) + self._shape, self._dtype)
+        if len(self._runs) == 1:
+            return self._runs[0]
+        out = np.concatenate(self._runs)
+        self._runs = [out]
+        return out
+
+
 class _BuildState:
     def __init__(self, g: int, y_rows: int):
         self.g = g
         self.y_rows = y_rows          # aux region starts here (pane rows)
-        self.tiles: List[np.ndarray] = []
-        self.vals: List[np.ndarray] = []
-        self.srcs: List[np.ndarray] = []
-        self.sb: List[int] = []
-        self.yb: List[int] = []
-        self.flags: List[int] = []
+        self.tiles = _RunList((SUBS, LANES), np.int32)
+        self.vals = _RunList((SUBS, LANES), np.float32)
+        self.srcs = _RunList((SUBS, LANES), np.int32, fill=-1)
+        self.sb = _RunList((), np.int32)
+        self.yb = _RunList((), np.int32)
+        self.flags = _RunList((), np.int32)
         self.aux_windows: List[np.ndarray] = []  # per-window lane depths
         self.aux_base = 0             # pane row where aux slots start
         self.aux_pending: List[Tuple[int, int]] = []  # (abs slot, row)
@@ -701,12 +785,12 @@ class _BuildState:
         return self.aux_base * LANES + w * SLOTS + d * LANES + jd
 
     def append_empty(self):
-        self.tiles.append(np.zeros((SUBS, LANES), np.int32))
-        self.vals.append(np.zeros((SUBS, LANES), np.float32))
-        self.srcs.append(np.full((SUBS, LANES), -1, np.int32))
-        self.sb.append(0)
-        self.yb.append(0)
-        self.flags.append(0)
+        self.tiles.append_fill(1)
+        self.vals.append_fill(1)
+        self.srcs.append_fill(1)
+        self.sb.append_fill(1)
+        self.yb.append_fill(1)
+        self.flags.append_fill(1)
 
 
 def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
@@ -723,69 +807,113 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
     per-cell chunks."""
     if len(rows) == 0:
         return None
-    cols = cols + col_base
-    stripe = rows // row_window
-    cellc = cols // window
+    if col_base:
+        cols = cols + col_base
     # packed single-key argsort (the 4-key lexsort was the dominant
     # cost of the whole inspect at 10M nnz — round-3 profile): order by
-    # (cell, local row, local col); cell ids are compacted to keep the
-    # packed key within 63 bits at any matrix size
+    # (cell, local row, local col).  Both the key build and the stable
+    # sort run natively threaded (native/src/sort_util.cpp, round 4);
+    # local coordinates and cell bases are recovered from the SORTED
+    # KEY's bit fields, so rows/cols are never gathered (the m=1M
+    # profile put those gathers + modulos at ~2.7 s of the 12 s build).
     lrow_bits = (row_window - 1).bit_length()
-    ncellc = int(cellc.max()) + 1 if len(cellc) else 1
-    cell_id = stripe * ncellc + cellc
+    w_bits = (window - 1).bit_length()
+    nstripe = (int(rows.max()) >> lrow_bits) + 1
+    ncellc = (int(cols.max()) >> w_bits) + 1
+    lvl_mult = nstripe * ncellc
+    max_cell = lvl_mult
     if cell_level is not None:
         # level-major cells (one-dispatch solve, round 4): the packer
         # flushes at every cell boundary, so folding the dependency
         # level into the cell key keeps chunk emission level-ordered
         # within ONE native call
-        cell_id = cell_id + cell_level * ((int(stripe.max()) + 1)
-                                          * ncellc if len(stripe) else 1)
-    if (int(cell_id.max()) + 1) << (15 + lrow_bits) < (1 << 62):
-        key = ((cell_id << (15 + lrow_bits))
-               | ((rows % row_window) << 15)
-               | (cols % window))
-        order = np.argsort(key, kind="stable")
-        cell_key = cell_id[order]
+        max_cell = lvl_mult * (int(cell_level.max()) + 1)
+    if max_cell << (15 + lrow_bits) < (1 << 62):
+        from spblas_tpu import native
+        key = native.route2_keys(rows, cols, lrow_bits, w_bits, ncellc,
+                                 lvl=cell_level, lvl_mult=lvl_mult)
+        if key is None:
+            cell_id = ((rows >> lrow_bits) * ncellc + (cols >> w_bits))
+            if cell_level is not None:
+                cell_id = cell_id + cell_level * lvl_mult
+            key = ((cell_id << (15 + lrow_bits))
+                   | ((rows & (row_window - 1)) << 15)
+                   | (cols & (window - 1)))
+        srt = native.argsort_i64(key)
+        if srt is None:
+            order = np.argsort(key, kind="stable")
+            key_s = key[order]
+        else:
+            order, key_s = srt
+        lrow_s = ((key_s >> 15) & (row_window - 1)).astype(np.int32)
+        lcol_s = (key_s & (window - 1)).astype(np.int32)
+        cell_key = key_s >> (15 + lrow_bits)
+        rows_s = cols_s = None       # recovered lazily (fallback only)
     else:  # astronomically many cells: fall back to the lexsort
+        cell_id = (rows // row_window) * ncellc + cols // window
+        if cell_level is not None:
+            cell_id = cell_id + cell_level * lvl_mult
         order = np.lexsort((cols, rows, cell_id))
         cell_key = cell_id[order]
-    rows, cols, vals, ent = (rows[order], cols[order], vals[order],
-                             ent[order])
+        rows_s, cols_s = rows[order], cols[order]
+        lrow_s = (rows_s % row_window).astype(np.int32)
+        lcol_s = (cols_s % window).astype(np.int32)
+    vals_s, ent_s = _gather(vals, order), _gather(ent, order)
     bounds = np.flatnonzero(np.diff(cell_key)) + 1
     starts = np.concatenate([[0], bounds])
-    ends = np.concatenate([bounds, [len(rows)]])
-    res = _pack_cells_native(rows, cols, vals, ent, starts, ends,
-                             g, window, state, src_flag, spill=spill,
-                             any_lane=any_lane, row_window=row_window)
+    ends = np.concatenate([bounds, [len(lrow_s)]])
+    cell_ids = cell_key[starts]
+    cell_sb = ((cell_ids % ncellc)
+               * (window // LANES)).astype(np.int32)
+    cell_yb = (((cell_ids // ncellc) % nstripe)
+               * (row_window // LANES)).astype(np.int32)
+    res = _pack_cells_native(lrow_s, lcol_s, vals_s, ent_s, starts,
+                             ends, cell_sb, cell_yb, g, window, state,
+                             src_flag, spill=spill, any_lane=any_lane,
+                             row_window=row_window)
     if res is not None:
         spill_idx = res
         if spill and len(spill_idx):
-            return (rows[spill_idx], cols[spill_idx],
-                    vals[spill_idx], ent[spill_idx])
+            if rows_s is None:
+                ck = cell_key[spill_idx]
+                r_sp = (((ck // ncellc) % nstripe) * row_window
+                        + lrow_s[spill_idx]).astype(np.int64)
+                c_sp = ((ck % ncellc) * window
+                        + lcol_s[spill_idx]).astype(np.int64)
+            else:
+                r_sp = rows_s[spill_idx]
+                c_sp = cols_s[spill_idx]
+            return (r_sp, c_sp, vals_s[spill_idx], ent_s[spill_idx])
         return None
     if row_window != ROW_WINDOW:
         raise RuntimeError(
             "supercell packing (row_window_mult > 1) requires the "
             "native packer; build with g++ or pass row_window_mult=1")
+    if rows_s is None:  # python fallback needs the global coordinates
+        rows_s = (((cell_key // ncellc) % nstripe) * row_window
+                  + lrow_s).astype(np.int64)
+        cols_s = ((cell_key % ncellc) * window
+                  + lcol_s).astype(np.int64)
     for a, b in zip(starts, ends):
-        _pack_cell(rows[a:b], cols[a:b], vals[a:b], ent[a:b], g,
-                   window, state, src_flag, any_lane=any_lane)
+        _pack_cell(rows_s[a:b], cols_s[a:b], vals_s[a:b], ent_s[a:b],
+                   g, window, state, src_flag, any_lane=any_lane)
     return None
 
 
-def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
-                       state: _BuildState, src_flag: int,
-                       spill: bool = False, any_lane: bool = True,
+def _pack_cells_native(lrow, lcol, vals, ent, starts, ends, cell_sb,
+                       cell_yb, g, window, state: _BuildState,
+                       src_flag: int, spill: bool = False,
+                       any_lane: bool = True,
                        row_window: int = ROW_WINDOW):
     """Native C++ cell packer (native/src/route2_pack.cpp); returns
     the spilled stream indices (possibly empty) or None when the
-    library is unavailable."""
+    library is unavailable.  ``lrow``/``lcol`` are the window-local
+    int32 coordinates of the cell-sorted stream; ``cell_sb``/``cell_yb``
+    the per-cell slab/output pane bases."""
     from spblas_tpu import native
-    ne = len(rows)
+    ne = len(lrow)
     ncells = len(starts)
     cell_start = np.concatenate([starts, [ne]]).astype(np.int64)
-    lrow = (rows % row_window).astype(np.int32)
-    lcol = (cols % window).astype(np.int32)
     nat = native.route2_pack(ne, ncells, cell_start, lrow, lcol,
                              aux_windows_in=len(state.aux_windows),
                              spill=spill, any_lane=any_lane,
@@ -795,28 +923,26 @@ def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
     (nch, tiles, chunk_cell, chunk_auxwin, chunk_group, elem_group,
      elem_scat, n_windows, aux_slot, aux_lrow, aux_cell,
      spill_idx) = nat
-    cell_sb = ((cols[starts] // window) * (window // LANES)).astype(
-        np.int32)
-    cell_yb = ((rows[starts] // row_window)
-               * (row_window // LANES)).astype(np.int32)
     # group val/src tiles (chunk copies share their group's values).
     # SPILLED elements were never committed — their elem_group/scat
     # entries are uninitialized zeros and must not scatter (they would
-    # corrupt group 0's (0,0) slot)
+    # corrupt group 0's (0,0) slot); the native fill skips them
     ngroup = int(chunk_group.max()) + 1 if nch else 0
-    vt = np.zeros((max(ngroup, 1), SUBS, LANES), np.float32)
-    st = np.full((max(ngroup, 1), SUBS, LANES), -1, np.int32)
-    if len(spill_idx):
-        keep = np.ones(ne, bool)
-        keep[spill_idx] = False
-        elem_group = elem_group[keep]
-        elem_scat = elem_scat[keep]
-        vals = vals[keep]
-        ent = ent[keep]
-    du = elem_scat >> 7
-    dl = elem_scat & 127
-    vt[elem_group, du, dl] = vals
-    st[elem_group, du, dl] = np.where(ent >= 0, ent, -1)
+    ft = native.fill_group_tiles(ngroup, elem_group, elem_scat,
+                                 vals, ent, spill_idx=spill_idx)
+    if ft is not None:
+        vt, st = ft
+    else:
+        vt = np.zeros((max(ngroup, 1), SUBS, LANES), np.float32)
+        st = np.full((max(ngroup, 1), SUBS, LANES), -1, np.int32)
+        if len(spill_idx):
+            keep = np.ones(ne, bool)
+            keep[spill_idx] = False
+            elem_group, elem_scat = elem_group[keep], elem_scat[keep]
+            vals, ent = vals[keep], ent[keep]
+        vt[elem_group, elem_scat >> 7, elem_scat & 127] = vals
+        st[elem_group, elem_scat >> 7, elem_scat & 127] = \
+            np.where(ent >= 0, ent, -1)
     # sync the python aux allocator: mark the native call's windows
     # as closed (levels never reopen earlier windows)
     if state.aux_windows == [] and n_windows:
@@ -826,15 +952,15 @@ def _pack_cells_native(rows, cols, vals, ent, starts, ends, g, window,
     yb = np.where(chunk_auxwin < 0, cell_yb[chunk_cell],
                   state.aux_base + chunk_auxwin * SUBS).astype(np.int32)
     state.tiles.extend(tiles)
-    state.vals.extend(vt[chunk_group])
-    state.srcs.extend(st[chunk_group])
-    state.sb.extend(cell_sb[chunk_cell].tolist())
-    state.yb.extend(yb.tolist())
-    state.flags.extend([src_flag] * nch)
-    for k in range(len(aux_slot)):
+    state.vals.extend(_gather(vt, chunk_group))
+    state.srcs.extend(_gather(st, chunk_group))
+    state.sb.extend(cell_sb[chunk_cell])
+    state.yb.extend(yb)
+    state.flags.extend_const(src_flag, nch)
+    if len(aux_slot):
         state.aux_pending.append(
-            (state.aux_base * LANES + int(aux_slot[k]),
-             int(cell_yb[aux_cell[k]]) * LANES + int(aux_lrow[k])))
+            (state.aux_base * LANES + aux_slot.astype(np.int64),
+             cell_yb[aux_cell].astype(np.int64) * LANES + aux_lrow))
     return spill_idx
 
 
@@ -847,10 +973,31 @@ def _pack_spill_native(rows, cols, vals, ent, g, window,
     The per-cell fragmentation this removes took uniform-300k fill from
     0.27 to ~0.5."""
     from spblas_tpu import native
-    order = np.lexsort((cols, rows, cols // window))
-    rows, cols = rows[order], cols[order]
-    vals, ent = vals[order], ent[order]
-    wkey = cols // window
+    # packed key (window-major): (wkey << (15 + r_bits)) | (row << 15)
+    # | lcol — same native threaded build + stable radix argsort as the
+    # direct stream (ordering identical to the old
+    # lexsort((cols, rows, cols // window)))
+    w_bits = (window - 1).bit_length()
+    r_bits = max(int(rows.max()).bit_length(), 1) if len(rows) else 1
+    ncellw = (int(cols.max()) >> w_bits) + 1 if len(cols) else 1
+    key = None
+    if (ncellw << (15 + r_bits)) < (1 << 62):
+        key = native.route2_keys(rows, cols, r_bits, w_bits, ncellw)
+    if key is not None:
+        srt = native.argsort_i64(key)
+    else:
+        srt = None
+    if srt is not None:
+        order, key_s = srt
+        rows = ((key_s >> 15) & (((np.int64(1)) << r_bits) - 1))
+        lcol = (key_s & (window - 1)).astype(np.int32)
+        wkey = key_s >> (15 + r_bits)
+    else:
+        order = np.lexsort((cols, rows, cols // window))
+        rows, cols = rows[order], cols[order]
+        lcol = (cols % window).astype(np.int32)
+        wkey = cols // window
+    vals, ent = _gather(vals, order), _gather(ent, order)
     bounds = np.flatnonzero(np.diff(wkey)) + 1
     starts = np.concatenate([[0], bounds])
     ne = len(rows)
@@ -858,7 +1005,7 @@ def _pack_spill_native(rows, cols, vals, ent, g, window,
     nat = native.route2_pack(
         ne, len(starts), cell_start,
         rows.astype(np.int32),                 # GLOBAL rows
-        (cols % window).astype(np.int32),
+        lcol,
         aux_windows_in=len(state.aux_windows), spill_only=True,
         # spill chunks publish aux-only; any_lane is unused but the
         # native validation requires it off in supercell plans, and
@@ -868,15 +1015,18 @@ def _pack_spill_native(rows, cols, vals, ent, g, window,
         return False
     (nch, tiles, chunk_cell, chunk_auxwin, chunk_group, elem_group,
      elem_scat, n_windows, aux_slot, aux_lrow, aux_cell, _) = nat
-    cell_sb = ((cols[starts] // window) * (window // LANES)).astype(
-        np.int32)
+    cell_sb = (wkey[starts] * (window // LANES)).astype(np.int32)
     ngroup = int(chunk_group.max()) + 1 if nch else 0
-    vt = np.zeros((max(ngroup, 1), SUBS, LANES), np.float32)
-    st = np.full((max(ngroup, 1), SUBS, LANES), -1, np.int32)
-    du = elem_scat >> 7
-    dl = elem_scat & 127
-    vt[elem_group, du, dl] = vals
-    st[elem_group, du, dl] = np.where(ent >= 0, ent, -1)
+    ft = native.fill_group_tiles(ngroup, elem_group, elem_scat,
+                                 vals, ent)
+    if ft is not None:
+        vt, st = ft
+    else:
+        vt = np.zeros((max(ngroup, 1), SUBS, LANES), np.float32)
+        st = np.full((max(ngroup, 1), SUBS, LANES), -1, np.int32)
+        vt[elem_group, elem_scat >> 7, elem_scat & 127] = vals
+        st[elem_group, elem_scat >> 7, elem_scat & 127] = \
+            np.where(ent >= 0, ent, -1)
     if state.aux_windows == [] and n_windows:
         state.aux_base = state.y_rows
     while len(state.aux_windows) < n_windows:
@@ -884,15 +1034,15 @@ def _pack_spill_native(rows, cols, vals, ent, g, window,
     # spill chunks publish only to aux windows
     yb = (state.aux_base + chunk_auxwin * SUBS).astype(np.int32)
     state.tiles.extend(tiles)
-    state.vals.extend(vt[chunk_group])
-    state.srcs.extend(st[chunk_group])
-    state.sb.extend(cell_sb[chunk_cell].tolist())
-    state.yb.extend(yb.tolist())
-    state.flags.extend([0] * nch)              # they read the x pane
-    for k in range(len(aux_slot)):
+    state.vals.extend(_gather(vt, chunk_group))
+    state.srcs.extend(_gather(st, chunk_group))
+    state.sb.extend(cell_sb[chunk_cell])
+    state.yb.extend(yb)
+    state.flags.extend_const(0, nch)           # they read the x pane
+    if len(aux_slot):
         state.aux_pending.append(
-            (state.aux_base * LANES + int(aux_slot[k]),
-             int(aux_lrow[k])))                # target = global row
+            (state.aux_base * LANES + aux_slot.astype(np.int64),
+             aux_lrow.astype(np.int64)))       # target = global row
     return True
 
 
@@ -1531,7 +1681,12 @@ def _build_route2_mul_arrays(slots, src_a, src_b, a_len: int,
     n_kb = int(kb.max()) + 2 if len(kb) else 1
     n_sl = int(slots.max()) + 2 if len(slots) else 1
     key = ((stripe * n_kb + kb) * n_ka + ka)
-    order = np.argsort(key * n_sl + slots, kind="stable")
+    from spblas_tpu import native
+    srt = native.argsort_i64(key * n_sl + slots)
+    if srt is None:
+        order = np.argsort(key * n_sl + slots, kind="stable")
+    else:
+        order = srt[0]
     slots, src_a, src_b = slots[order], src_a[order], src_b[order]
     cell_key = key[order]
 
@@ -1556,7 +1711,13 @@ def _build_route2_mul_arrays(slots, src_a, src_b, a_len: int,
         state.aux_pending = []
         a_slots = np.concatenate([p[0] for p in aux])
         tgts = np.concatenate([p[1] for p in aux])
-        order2 = np.lexsort((a_slots, tgts))
+        n_as = int(a_slots.max()) + 1 if len(a_slots) else 1
+        if len(tgts) and (int(tgts.max()) + 1) * n_as < (1 << 62):
+            srt2 = native.argsort_i64(tgts * n_as + a_slots)
+            order2 = srt2[0] if srt2 is not None else \
+                np.lexsort((a_slots, tgts))
+        else:
+            order2 = np.lexsort((a_slots, tgts))
         first = state.n
         # out-pane slots play the B-column role; windows sized win_b
         key2 = (tgts[order2] // ROW_WINDOW
@@ -1576,10 +1737,10 @@ def _build_route2_mul_arrays(slots, src_a, src_b, a_len: int,
 
     t1_np = np.concatenate(state.t1)
     t2_np = np.concatenate(state.t2)
-    ab_np = np.array(state.ab, np.int32)
-    bb_np = np.array(state.bb, np.int32)
-    yb_np = np.array(state.yb, np.int32)
-    flags_np = np.array(state.flags, np.int32)
+    ab_np = state.ab.stack()
+    bb_np = state.bb.stack()
+    yb_np = state.yb.stack()
+    flags_np = state.flags.stack()
 
     # align the flag transition to a CB (=8) chunk-group boundary
     trans = np.flatnonzero(flags_np == 1)
@@ -1658,10 +1819,10 @@ def _pack_mul_cells_native(slots, sa, sb, starts, win_a, win_b,
     state.t1.append(np.ascontiguousarray(t1))
     state.t2.append(np.ascontiguousarray(t2))
     state.n += int(nch)
-    state.ab.extend(cell_ab[chunk_cell].tolist())
-    state.bb.extend(cell_bb[chunk_cell].tolist())
-    state.yb.extend(yb.tolist())
-    state.flags.extend([src_flag] * nch)
+    state.ab.extend(cell_ab[chunk_cell])
+    state.bb.extend(cell_bb[chunk_cell])
+    state.yb.extend(yb)
+    state.flags.extend_const(src_flag, nch)
     if len(aux_slot):
         state.aux_pending.append((
             state.aux_base * LANES + np.asarray(aux_slot, np.int64),
@@ -1681,8 +1842,10 @@ class _MulBuildState:
         self.y_rows = y_rows
         self.t1, self.t2 = [], []
         self.n = 0
-        self.ab, self.bb, self.yb = [], [], []
-        self.flags = []
+        self.ab = _RunList((), np.int32)
+        self.bb = _RunList((), np.int32)
+        self.yb = _RunList((), np.int32)
+        self.flags = _RunList((), np.int32)
         self.aux_windows = []
         self.aux_base = 0
         self.aux_pending = []

@@ -239,11 +239,16 @@ def _panel_arrays(rowptr, colind, values, r0, rows_p, n, g, ww=1):
 def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
     """Sort flag-0 chunks pane-major, pad every (pane, flag) run to CB
     groups, rebase slab offsets pane-relative, and emit the per-group
-    DMA event streams."""
+    DMA event streams.
+
+    Vectorized (round 4): the per-chunk python append loop + np.stack
+    was ~5 s of the m=4M build.  The final chunk order is expressed as
+    one gather index array (``-1`` = pad chunk) driving a threaded
+    native tile gather; the values-refresh streams come from the
+    source chunks' nonneg entries mapped through the same order, so
+    the src tiles are never materialized per output chunk."""
     tiles, vals, srcs = sub["tiles"], sub["vals"], sub["srcs"]
     sb, yb, fl = sub["sb"], sub["yb"], sub["flags"]
-    nc = tiles.shape[0]
-    neg_src = np.full((SUBS, LANES), -1, np.int32)
     idx0 = np.flatnonzero(fl == 0)
     idx1 = np.flatnonzero(fl != 0)
     pane = sb[idx0] // pane_rows
@@ -255,41 +260,32 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
     next_of = {int(p): (int(used[i + 1]) if i + 1 < len(used) else -1)
                for i, p in enumerate(used)}
 
-    def zchunk(flag):
-        return (np.zeros((SUBS, LANES), np.int32),
-                np.zeros((SUBS, LANES), np.float32),
-                0, 0, flag)
-
-    out_t, out_v, out_s = [], [], []
-    out_sb, out_yb, out_fl = [], [], []
+    # gather segments: per pane run [chunk indices..., pads], aux run,
+    # final pad.  gidx -1 = zero pad chunk.
+    seg_idx, seg_sb, seg_yb = [], [], []
     eva, evb, evw, evs = [], [], [], []
-
-    def pad_to_group(flag, pane_rel_sb=0):
-        while len(out_t) % CB:
-            t, v, s, y, f = zchunk(flag)
-            out_t.append(t); out_v.append(v); out_s.append(neg_src)
-            out_sb.append(pane_rel_sb); out_yb.append(y); out_fl.append(f)
-
-    def add_group_events(a, b, w, s):
-        eva.append(a); evb.append(b); evw.append(w); evs.append(s)
-
     bounds = np.flatnonzero(np.diff(pane)) + 1 if len(pane) else []
     starts = np.concatenate([[0], bounds]) if len(pane) else []
     ends = np.concatenate([bounds, [len(pane)]]) if len(pane) else []
     first_pane = True
+    ntot = 0
     for s0, s1 in zip(starts, ends):
         p = int(pane[s0])
         slot = slot_of[p]
-        first_g = len(out_t) // CB     # CB-aligned after prior padding
-        for k in range(s0, s1):
-            c = idx0[k]
-            out_t.append(tiles[c]); out_v.append(vals[c])
-            out_s.append(srcs[c])
-            out_sb.append(int(sb[c]) - p * pane_rows)
-            out_yb.append(int(yb[c])); out_fl.append(0)
-        pad_to_group(0)
-        while len(eva) < len(out_t) // CB:
-            add_group_events(-1, -1, -1, slot)
+        first_g = ntot // CB           # CB-aligned after prior padding
+        run = idx0[s0:s1]
+        seg_idx.append(run.astype(np.int32))
+        seg_sb.append((sb[run] - p * pane_rows).astype(np.int32))
+        seg_yb.append(yb[run].astype(np.int32))
+        pad = (-len(run)) % CB
+        if pad:
+            seg_idx.append(np.full(pad, -1, np.int32))
+            seg_sb.append(np.zeros(pad, np.int32))
+            seg_yb.append(np.zeros(pad, np.int32))
+        ntot += len(run) + pad
+        while len(eva) < ntot // CB:
+            eva.append(-1); evb.append(-1); evw.append(-1)
+            evs.append(slot)
         # events on the FIRST group of this pane's run: wait this
         # pane's DMA and start the next pane's into the other slot;
         # the very first group additionally warm-starts THIS pane
@@ -305,38 +301,83 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
         evw[first_g] = slot
 
     # aux chunks at the end (they read the y panel, no pane events)
-    for c in idx1:
-        out_t.append(tiles[c]); out_v.append(vals[c])
-        out_s.append(srcs[c])
-        out_sb.append(int(sb[c])); out_yb.append(int(yb[c]))
-        out_fl.append(1)
-    if len(out_t) % CB:
-        pad_to_group(1 if len(idx1) else 0)
-    while len(eva) < len(out_t) // CB:
-        add_group_events(-1, -1, -1, 0)
+    n_flag0 = ntot
+    if len(idx1):
+        seg_idx.append(idx1.astype(np.int32))
+        seg_sb.append(sb[idx1].astype(np.int32))
+        seg_yb.append(yb[idx1].astype(np.int32))
+        ntot += len(idx1)
+    pad = (-ntot) % CB
+    if pad:
+        seg_idx.append(np.full(pad, -1, np.int32))
+        seg_sb.append(np.zeros(pad, np.int32))
+        seg_yb.append(np.zeros(pad, np.int32))
+        ntot += pad
+    while len(eva) < ntot // CB:
+        eva.append(-1); evb.append(-1); evw.append(-1); evs.append(0)
 
-    if not out_t:  # empty panel: one zero group
-        for _ in range(CB):
-            t, v, s, y, f = zchunk(0)
-            out_t.append(t); out_v.append(v); out_s.append(neg_src)
-            out_sb.append(s); out_yb.append(y); out_fl.append(f)
-        add_group_events(-1, -1, -1, 0)
+    if ntot == 0:                      # empty panel: one zero group
+        seg_idx.append(np.full(CB, -1, np.int32))
+        seg_sb.append(np.zeros(CB, np.int32))
+        seg_yb.append(np.zeros(CB, np.int32))
+        ntot = CB
+        eva.append(-1); evb.append(-1); evw.append(-1); evs.append(0)
+
+    gidx = np.concatenate(seg_idx)
+    out_sb = np.concatenate(seg_sb)
+    out_yb = np.concatenate(seg_yb)
+    out_fl = np.zeros(ntot, np.int32)
+    if len(idx1):
+        out_fl[n_flag0:] = 1
+    out_t = _gather_tiles_pad(tiles, gidx,
+                              np.zeros((SUBS, LANES), np.int32))
+    out_v = _gather_tiles_pad(vals, gidx,
+                              np.zeros((SUBS, LANES), np.float32))
 
     out_rows = max(sub["y_rows"] + sub["aux_rows"], SUBS * sub["g"])
     out_rows = -(-out_rows // (SUBS * sub["g"])) * (SUBS * sub["g"])
     # values-refresh streams: entry slots' flat position + global CSR
-    # entry index (panel srcs are panel-local; offset by e0)
-    flat_src = np.stack(out_s).reshape(-1)
-    pos = np.flatnonzero(flat_src >= 0).astype(np.int32)
-    idx = (flat_src[pos] + sub["e0"]).astype(np.int32)
+    # entry index (panel srcs are panel-local; offset by e0).  Mapped
+    # per source chunk: output slot i with gidx[i] = c contributes
+    # c's nonneg src entries at flat positions i*1024 + offset.
+    nc = tiles.shape[0]
+    src_flat = srcs.reshape(nc, SLOTS)
+    sp = np.flatnonzero(src_flat.reshape(-1) >= 0)
+    sp_ent = src_flat.reshape(-1)[sp]
+    sp_off = (sp % SLOTS).astype(np.int64)
+    cnt = np.zeros(nc + 1, np.int64)
+    np.add.at(cnt, (sp // SLOTS) + 1, 1)
+    cstart = np.cumsum(cnt)
+    live = gidx >= 0
+    out_cnt = np.where(live, cstart[np.maximum(gidx, 0) + 1]
+                       - cstart[np.maximum(gidx, 0)], 0)
+    total = int(out_cnt.sum())
+    out_slot = np.repeat(np.arange(ntot, dtype=np.int64), out_cnt)
+    base = np.concatenate([[0], np.cumsum(out_cnt)])[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(base, out_cnt)
+    src_off = cstart[np.maximum(gidx, 0)][out_slot] + within
+    pos = (out_slot * SLOTS + sp_off[src_off]).astype(np.int32)
+    idx = (sp_ent[src_off] + sub["e0"]).astype(np.int32)
     return dict(
-        arrays=(np.stack(out_t), np.stack(out_v),
-                np.array(out_sb, np.int32), np.array(out_yb, np.int32),
-                np.array(out_fl, np.int32), np.array(eva, np.int32),
-                np.array(evb, np.int32), np.array(evw, np.int32),
-                np.array(evs, np.int32), pos, idx),
+        arrays=(out_t, out_v, out_sb, out_yb, out_fl,
+                np.array(eva, np.int32), np.array(evb, np.int32),
+                np.array(evw, np.int32), np.array(evs, np.int32),
+                pos, idx),
         rows=rows_p, out_rows=out_rows, has_aux=len(idx1) > 0,
         dist_max=sub["dist_max"], any_lane=sub["any_lane"])
+
+
+def _gather_tiles_pad(src: np.ndarray, gidx: np.ndarray,
+                      fill_tile: np.ndarray) -> np.ndarray:
+    """``src[gidx]`` with ``gidx < 0`` producing ``fill_tile`` — native
+    threaded when available."""
+    from spblas_tpu import native
+    out = native.gather_tiles_fill(gidx, src, fill_tile)
+    if out is not None:
+        return out
+    out = src[np.maximum(gidx, 0)]
+    out[gidx < 0] = fill_tile
+    return out
 
 
 # ------------------------------------------------------------------ #

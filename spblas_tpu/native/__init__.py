@@ -24,6 +24,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "spblas_host.cpp")
 _SRC2 = os.path.join(_HERE, "src", "route_pack.cpp")
 _SRC3 = os.path.join(_HERE, "src", "route2_pack.cpp")
+_SRC4 = os.path.join(_HERE, "src", "sort_util.cpp")
 _LIB = os.path.join(_HERE, "libspblas_host.so")
 
 _lock = threading.Lock()
@@ -33,7 +34,8 @@ _build_failed = False
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-std=c++17", _SRC, _SRC2, _SRC3, "-o", _LIB]
+           "-std=c++17", _SRC, _SRC2, _SRC3, _SRC4, "-o", _LIB,
+           "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -54,7 +56,8 @@ def get_lib():
         if not os.path.exists(_LIB) or (
                 os.path.getmtime(_LIB) < max(os.path.getmtime(_SRC),
                                              os.path.getmtime(_SRC2),
-                                             os.path.getmtime(_SRC3))):
+                                             os.path.getmtime(_SRC3),
+                                             os.path.getmtime(_SRC4))):
             if not _build():
                 _build_failed = True
                 return None
@@ -113,6 +116,28 @@ def _declare(lib):
     lib.spblas_route2_mul_pack.argtypes = [
         i64, i64, i64p, i32p, i32p, i32p, i64, i64,
         i32p, i32p, i32p, i32p, i64p, i64p, i32p, i32p]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.spblas_route2_keys.restype = None
+    lib.spblas_route2_keys.argtypes = [
+        i64, i64p, i64p, ctypes.c_int32, ctypes.c_int32, i64,
+        ctypes.c_void_p, i64, i64p]
+    lib.spblas_argsort_i64.restype = i64
+    lib.spblas_argsort_i64.argtypes = [i64, i64p, i32p, i64p]
+    lib.spblas_fill_group_tiles.restype = None
+    lib.spblas_fill_group_tiles.argtypes = [
+        i64, i32p, i32p, f32p, i64p, i64, i32p, i64, f32p, i32p]
+    lib.spblas_gather_f32.restype = None
+    lib.spblas_gather_f32.argtypes = [i64, i32p, f32p, f32p]
+    lib.spblas_gather_i64.restype = None
+    lib.spblas_gather_i64.argtypes = [i64, i32p, i64p, i64p]
+    lib.spblas_gather_tiles.restype = None
+    lib.spblas_gather_tiles.argtypes = [i64, i32p, ctypes.c_void_p,
+                                        ctypes.c_void_p]
+    lib.spblas_expand_rowptr.restype = None
+    lib.spblas_expand_rowptr.argtypes = [i64, i64, i64p, i64p]
+    lib.spblas_gather_tiles_fill.restype = None
+    lib.spblas_gather_tiles_fill.argtypes = [
+        i64, i32p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
 
 
 # ------------------------------------------------------------------ #
@@ -437,17 +462,23 @@ def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
     lcol = np.ascontiguousarray(lcol, np.int32)
     max_chunks = int(ne // 256 + 4 * ncells + 16)
     for _ in range(4):
-        tiles = np.zeros(max_chunks * 1024, np.int32)
-        chunk_cell = np.zeros(max_chunks, np.int32)
-        chunk_auxwin = np.zeros(max_chunks, np.int32)
-        chunk_group = np.zeros(max_chunks, np.int32)
-        elem_group = np.zeros(max(ne, 1), np.int32)
-        elem_scat = np.zeros(max(ne, 1), np.int32)
+        # np.empty, not zeros: the packer initializes every chunk it
+        # emits and every committed element's map entries (spilled
+        # entries are skipped downstream via spill_idx), and the
+        # worst-case max_chunks buffer is multi-GB on shattered mul
+        # streams — np.zeros memsets it all on warm allocator reuse
+        # (~2 s/panel, round-4 profile)
+        tiles = np.empty(max_chunks * 1024, np.int32)
+        chunk_cell = np.empty(max_chunks, np.int32)
+        chunk_auxwin = np.empty(max_chunks, np.int32)
+        chunk_group = np.empty(max_chunks, np.int32)
+        elem_group = np.empty(max(ne, 1), np.int32)
+        elem_scat = np.empty(max(ne, 1), np.int32)
         aux_info = np.zeros(2, np.int64)
-        aux_slot = np.zeros(max(ne, 1), np.int64)
-        aux_lrow = np.zeros(max(ne, 1), np.int32)
-        aux_cell = np.zeros(max(ne, 1), np.int32)
-        spill_out = np.zeros(max(ne, 1) if spill else 1, np.int32)
+        aux_slot = np.empty(max(ne, 1), np.int64)
+        aux_lrow = np.empty(max(ne, 1), np.int32)
+        aux_cell = np.empty(max(ne, 1), np.int32)
+        spill_out = np.empty(max(ne, 1) if spill else 1, np.int32)
         spill_n = np.zeros(1, np.int64)
         rc = lib.spblas_route2_pack(
             ne, ncells, cell_start, lrow, lcol, max_chunks,
@@ -488,14 +519,16 @@ def route2_mul_pack(ne, ncells, cell_start, lslot, la, lb,
     lb = np.ascontiguousarray(lb, np.int32)
     max_chunks = int(ne // 256 + 4 * ncells + 16)
     for _ in range(4):
-        t1 = np.zeros(max_chunks * 1024, np.int32)
-        t2 = np.zeros(max_chunks * 1024, np.int32)
-        chunk_cell = np.zeros(max_chunks, np.int32)
-        chunk_auxwin = np.zeros(max_chunks, np.int32)
+        # np.empty: see route2_pack — the packer writes every emitted
+        # chunk and the shattered-stream worst case is multi-GB
+        t1 = np.empty(max_chunks * 1024, np.int32)
+        t2 = np.empty(max_chunks * 1024, np.int32)
+        chunk_cell = np.empty(max_chunks, np.int32)
+        chunk_auxwin = np.empty(max_chunks, np.int32)
         aux_info = np.zeros(2, np.int64)
-        aux_slot = np.zeros(max(ne, 1), np.int64)
-        aux_lslot = np.zeros(max(ne, 1), np.int32)
-        aux_cell = np.zeros(max(ne, 1), np.int32)
+        aux_slot = np.empty(max(ne, 1), np.int64)
+        aux_lslot = np.empty(max(ne, 1), np.int32)
+        aux_cell = np.empty(max(ne, 1), np.int32)
         rc = lib.spblas_route2_mul_pack(
             ne, ncells, cell_start, lslot, la, lb, max_chunks,
             int(aux_windows_in), t1, t2, chunk_cell, chunk_auxwin,
@@ -549,3 +582,133 @@ def route_mul_pack(ne, ncells, cell_start, lo, la, lb):
                 t3[: nch * 1024].reshape(nch, 8, 128),
                 chunk_cell[:nch])
     return None
+
+
+def route2_keys(rows, cols, rw_bits, w_bits, ncellc, lvl=None,
+                lvl_mult=0):
+    """Packed ROUTE2 sort key (kernels/route2.py _pack_stream):
+    ``(cell_id << (15+rw_bits)) | (lrow << 15) | lcol`` with the cell id
+    optionally level-augmented.  Parallel native build, or None when the
+    library is unavailable (callers fall back to the numpy
+    expression)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(rows)
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    key = np.empty(n, np.int64)
+    lvl_p = None
+    if lvl is not None:
+        lvl = np.ascontiguousarray(lvl, np.int64)
+        lvl_p = lvl.ctypes.data_as(ctypes.c_void_p)
+    lib.spblas_route2_keys(n, rows, cols, int(rw_bits), int(w_bits),
+                           int(ncellc), lvl_p, int(lvl_mult), key)
+    return key
+
+
+def argsort_i64(key):
+    """Stable parallel radix argsort of non-negative int64 keys.
+
+    Returns ``(order int32, sorted_key int64)`` — identical order to
+    ``np.argsort(key, kind="stable")`` — or None when the library is
+    unavailable or n >= 2^31."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    key = np.ascontiguousarray(key, np.int64)
+    n = len(key)
+    order = np.empty(n, np.int32)
+    sorted_key = np.empty(n, np.int64)
+    if lib.spblas_argsort_i64(n, key, order, sorted_key) < 0:
+        return None
+    return order, sorted_key
+
+
+def fill_group_tiles(ngroup, elem_group, elem_scat, vals, ent,
+                     spill_idx=None):
+    """Parallel group val/src tile fill (kernels/route2.py
+    _pack_cells_native): ``vt[g, scat] = val``, ``st[g, scat] = ent or
+    -1`` skipping spilled stream indices.  Returns ``(vt, st)`` shaped
+    ``(ngroup, 8, 128)`` or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ne = len(elem_group)
+    elem_group = np.ascontiguousarray(elem_group, np.int32)
+    elem_scat = np.ascontiguousarray(elem_scat, np.int32)
+    vals = np.ascontiguousarray(vals, np.float32)
+    ent = np.ascontiguousarray(ent, np.int64)
+    ng = max(ngroup, 1)
+    vt = np.empty((ng, 8, 128), np.float32)
+    st = np.empty((ng, 8, 128), np.int32)
+    if spill_idx is not None and len(spill_idx):
+        spill_idx = np.ascontiguousarray(spill_idx, np.int32)
+        lib.spblas_fill_group_tiles(ne, elem_group, elem_scat, vals,
+                                    ent, len(spill_idx), spill_idx,
+                                    ng, vt.reshape(-1), st.reshape(-1))
+    else:
+        dummy = np.zeros(1, np.int32)
+        lib.spblas_fill_group_tiles(ne, elem_group, elem_scat, vals,
+                                    ent, 0, dummy, ng, vt.reshape(-1),
+                                    st.reshape(-1))
+    return vt, st
+
+
+def gather(idx, src):
+    """Threaded ``src[idx]`` for f32/int64 1-D arrays and (k, 8, 128)
+    tile stacks (int32/f32).  Returns the gathered array or None when
+    the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, np.int32)
+    n = len(idx)
+    if src.ndim == 3 and src.shape[1:] == (8, 128) and src.itemsize == 4:
+        src = np.ascontiguousarray(src)
+        dst = np.empty((n, 8, 128), src.dtype)
+        lib.spblas_gather_tiles(n, idx, src.ctypes.data_as(
+            ctypes.c_void_p), dst.ctypes.data_as(ctypes.c_void_p))
+        return dst
+    if src.dtype == np.float32:
+        src = np.ascontiguousarray(src)
+        dst = np.empty(n, np.float32)
+        lib.spblas_gather_f32(n, idx, src, dst)
+        return dst
+    if src.dtype == np.int64:
+        src = np.ascontiguousarray(src)
+        dst = np.empty(n, np.int64)
+        lib.spblas_gather_i64(n, idx, src, dst)
+        return dst
+    return None
+
+
+def expand_rowptr(m, nnz, rowptr):
+    """``np.repeat(np.arange(m), np.diff(rowptr))`` (int64), threaded.
+    Returns None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rowptr = np.ascontiguousarray(rowptr, np.int64)
+    rows = np.empty(nnz, np.int64)
+    lib.spblas_expand_rowptr(m, nnz, rowptr, rows)
+    return rows
+
+
+def gather_tiles_fill(idx, src, fill_tile):
+    """Pad-aware (8, 128) tile gather: ``out[i] = src[idx[i]]`` or
+    ``fill_tile`` where ``idx[i] < 0``.  Returns None when the library
+    is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, np.int32)
+    src = np.ascontiguousarray(src)
+    fill_tile = np.ascontiguousarray(fill_tile, src.dtype)
+    n = len(idx)
+    dst = np.empty((n, 8, 128), src.dtype)
+    lib.spblas_gather_tiles_fill(
+        n, idx, src.ctypes.data_as(ctypes.c_void_p),
+        fill_tile.ctypes.data_as(ctypes.c_void_p),
+        dst.ctypes.data_as(ctypes.c_void_p))
+    return dst

@@ -328,7 +328,13 @@ def _try_build_route(a, b, d, c_capacity: int):
         cellkey = ((np.asarray(slots, np.int64) >> 10)
                    * (b_len // win_b + 2)
                    + np.asarray(sb, np.int64) // win_b)
-        est_chunks = len(np.unique(cellkey))
+        srt = native.argsort_i64(cellkey)
+        if srt is not None:  # threaded sort; np.unique is 1.5 s at 10M
+            sk = srt[1]
+            est_chunks = (1 + int(np.count_nonzero(np.diff(sk)))
+                          if len(sk) else 0)
+        else:
+            est_chunks = len(np.unique(cellkey))
         if est_chunks > int(os.environ.get(
                 "SPBLAS_MUL_CHUNK_BUDGET", 400_000)):
             return None

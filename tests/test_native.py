@@ -210,3 +210,95 @@ def test_mul_expand_matches_numpy_reference():
         np.testing.assert_array_equal(sa_n, sa)
         np.testing.assert_array_equal(sb_n, sb)
         assert nnz_n == int(slots_ref[-1]) + 1
+
+
+class TestSortUtil:
+    """Round-4 threaded host primitives (native/src/sort_util.cpp):
+    each must match its numpy reference expression exactly (the plan
+    builders rely on bit-identical stable ordering)."""
+
+    def test_argsort_matches_numpy_stable(self):
+        rng = np.random.default_rng(11)
+        for n in (0, 1, 7, 1000, 200_000):
+            # duplicate-heavy keys exercise stability
+            key = rng.integers(0, max(n // 50, 2), n) * 12345
+            out = native.argsort_i64(key)
+            if out is None:
+                pytest.skip("native library unavailable")
+            order, sk = out
+            ref = np.argsort(key, kind="stable")
+            np.testing.assert_array_equal(order, ref)
+            np.testing.assert_array_equal(sk, key[ref])
+
+    def test_argsort_wide_keys(self):
+        rng = np.random.default_rng(12)
+        key = rng.integers(0, 1 << 62, 100_000)
+        order, sk = native.argsort_i64(key)
+        np.testing.assert_array_equal(order,
+                                      np.argsort(key, kind="stable"))
+
+    def test_route2_keys_matches_expression(self):
+        rng = np.random.default_rng(13)
+        rows = rng.integers(0, 1 << 20, 50_000)
+        cols = rng.integers(0, 1 << 21, 50_000)
+        rw_bits, w_bits = 13, 14
+        ncellc = (int(cols.max()) >> w_bits) + 1
+        lvl = rng.integers(0, 64, 50_000)
+        for lv, mult in ((None, 0), (lvl, 977)):
+            key = native.route2_keys(rows, cols, rw_bits, w_bits,
+                                     ncellc, lvl=lv, lvl_mult=mult)
+            if key is None:
+                pytest.skip("native library unavailable")
+            cell = (rows >> rw_bits) * ncellc + (cols >> w_bits)
+            if lv is not None:
+                cell = cell + lv * mult
+            ref = ((cell << (15 + rw_bits))
+                   | ((rows & ((1 << rw_bits) - 1)) << 15)
+                   | (cols & ((1 << w_bits) - 1)))
+            np.testing.assert_array_equal(key, ref)
+
+    def test_fill_group_tiles_with_spill(self):
+        rng = np.random.default_rng(14)
+        ng, ne = 37, 20_000
+        pairs = rng.permutation(ng * 1024)[:ne]
+        eg = (pairs // 1024).astype(np.int32)
+        es = (pairs % 1024).astype(np.int32)
+        vv = rng.random(ne).astype(np.float32)
+        ee = rng.integers(-1, 500, ne)
+        sp = rng.permutation(ne)[:321].astype(np.int32)
+        out = native.fill_group_tiles(ng, eg, es, vv, ee, spill_idx=sp)
+        if out is None:
+            pytest.skip("native library unavailable")
+        vt, st = out
+        keep = np.ones(ne, bool)
+        keep[sp] = False
+        vt_ref = np.zeros((ng, 8, 128), np.float32)
+        st_ref = np.full((ng, 8, 128), -1, np.int32)
+        vt_ref[eg[keep], es[keep] >> 7, es[keep] & 127] = vv[keep]
+        st_ref[eg[keep], es[keep] >> 7, es[keep] & 127] = \
+            np.where(ee[keep] >= 0, ee[keep], -1)
+        np.testing.assert_array_equal(vt, vt_ref)
+        np.testing.assert_array_equal(st, st_ref)
+
+    def test_gathers_and_expand(self):
+        rng = np.random.default_rng(15)
+        idx = rng.integers(0, 999, 4321).astype(np.int32)
+        f = rng.random(999).astype(np.float32)
+        i = rng.integers(0, 1 << 40, 999)
+        t = rng.integers(0, 1 << 30, (999, 8, 128)).astype(np.int32)
+        if native.gather(idx, f) is None:
+            pytest.skip("native library unavailable")
+        np.testing.assert_array_equal(native.gather(idx, f), f[idx])
+        np.testing.assert_array_equal(native.gather(idx, i), i[idx])
+        np.testing.assert_array_equal(native.gather(idx, t), t[idx])
+        gp = np.array([5, -1, 0, 998, -1], np.int32)
+        fill = np.full((8, 128), -9, np.int32)
+        ref = t[np.maximum(gp, 0)].copy()
+        ref[gp < 0] = fill
+        np.testing.assert_array_equal(
+            native.gather_tiles_fill(gp, t, fill), ref)
+        rp = np.concatenate([[0], np.cumsum(rng.integers(0, 9, 500))])
+        nnz = int(rp[-1])
+        np.testing.assert_array_equal(
+            native.expand_rowptr(500, nnz, rp),
+            np.repeat(np.arange(500), np.diff(rp)))
