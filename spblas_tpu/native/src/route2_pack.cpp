@@ -27,6 +27,7 @@
 #include <array>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 #include <algorithm>
 
@@ -218,29 +219,58 @@ struct Chunk {
   }
 };
 
+// Thread-local output: chunks grow in vectors and are merged into the
+// caller's buffers in cell order after the parallel cell sweep (cells
+// are independent — the pool flushes at every cell boundary — so
+// per-cell packing is identical to the sequential packer; only aux
+// WINDOW INDICES shift, because a tail window open at a thread
+// boundary closes instead of being continued by the next cell).
 struct Out {
-  int32_t* tiles;            // max_chunks * 1024
-  int32_t* chunk_cell;
-  int32_t* chunk_auxwin;     // -1 direct, else aux window index
-  int32_t* chunk_group;      // shared val-tile group
-  int32_t* elem_chunk;       // per element: GROUP index (val tile)
-  int32_t* elem_scat;        // per element: d*128 + jd
-  int64_t max_chunks;
+  std::vector<int32_t> tiles;       // nch * 1024
+  std::vector<int32_t> chunk_cell;  // auxwin: -1 direct, else window
+  std::vector<int32_t> chunk_auxwin;
+  std::vector<int32_t> chunk_group; // shared val-tile group
+  int32_t* elem_chunk;              // SHARED: disjoint element writes
+  int32_t* elem_scat;               // per element: d*128 + jd
   int64_t nch = 0, ngroup = 0;
-  bool overflow = false;
 
-  // returns tile pointer for a new chunk or nullptr on overflow
   int32_t* add(int cell, int auxwin, int group) {
-    if (nch >= max_chunks) { overflow = true; return nullptr; }
-    chunk_cell[nch] = cell;
-    chunk_auxwin[nch] = auxwin;
-    chunk_group[nch] = group;
-    int32_t* t = tiles + nch * SLOTS;
+    chunk_cell.push_back(cell);
+    chunk_auxwin.push_back(auxwin);
+    chunk_group.push_back(group);
+    size_t need = (size_t)(nch + 1) * SLOTS;
+    if (tiles.capacity() < need)
+      tiles.reserve(std::max(need, tiles.capacity() * 2));
+    tiles.resize(need);
+    int32_t* t = tiles.data() + nch * SLOTS;
     std::memset(t, 0, SLOTS * sizeof(int32_t));
     ++nch;
     return t;
   }
 };
+
+int pack_threads_for(int64_t ne, int64_t ncells) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int t = hw ? (int)hw : 1;
+  if (t > 8) t = 8;
+  if ((int64_t)t > ncells) t = (int)(ncells > 0 ? ncells : 1);
+  while (t > 1 && ne / t < 200000) --t;
+  return t;
+}
+
+// cell-range split balanced by element count (cells stay whole)
+std::vector<int64_t> split_cells(int64_t ncells, const int64_t* cell_start,
+                                 int64_t ne, int nt) {
+  std::vector<int64_t> cuts(nt + 1, ncells);
+  cuts[0] = 0;
+  int64_t c = 0;
+  for (int t = 1; t < nt; ++t) {
+    int64_t target = ne * t / nt;
+    while (c < ncells && cell_start[c] < target) ++c;
+    cuts[t] = c;
+  }
+  return cuts;
+}
 
 bool flush_chunk(Chunk& ck, int cell, Out& out,
                  std::vector<AuxPub>* aux_pending, AuxAlloc* aux,
@@ -354,25 +384,24 @@ extern "C" int64_t spblas_route2_pack(
     // row_window (SLOTS..8*SLOTS, round 4): supercell height — local
     // rows span this many slots, publishes carry a sub-window id in
     // the lsrc bit range (requires any_lane=0)
-    int32_t row_window) {
-  if (row_window < SLOTS || row_window > MAX_ROW_WINDOW
-      || (row_window > SLOTS && any_lane)) return -2;
-  Out out{tiles, chunk_cell, chunk_auxwin, chunk_group, elem_chunk,
-          elem_scat, max_chunks};
-  AuxAlloc aux;
-  for (int64_t w = 0; w < aux_windows_in; ++w) {
-    aux.windows.emplace_back();
-    aux.windows.back().fill(SUBS);   // prior levels' windows are closed
-  }
-  std::vector<AuxPub> pending;
+    int32_t row_window);
 
+namespace {
+
+// one thread's share of the cell sweep; cells are packed exactly as in
+// the sequential sweep (the pool flushes at every cell boundary)
+bool pack_cells_range(
+    const int64_t* cell_start, const int32_t* lrow, const int32_t* lcol,
+    int64_t c_begin, int64_t c_end, int32_t spill_only,
+    int32_t spill_enable, int32_t any_lane, int32_t row_window,
+    Out& out, AuxAlloc& aux, std::vector<AuxPub>& pending,
+    std::vector<int32_t>& spill) {
   std::vector<Chunk> pool_store(MAX_OPEN + 1);
   for (auto& c : pool_store) c.reset();
 
   std::vector<int> seg_start, seg_len, seg_row, seg_order;
   std::vector<uint8_t> seg_hub;
-  int64_t n_spill = 0;
-  for (int64_t cell = 0; cell < ncells; ++cell) {
+  for (int64_t cell = c_begin; cell < c_end; ++cell) {
     int64_t a0 = cell_start[cell], a1 = cell_start[cell + 1];
     if (a0 >= a1) continue;
     // chunk budget: what the cell's element count deserves at ~70%
@@ -456,8 +485,7 @@ extern "C" int64_t spblas_route2_pack(
       // remaining elements for window-major repacking
       auto spill_rest = [&](int off2) {
         for (int k = off2; k < len; ++k)
-          spill_out[n_spill++] =
-              (int32_t)(a0 + seg_start[s] + k);
+          spill.push_back((int32_t)(a0 + seg_start[s] + k));
       };
 
       // ---- direct publish of the segment head (non-hub, non-spill):
@@ -515,8 +543,8 @@ extern "C" int64_t spblas_route2_pack(
           }
           // no fit anywhere: take a fresh chunk whole
           Chunk* ckp = open_fresh();
-          if (!ckp) return out.overflow ? -1 : -2;
-          if (!try_direct(*ckp, jd)) return -2;
+          if (!ckp) return false;
+          if (!try_direct(*ckp, jd)) return false;
         }
       }
 
@@ -554,11 +582,11 @@ extern "C" int64_t spblas_route2_pack(
             break;
           }
           Chunk* ckp = open_fresh();
-          if (!ckp) return out.overflow ? -1 : -2;
+          if (!ckp) return false;
           int nas = 0;
           int pr = ckp->route_prefix(segc + off, rem, h0, as_col,
                                      as_a, as_new, &nas);
-          if (pr <= 0) return -2;
+          if (pr <= 0) return false;
           int pend = ckp->commit(segc + off, segi + off, pr, h0,
                                  as_col, as_a, as_new, nas);
           ckp->aux_pubs.push_back({-1, (int16_t)h0, (int16_t)pend,
@@ -570,21 +598,104 @@ extern "C" int64_t spblas_route2_pack(
       // retire saturated
       for (int p = (int)open.size() - 1; p >= 0; --p)
         if ((int)pool_store[open[p]].elems.size() >= SLOTS - 8)
-          if (!flush_at(p)) return out.overflow ? -1 : -2;
+          if (!flush_at(p)) return false;
     }
     for (int p = (int)open.size() - 1; p >= 0; --p)
-      if (!flush_at(p)) return out.overflow ? -1 : -2;
+      if (!flush_at(p)) return false;
   }
-  if (out.overflow) return -1;
-  aux_info[0] = (int64_t)pending.size();
-  aux_info[1] = (int64_t)aux.windows.size();
-  for (size_t i = 0; i < pending.size(); ++i) {
-    aux_slot[i] = pending[i].abs_slot;
-    aux_lrow[i] = pending[i].lrow;
-    aux_cell[i] = pending[i].cell;
+  return true;
+}
+
+}  // namespace
+
+extern "C" int64_t spblas_route2_pack(
+    int64_t ne, int64_t ncells, const int64_t* cell_start,
+    const int32_t* lrow, const int32_t* lcol, int64_t max_chunks,
+    int64_t aux_windows_in, int32_t spill_only,
+    int32_t* tiles, int32_t* chunk_cell, int32_t* chunk_auxwin,
+    int32_t* chunk_group, int32_t* elem_chunk, int32_t* elem_scat,
+    int64_t* aux_info, int64_t* aux_slot, int32_t* aux_lrow,
+    int32_t* aux_cell, int32_t* spill_out, int64_t* spill_n,
+    int32_t spill_enable, int32_t any_lane, int32_t row_window) {
+  if (row_window < SLOTS || row_window > MAX_ROW_WINDOW
+      || (row_window > SLOTS && any_lane)) return -2;
+  int nt = pack_threads_for(ne, ncells);
+  std::vector<int64_t> cuts = split_cells(ncells, cell_start, ne, nt);
+  std::vector<Out> outs(nt);
+  std::vector<AuxAlloc> auxs(nt);
+  std::vector<std::vector<AuxPub>> pendings(nt);
+  std::vector<std::vector<int32_t>> spills(nt);
+  std::vector<uint8_t> ok(nt, 1);
+  for (int t = 0; t < nt; ++t) {
+    outs[t].elem_chunk = elem_chunk;
+    outs[t].elem_scat = elem_scat;
   }
-  if (spill_n) *spill_n = n_spill;
-  return out.nch;
+  auto work = [&](int t) {
+    ok[t] = pack_cells_range(cell_start, lrow, lcol, cuts[t],
+                             cuts[t + 1], spill_only, spill_enable,
+                             any_lane, row_window, outs[t], auxs[t],
+                             pendings[t], spills[t]) ? 1 : 0;
+  };
+  if (nt == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(work, t);
+    for (auto& th : ths) th.join();
+  }
+  for (int t = 0; t < nt; ++t)
+    if (!ok[t]) return -2;
+
+  // merge in cell order: chunk/group/window/pending/spill offsets
+  std::vector<int64_t> choff(nt + 1, 0), goff(nt + 1, 0),
+      woff(nt + 1, aux_windows_in), poff(nt + 1, 0), soff(nt + 1, 0);
+  for (int t = 0; t < nt; ++t) {
+    choff[t + 1] = choff[t] + outs[t].nch;
+    goff[t + 1] = goff[t] + outs[t].ngroup;
+    woff[t + 1] = woff[t] + (int64_t)auxs[t].windows.size();
+    poff[t + 1] = poff[t] + (int64_t)pendings[t].size();
+    soff[t + 1] = soff[t] + (int64_t)spills[t].size();
+  }
+  if (choff[nt] > max_chunks) return -1;  // caller grows and retries
+  auto merge_one = [&](int t) {
+    Out& o = outs[t];
+    std::memcpy(tiles + choff[t] * SLOTS, o.tiles.data(),
+                (size_t)o.nch * SLOTS * sizeof(int32_t));
+    for (int64_t i = 0; i < o.nch; ++i) {
+      chunk_cell[choff[t] + i] = o.chunk_cell[i];
+      int32_t aw = o.chunk_auxwin[i];
+      chunk_auxwin[choff[t] + i] =
+          aw < 0 ? -1 : (int32_t)(woff[t] + aw);
+      chunk_group[choff[t] + i] = (int32_t)(goff[t] + o.chunk_group[i]);
+    }
+    if (goff[t]) {
+      // group ids were thread-local; spilled entries hold garbage but
+      // are skipped downstream (spill_idx), so the blind add is safe
+      int64_t e0 = cell_start[cuts[t]], e1 = cell_start[cuts[t + 1]];
+      for (int64_t k = e0; k < e1; ++k)
+        elem_chunk[k] += (int32_t)goff[t];
+    }
+    std::vector<AuxPub>& pd = pendings[t];
+    for (size_t j = 0; j < pd.size(); ++j) {
+      aux_slot[poff[t] + j] = pd[j].abs_slot + woff[t] * SLOTS;
+      aux_lrow[poff[t] + j] = pd[j].lrow;
+      aux_cell[poff[t] + j] = pd[j].cell;
+    }
+    if (spill_out)
+      for (size_t j = 0; j < spills[t].size(); ++j)
+        spill_out[soff[t] + j] = spills[t][j];
+  };
+  if (nt == 1) {
+    merge_one(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(merge_one, t);
+    for (auto& th : ths) th.join();
+  }
+  aux_info[0] = poff[nt];
+  aux_info[1] = woff[nt];
+  if (spill_n) *spill_n = soff[nt];
+  return choff[nt];
 }
 
 // ================================================================== //
@@ -762,21 +873,25 @@ struct MulChunk {
   }
 };
 
+// thread-local mul output (merged in cell order; see Out above)
 struct MulOut {
-  int32_t* t1;
-  int32_t* t2;
-  int32_t* chunk_cell;
-  int32_t* chunk_auxwin;
-  int64_t max_chunks;
+  std::vector<int32_t> t1;
+  std::vector<int32_t> t2;
+  std::vector<int32_t> chunk_cell;
+  std::vector<int32_t> chunk_auxwin;
   int64_t nch = 0;
-  bool overflow = false;
 
+  void grow(std::vector<int32_t>& v) {
+    size_t need = (size_t)(nch + 1) * SLOTS;
+    if (v.capacity() < need) v.reserve(std::max(need, v.capacity() * 2));
+    v.resize(need);
+  }
   bool add(int cell, int auxwin, const int32_t* b1, const int32_t* b2) {
-    if (nch >= max_chunks) { overflow = true; return false; }
-    chunk_cell[nch] = cell;
-    chunk_auxwin[nch] = auxwin;
-    std::memcpy(t1 + nch * SLOTS, b1, SLOTS * sizeof(int32_t));
-    std::memcpy(t2 + nch * SLOTS, b2, SLOTS * sizeof(int32_t));
+    chunk_cell.push_back(cell);
+    chunk_auxwin.push_back(auxwin);
+    grow(t1); grow(t2);
+    std::memcpy(t1.data() + nch * SLOTS, b1, SLOTS * sizeof(int32_t));
+    std::memcpy(t2.data() + nch * SLOTS, b2, SLOTS * sizeof(int32_t));
     ++nch;
     return true;
   }
@@ -824,7 +939,7 @@ bool flush_mul_chunk(MulChunk& ck, int cell, MulOut& out,
         d1[local] |= (int32_t)((p->pend << B_PEND) | (1 << B_VA));
       }
       if (!out.add(cell, (int32_t)w, b1, b2)) return false;
-      std::memcpy(out.t1 + (out.nch - 1) * SLOTS, d1,
+      std::memcpy(out.t1.data() + (out.nch - 1) * SLOTS, d1,
                   SLOTS * sizeof(int32_t));
     }
   }
@@ -838,21 +953,12 @@ bool flush_mul_chunk(MulChunk& ck, int cell, MulOut& out,
 
 }  // namespace
 
-extern "C" int64_t spblas_route2_mul_pack(
-    int64_t ne, int64_t ncells, const int64_t* cell_start,
-    const int32_t* lslot, const int32_t* la, const int32_t* lb,
-    int64_t max_chunks, int64_t aux_windows_in,
-    int32_t* t1, int32_t* t2, int32_t* chunk_cell,
-    int32_t* chunk_auxwin,
-    int64_t* aux_info, int64_t* aux_slot, int32_t* aux_lslot,
-    int32_t* aux_cell) {
-  MulOut out{t1, t2, chunk_cell, chunk_auxwin, max_chunks};
-  AuxAlloc aux;
-  for (int64_t w = 0; w < aux_windows_in; ++w) {
-    aux.windows.emplace_back();
-    aux.windows.back().fill(SUBS);
-  }
-  std::vector<AuxPub> pending;
+namespace {
+
+bool pack_mul_cells_range(
+    const int64_t* cell_start, const int32_t* lslot, const int32_t* la,
+    const int32_t* lb, int64_t c_begin, int64_t c_end,
+    MulOut& out, AuxAlloc& aux, std::vector<AuxPub>& pending) {
   std::vector<MulChunk> pool_store(MAX_OPEN + 1);
   for (auto& c : pool_store) c.reset();
 
@@ -862,7 +968,7 @@ extern "C" int64_t spblas_route2_mul_pack(
   int8_t aaA[SUBS], aaB[SUBS];
   uint8_t anA[SUBS], anB[SUBS];
 
-  for (int64_t cell = 0; cell < ncells; ++cell) {
+  for (int64_t cell = c_begin; cell < c_end; ++cell) {
     int64_t a0 = cell_start[cell], a1 = cell_start[cell + 1];
     if (a0 >= a1) continue;
     seg_start.clear(); seg_len.clear(); seg_slot.clear();
@@ -955,14 +1061,14 @@ extern "C" int64_t spblas_route2_mul_pack(
             if (pool_store[open[p]].cold >
                 pool_store[open[coldest]].cold)
               coldest = p;
-          if (!flush_at((int)coldest)) return out.overflow ? -1 : -2;
+          if (!flush_at((int)coldest)) return false;
         }
         int id = freelist.back(); freelist.pop_back();
         MulChunk& ck = pool_store[id];
         open.push_back(id);
         if (ck.route(sega, segb, len, jd, acA, aaA, anA, &nA,
                      acB, aaB, anB, &nB) != 0)
-          return -2;
+          return false;
         int pend = ck.commit(sega, segb, len, jd, acA, aaA, anA, nA,
                              acB, aaB, anB, nB);
         ck.pubs.push_back({slot_l, (int16_t)jd, (int16_t)pend});
@@ -970,18 +1076,80 @@ extern "C" int64_t spblas_route2_mul_pack(
       }
       for (int p = (int)open.size() - 1; p >= 0; --p)
         if ((int)pool_store[open[p]].elems.size() >= SLOTS - 8)
-          if (!flush_at(p)) return out.overflow ? -1 : -2;
+          if (!flush_at(p)) return false;
     }
     for (int p = (int)open.size() - 1; p >= 0; --p)
-      if (!flush_at(p)) return out.overflow ? -1 : -2;
+      if (!flush_at(p)) return false;
   }
-  if (out.overflow) return -1;
-  aux_info[0] = (int64_t)pending.size();
-  aux_info[1] = (int64_t)aux.windows.size();
-  for (size_t i = 0; i < pending.size(); ++i) {
-    aux_slot[i] = pending[i].abs_slot;
-    aux_lslot[i] = pending[i].lrow;
-    aux_cell[i] = pending[i].cell;
+  return true;
+}
+
+}  // namespace
+
+extern "C" int64_t spblas_route2_mul_pack(
+    int64_t ne, int64_t ncells, const int64_t* cell_start,
+    const int32_t* lslot, const int32_t* la, const int32_t* lb,
+    int64_t max_chunks, int64_t aux_windows_in,
+    int32_t* t1, int32_t* t2, int32_t* chunk_cell,
+    int32_t* chunk_auxwin,
+    int64_t* aux_info, int64_t* aux_slot, int32_t* aux_lslot,
+    int32_t* aux_cell) {
+  int nt = pack_threads_for(ne, ncells);
+  std::vector<int64_t> cuts = split_cells(ncells, cell_start, ne, nt);
+  std::vector<MulOut> outs(nt);
+  std::vector<AuxAlloc> auxs(nt);
+  std::vector<std::vector<AuxPub>> pendings(nt);
+  std::vector<uint8_t> ok(nt, 1);
+  auto work = [&](int t) {
+    ok[t] = pack_mul_cells_range(cell_start, lslot, la, lb, cuts[t],
+                                 cuts[t + 1], outs[t], auxs[t],
+                                 pendings[t]) ? 1 : 0;
+  };
+  if (nt == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(work, t);
+    for (auto& th : ths) th.join();
   }
-  return out.nch;
+  for (int t = 0; t < nt; ++t)
+    if (!ok[t]) return -2;
+
+  std::vector<int64_t> choff(nt + 1, 0), woff(nt + 1, aux_windows_in),
+      poff(nt + 1, 0);
+  for (int t = 0; t < nt; ++t) {
+    choff[t + 1] = choff[t] + outs[t].nch;
+    woff[t + 1] = woff[t] + (int64_t)auxs[t].windows.size();
+    poff[t + 1] = poff[t] + (int64_t)pendings[t].size();
+  }
+  if (choff[nt] > max_chunks) return -1;
+  auto merge_one = [&](int t) {
+    MulOut& o = outs[t];
+    std::memcpy(t1 + choff[t] * SLOTS, o.t1.data(),
+                (size_t)o.nch * SLOTS * sizeof(int32_t));
+    std::memcpy(t2 + choff[t] * SLOTS, o.t2.data(),
+                (size_t)o.nch * SLOTS * sizeof(int32_t));
+    for (int64_t i = 0; i < o.nch; ++i) {
+      chunk_cell[choff[t] + i] = o.chunk_cell[i];
+      int32_t aw = o.chunk_auxwin[i];
+      chunk_auxwin[choff[t] + i] =
+          aw < 0 ? -1 : (int32_t)(woff[t] + aw);
+    }
+    std::vector<AuxPub>& pd = pendings[t];
+    for (size_t j = 0; j < pd.size(); ++j) {
+      aux_slot[poff[t] + j] = pd[j].abs_slot + woff[t] * SLOTS;
+      aux_lslot[poff[t] + j] = pd[j].lrow;
+      aux_cell[poff[t] + j] = pd[j].cell;
+    }
+  };
+  if (nt == 1) {
+    merge_one(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) ths.emplace_back(merge_one, t);
+    for (auto& th : ths) th.join();
+  }
+  aux_info[0] = poff[nt];
+  aux_info[1] = woff[nt];
+  return choff[nt];
 }
