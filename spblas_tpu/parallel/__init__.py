@@ -16,7 +16,8 @@ from spblas_tpu.parallel.rowblock import (
 )
 from spblas_tpu.parallel.spmv import (
     dist_spmv, dist_spmm, partition_spmv, partition_spmv_vector,
-    dist_plan_spmv,
+    dist_plan_spmv, partition_spmm, partition_spmm_operand,
+    dist_plan_spmm,
 )
 from spblas_tpu.parallel.banded import (
     DistBandPlan, partition_band, partition_band_vector, dist_band_spmv,
@@ -42,6 +43,7 @@ __all__ = [
     "to_local_csr",
     "RowBlockCSR", "partition_rowblock", "assemble_csr",
     "partition_spmv", "partition_spmv_vector", "dist_plan_spmv",
+    "partition_spmm", "partition_spmm_operand", "dist_plan_spmm",
     "dist_spmv", "dist_spmm",
     "DistBandPlan", "partition_band", "partition_band_vector",
     "dist_band_spmv", "dist_band_spmm",

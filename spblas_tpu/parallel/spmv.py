@@ -189,8 +189,87 @@ def dist_plan_spmv(kind_plan, x, mesh):
 
 def dist_spmm(a: DistCSR, b: jax.Array, mesh, strategy: str = "ring"
               ) -> jax.Array:
-    """C = A @ B for dense B (p*nloc, k) row-sharded; C is (p*mloc, k)."""
+    """C = A @ B for dense B (p*nloc, k) row-sharded; C is (p*mloc, k).
+
+    Generic gather-block kernel — the CPU-class default.  On TPU use
+    :func:`partition_spmm` + :func:`dist_plan_spmm` (per-shard
+    band/SELL fast paths)."""
+    _warn_if_tpu("dist_spmm")
     return _dist_apply(a, b, mesh, strategy)
+
+
+# ------------------------------------------------------------------ #
+# distributed matmul chooser — the TPU default entry (mirrors the
+# matvec chooser above; reference bar: vendor SpMM is one entry point
+# for every pattern, cusparse/detail/spmm_impl.hpp)
+# ------------------------------------------------------------------ #
+
+def partition_spmm(a, mesh, prefer: str | None = None):
+    """Distributed matmul chooser: returns ``(kind, plan)``.
+
+    ``kind`` is ``"band"`` (halo band pipeline), ``"sell"`` (per-shard
+    SELL row-gather buckets — the unstructured TPU fast path for dense
+    operands), or ``"csr"`` (generic gather blocks — the CPU default).
+    Run with :func:`dist_plan_spmm`; shard the dense operand with
+    :func:`partition_spmm_operand`."""
+    import numpy as np
+    from spblas_tpu.formats.convert import to_csr
+    from spblas_tpu.types import on_tpu
+
+    a = to_csr(a)
+    if prefer is None:
+        if not on_tpu():
+            prefer = "csr"
+        else:
+            m, n = a.shape
+            nnz = int(a.nnz)
+            colind = np.asarray(a.colind)[:nnz].astype(np.int64)
+            rows = np.repeat(np.arange(m, dtype=np.int64),
+                             np.diff(np.minimum(
+                                 np.asarray(a.rowptr).astype(np.int64),
+                                 nnz)))
+            bw = int(np.abs(colind - rows).max()) if nnz else 0
+            band_fill = nnz / max(m * (2 * bw + 1), 1)
+            prefer = ("band" if m == n and bw <= 512
+                      and band_fill >= 0.25 else "sell")
+    if prefer == "band":
+        from spblas_tpu.parallel.banded import partition_band
+        return "band", partition_band(a, mesh)
+    if prefer == "sell":
+        from spblas_tpu.parallel.route_spmv import partition_sell
+        return "sell", partition_sell(a, mesh)
+    if prefer == "csr":
+        from spblas_tpu.parallel.dist_csr import partition_csr
+        return "csr", partition_csr(a, mesh)
+    raise ValueError(f"unknown kind {prefer!r}")
+
+
+def partition_spmm_operand(kind_plan, b, mesh):
+    """Shard the dense operand B (n, k) for :func:`dist_plan_spmm`
+    according to the chosen kind's layout."""
+    kind, plan = kind_plan
+    b = jnp.asarray(b)
+    if kind == "band":
+        from spblas_tpu.parallel.banded import partition_band_vector
+        return partition_band_vector(b, plan, mesh)
+    n = plan.shape[1]
+    bp = jnp.pad(b, ((0, plan.p * plan.nloc - n), (0, 0)))
+    return jax.device_put(
+        bp, NamedSharding(mesh, P(ROW_AXIS, None)))
+
+
+def dist_plan_spmm(kind_plan, b, mesh):
+    """Run the distributed matmul picked by :func:`partition_spmm`.
+    Returns the padded row-sharded result (rows [0, m) are the answer
+    for every kind)."""
+    kind, plan = kind_plan
+    if kind == "band":
+        from spblas_tpu.parallel.banded import dist_band_spmm
+        return dist_band_spmm(plan, b, mesh)
+    if kind == "sell":
+        from spblas_tpu.parallel.route_spmv import dist_sell_spmm
+        return dist_sell_spmm(plan, b, mesh)
+    return _dist_apply(plan, b, mesh, "ring")
 
 
 def _dist_apply(a: DistCSR, x, mesh, strategy):
