@@ -35,7 +35,7 @@ def _from_jsonable(v):
     return v
 
 
-def _collect(plan, prefix, arrays, static, classes):
+def _collect(plan, prefix, arrays, static, classes, tuples):
     cls = type(plan)
     classes[prefix or "."] = f"{cls.__module__}:{cls.__qualname__}"
     for f in dataclasses.fields(cls):
@@ -46,7 +46,19 @@ def _collect(plan, prefix, arrays, static, classes):
         elif v is None:
             pass  # omitted -> dataclass default (None) on reload
         elif dataclasses.is_dataclass(v):
-            _collect(v, key + "/", arrays, static, classes)  # nested plan
+            _collect(v, key + "/", arrays, static, classes,
+                     tuples)                            # nested plan
+        elif isinstance(v, tuple):
+            # tuple of panels / bucket arrays (RoutePanedPlan.panels,
+            # DistSellPlan.bucket_values): one '/i' entry per element
+            tuples[key] = len(v)
+            for i, x in enumerate(v):
+                sub = f"{key}/{i}"
+                if dataclasses.is_dataclass(x):
+                    _collect(x, sub + "/", arrays, static, classes,
+                             tuples)
+                else:
+                    arrays[sub] = np.asarray(x)
         else:
             arrays[key] = np.asarray(v)
 
@@ -58,11 +70,12 @@ def save_plan(path: str, plan) -> None:
     keys."""
     if not dataclasses.is_dataclass(plan):
         raise TypeError(f"not a dataclass plan: {type(plan)!r}")
-    arrays, static, classes = {}, {}, {}
-    _collect(plan, "", arrays, static, classes)
+    arrays, static, classes, tuples = {}, {}, {}, {}
+    _collect(plan, "", arrays, static, classes, tuples)
     np.savez(path,
              __classes__=np.str_(json.dumps(classes)),
              __static__=np.str_(json.dumps(static)),
+             __tuples__=np.str_(json.dumps(tuples)),
              **arrays)
 
 
@@ -74,15 +87,26 @@ def _resolve(qualname: str):
     return obj
 
 
-def _rebuild(prefix, z, classes, static):
+def _rebuild(prefix, z, classes, static, tuples):
     cls = _resolve(classes[prefix or "."])
     kwargs = {}
     for f in dataclasses.fields(cls):
         key = f"{prefix}{f.name}"
         if f.metadata.get("static"):
             kwargs[f.name] = _from_jsonable(static[key])
+        elif key in tuples:
+            items = []
+            for i in range(tuples[key]):
+                sub = f"{key}/{i}"
+                if (sub + "/") in classes:
+                    items.append(_rebuild(sub + "/", z, classes,
+                                          static, tuples))
+                else:
+                    items.append(jnp.asarray(z[sub]))
+            kwargs[f.name] = tuple(items)
         elif any(c.startswith(key + "/") for c in classes):
-            kwargs[f.name] = _rebuild(key + "/", z, classes, static)
+            kwargs[f.name] = _rebuild(key + "/", z, classes, static,
+                                      tuples)
         elif key in z.files:
             kwargs[f.name] = jnp.asarray(z[key])
     return cls(**kwargs)
@@ -95,7 +119,9 @@ def load_plan(path: str):
         if "__classes__" in z.files:
             classes = json.loads(str(z["__classes__"]))
             static = json.loads(str(z["__static__"]))
-            return _rebuild("", z, classes, static)
+            tuples = (json.loads(str(z["__tuples__"]))
+                      if "__tuples__" in z.files else {})
+            return _rebuild("", z, classes, static, tuples)
         # legacy single-level format
         mod_name, _, qual = str(z["__class__"]).partition(":")
         cls = _resolve(f"{mod_name}:{qual}")

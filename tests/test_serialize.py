@@ -126,3 +126,29 @@ def test_trsv_plan_with_route_roundtrip(tmp_path, monkeypatch):
     want = np.asarray(
         sp.triangular_solve(L, b, uplo="lower", info=info))
     np.testing.assert_allclose(x, want, rtol=1e-5, atol=1e-5)
+
+
+def test_paned_plan_round_trip(tmp_path):
+    """RoutePanedPlan holds a TUPLE of panel dataclasses — the round-4
+    tuple support must flatten them per index and execute identically
+    after reload (checkpoint/resume contract, SURVEY §5.4)."""
+    import numpy as np
+    from spblas_tpu.kernels.route_paned import (build_route_paned_plan,
+                                                route_paned_spmv)
+    from spblas_tpu.utils.generate import generate_csr_arrays
+    from spblas_tpu.utils.serialize import save_plan, load_plan
+
+    m = 40_000
+    values, rowptr, colind = generate_csr_arrays(m, m, 10 * m, seed=9)
+    nnz = int(rowptr[-1])
+    plan = build_route_paned_plan(rowptr, colind, values, (m, m), nnz,
+                                  panel_rows=16384, pane_rows=8192)
+    path = tmp_path / "paned.npz"
+    save_plan(str(path), plan)
+    plan2 = load_plan(str(path))
+    assert len(plan2.panels) == len(plan.panels)
+    assert plan2.row_window_mult == plan.row_window_mult
+    x = np.random.default_rng(1).standard_normal(m).astype(np.float32)
+    y1 = np.asarray(route_paned_spmv(plan, x))[:m]
+    y2 = np.asarray(route_paned_spmv(plan2, x))[:m]
+    np.testing.assert_array_equal(y1, y2)
