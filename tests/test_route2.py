@@ -283,3 +283,30 @@ def test_route2_window_major_overflow_spill():
                  abs_floor=floor)
     assert_close(np.asarray(route2_spmv(plan, jnp.asarray(x))), ref,
                  factor=256, abs_floor=floor)
+
+
+def test_python_packer_fallback_matches_oracle(monkeypatch):
+    """The no-toolchain path (numpy keys/argsort + python cell packer)
+    goes through different branches of _pack_stream since the round-4
+    native pipeline; it must still produce a numerically correct
+    plan."""
+    import numpy as np
+    import spblas_tpu.native as native
+    import spblas_tpu.kernels.route2 as r2
+    from spblas_tpu.utils.generate import generate_csr_arrays
+
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    m = 6_000
+    values, rowptr, colind = generate_csr_arrays(m, m, 8 * m, seed=3)
+    nnz = int(rowptr[-1])
+    plan = r2.build_route2_plan(rowptr, colind, values, (m, m), nnz,
+                                any_lane=True, row_window_mult=1)
+    x = np.random.default_rng(2).standard_normal(m).astype(np.float32)
+    y = r2.route2_spmv_numpy(plan, x)
+    rows = np.repeat(np.arange(m),
+                     np.diff(np.minimum(np.asarray(rowptr), nnz)))
+    y_ref = np.zeros(m, np.float64)
+    np.add.at(y_ref, rows, np.asarray(values)[:nnz].astype(np.float64)
+              * x[np.asarray(colind)[:nnz]].astype(np.float64))
+    err = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
+    assert err < 1e-5
