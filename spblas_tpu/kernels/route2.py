@@ -139,10 +139,15 @@ class Route2Plan:
 
     def update_values(self, values: jax.Array) -> "Route2Plan":
         """Re-target at new CSR values, same sparsity (vendor
-        optimize-handle reuse contract): one XLA gather on value change."""
+        optimize-handle reuse contract): one XLA gather on value change.
+        Non-entry slots (``val_src`` < 0) keep their baked coefficients —
+        aux reduction carriers multiply partial sums by 1.0, padding by
+        0.0; overwriting them with 0 corrupted every aux/spill plan
+        (round-4 regression fix, tests/test_route2.py)."""
         src = jnp.maximum(self.val_src, 0)
-        v = values[src] * (self.val_src >= 0)
-        return dataclasses.replace(self, val=v.astype(self.val.dtype))
+        v = jnp.where(self.val_src >= 0,
+                      values[src].astype(self.val.dtype), self.val)
+        return dataclasses.replace(self, val=v)
 
     def update_solve_values(self, values: jax.Array,
                             diag_of_entry=None) -> "Route2Plan":

@@ -104,10 +104,14 @@ class RoutePlan:
     def update_values(self, values: jax.Array) -> "RoutePlan":
         """Re-target the plan at new CSR values, same sparsity (the
         vendor optimize-handle reuse contract).  One XLA gather, only on
-        value change — the apply path reads ``val`` directly."""
+        value change — the apply path reads ``val`` directly.  Non-entry
+        slots (``val_src`` < 0) keep their baked coefficients: aux
+        reduction slots carry 1.0 multipliers (round-4 fix, mirrored in
+        ``Route2Plan.update_values``)."""
         src = jnp.maximum(self.val_src, 0)
-        v = values[src] * (self.val_src >= 0)
-        return dataclasses.replace(self, val=v.astype(self.val.dtype))
+        v = jnp.where(self.val_src >= 0,
+                      values[src].astype(self.val.dtype), self.val)
+        return dataclasses.replace(self, val=v)
 
 
 # ------------------------------------------------------------------ #

@@ -136,6 +136,34 @@ def test_route2_update_values_reuse():
     assert_close(np.asarray(route2_spmv(plan2, jnp.asarray(x))), a2 @ x)
 
 
+def test_route2_update_values_preserves_aux_carriers():
+    """values-refresh on an aux-bearing plan must keep the baked 1.0
+    reduction multipliers (val_src = -1 slots).  The round-4 regression:
+    ``update_values`` multiplied by ``val_src >= 0`` and zeroed every
+    aux carrier, so a refresh with IDENTICAL values changed the
+    answer."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(21)
+    m = n = 2048
+    rows = np.concatenate([np.zeros(1200, np.int64),
+                           rng.integers(0, m, 2000)])
+    cols = np.concatenate([rng.permutation(n)[:1200],
+                           rng.integers(0, n, 2000)])
+    v = rng.standard_normal(len(rows)).astype(np.float32)
+    a = sp.coo_matrix((v, (rows, cols)), shape=(m, n)).tocsr()
+    a.sum_duplicates()
+    plan = build_route2_plan(a.indptr, a.indices, a.data, (m, n), a.nnz)
+    assert plan.n_aux_chunks > 0, "fixture must exercise aux chunks"
+    x = rng.standard_normal(n).astype(np.float32)
+    same = plan.update_values(jnp.asarray(np.asarray(a.data)))
+    assert_close(np.asarray(route2_spmv(same, jnp.asarray(x))), a @ x)
+    new_vals = rng.standard_normal(a.nnz).astype(np.float32)
+    a2 = a.copy()
+    a2.data = new_vals
+    fresh = plan.update_values(jnp.asarray(new_vals))
+    assert_close(np.asarray(route2_spmv(fresh, jnp.asarray(x))), a2 @ x)
+
+
 def test_route2_empty_and_single():
     import scipy.sparse as sp
     a = sp.csr_matrix((64, 64), dtype=np.float32)
