@@ -102,6 +102,40 @@ def band_cx_spmm(plans, b):
     return jax.lax.complex(cr, ci)
 
 
+def _try_route_cx(a):
+    """Complex64 unstructured SpMV: two real ROUTE plans over the same
+    structure (re/im value planes), mirroring band_cx.  The structural
+    plan is built once from the real plane; the imaginary plan reuses
+    its routing tiles through the values-refresh path (one gather, no
+    second pack).  (a+ib)(x+iy) needs 4 real applies — still ~100x the
+    complex element-gather fallback on TPU.  Returns
+    ("route_cx", (kind, plan_re, plan_im)) or None."""
+    import dataclasses
+    import jax.numpy as jnp
+    ar = dataclasses.replace(a, values=jnp.real(a.values))
+    got = _try_route(ar)
+    if got is None:
+        return None
+    kind, plan = got
+    plan_i = plan.update_values(jnp.imag(a.values))
+    return ("route_cx", (kind, plan, plan_i))
+
+
+def route_cx_spmv(p, x):
+    import jax.numpy as jnp
+    kind, pr, pi = p
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        xr = jnp.real(x).astype(jnp.float32)
+        xi = jnp.imag(x).astype(jnp.float32)
+        yr = plan_spmv((kind, pr), xr) - plan_spmv((kind, pi), xi)
+        yi = plan_spmv((kind, pr), xi) + plan_spmv((kind, pi), xr)
+    else:
+        xr = x.astype(jnp.float32)
+        yr = plan_spmv((kind, pr), xr)
+        yi = plan_spmv((kind, pi), xr)
+    return jax.lax.complex(yr, yi)
+
+
 # plan kinds usable by BOTH spmv and spmm: the OptimizedMatrix cache
 # aliases these across the "matvec"/"matmul" keys so structured
 # inspection (RCM, band/BSR packing) runs once per matrix
@@ -180,6 +214,12 @@ def build_matvec_plan(a) -> Tuple[str, object]:
     if (not jnp.issubdtype(a.dtype, jnp.complexfloating)
             and a.dtype != jnp.float64 and _on_tpu()):
         route = _try_route(a)
+        if route is not None:
+            return route
+    if a.dtype == jnp.complex64 and _on_tpu():
+        # complex64 unstructured: dual-plane ROUTE (band_cx analogue) —
+        # SELL's complex element gathers run at the 0.13 G elem/s wall
+        route = _try_route_cx(a)
         if route is not None:
             return route
     # degree-bucketed SELL beats global-width ELL on padding and keeps
@@ -354,6 +394,8 @@ def plan_spmv(plan: Tuple[str, object], x: jax.Array) -> jax.Array:
         return route_paned_spmv(p, x)
     if kind == "band_cx":
         return band_cx_spmv(p, x)
+    if kind == "route_cx":
+        return route_cx_spmv(p, x)
     if kind == "sell":
         return sell_spmv(p, x)
     if kind == "dia":
@@ -392,7 +434,7 @@ def plan_spmm(plan: Tuple[str, object], b: jax.Array) -> jax.Array:
         bsr, (m, n) = p
         bp = jnp.pad(b, ((0, bsr.shape[1] - n), (0, 0)))
         return bsr_spmm(bsr, bp)[:m]
-    if kind in ("route", "route1", "route_paned"):
+    if kind in ("route", "route1", "route_paned", "route_cx"):
         # A matvec ROUTE plan fed to spmm replays the whole SpMV cost
         # per B column — a silent ~k-times trap (VERDICT r2 weak #6).
         # Reachable only when a caller bypasses build_matmul_plan
@@ -404,7 +446,9 @@ def plan_spmm(plan: Tuple[str, object], b: jax.Array) -> jax.Array:
             "Build an SpMM plan with build_matmul_plan (SELL) instead.",
             UserWarning, stacklevel=2)
         import jax.numpy as jnp
-        if kind == "route":
+        if kind == "route_cx":
+            cols = jax.lax.map(lambda col: route_cx_spmv(p, col), b.T)
+        elif kind == "route":
             from spblas_tpu.kernels.route2_kernel import route2_spmv
             cols = jax.lax.map(lambda col: route2_spmv(p, col), b.T)
         elif kind == "route_paned":

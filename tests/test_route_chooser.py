@@ -63,6 +63,35 @@ def test_chooser_beyond_vmem_goes_paned(fake_tpu, monkeypatch):
     assert kind in ("sell", "dia")
 
 
+def test_chooser_complex_unstructured_route_cx(fake_tpu):
+    """complex64 unstructured matrices take the dual-plane ROUTE path
+    (band_cx analogue) instead of SELL's complex element gathers; the
+    imaginary plan shares the real plan's routing tiles via
+    values-refresh (round 4)."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    a = gen.generate_csr(2048, 2048, 16000, seed=6)
+    rng = np.random.default_rng(7)
+    vi = rng.standard_normal(a.values.shape[0]).astype(np.float32)
+    vi[int(a.nnz):] = 0.0                 # canonical zero padding
+    vc = (np.asarray(a.values) + 1j * vi).astype(np.complex64)
+    ac = dataclasses.replace(a, values=jnp.asarray(vc))
+    kind, plan = _plans.build_matvec_plan(ac)
+    assert kind == "route_cx", kind
+    inner_kind, pr, pi = plan
+    assert inner_kind == "route"
+    x = (rng.standard_normal(2048)
+         + 1j * rng.standard_normal(2048)).astype(np.complex64)
+    y = np.asarray(_plans.plan_spmv((kind, plan), jnp.asarray(x)))
+    want = dense_from_csr(ac) @ x
+    assert_close(y, want, factor=256, abs_floor=1e-3)
+    # real rhs takes the 2-apply branch
+    xr = rng.standard_normal(2048).astype(np.float32)
+    y2 = np.asarray(_plans.plan_spmv((kind, plan), jnp.asarray(xr)))
+    assert_close(y2, dense_from_csr(ac) @ xr, factor=256, abs_floor=1e-3)
+
+
 def test_chooser_fill_guard_swaps_to_v1(fake_tpu):
     """A pattern that collapses the ROUTE2 fill but slips under the
     hub-fraction threshold must fall back to v1 when the chunk-cost
