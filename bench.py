@@ -667,7 +667,6 @@ def main():
         ("spmm_general", 600),
         ("spmv_mesh", 700),
         ("spmv_real", 700),
-        ("spgemm_large", 1500),
     ]
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         defaults += [
@@ -679,6 +678,9 @@ def main():
             ("headline_bf16", 420),
             ("spmm_banded", 420),
         ]
+    # spgemm_large stays last unconditionally (see comment above) so
+    # its plan-upload drain can't inflate a later section's timings
+    defaults.append(("spgemm_large", 1500))
     for name, tmo in defaults:
         # settle: the previous section's tunnel teardown bleeds into the
         # next section's first device round-trips otherwise (BENCH_r02's

@@ -173,6 +173,29 @@ class Route2Plan:
 # builder
 # ------------------------------------------------------------------ #
 
+SUPERCELL_TARGET = 8192.0
+
+
+def pick_row_window_mult(e_cell: float, max_rows: int | None = None) -> int:
+    """Supercell height auto-gate (round 4) — ONE copy, shared by the
+    resident builder, the paned builder (kernels/route_paned.py) and
+    the distributed partitioner (parallel/route_spmv.py); the window
+    formula above regressed once when copy-pasted and this gate had the
+    same exposure.  Double W while expected elements per supercell stay
+    under ~8 chunks' worth (quantization waste <= ~12%), cap at W=8
+    (3 sub-window bits) and optionally at ``max_rows`` (the output-pane
+    / shard row budget: the wide RMW spans ROW_WINDOW*W rows).  Needs
+    the native packer — the python fallback packs W=1."""
+    from spblas_tpu import native
+    if native.get_lib() is None:
+        return 1
+    ww = 1
+    while (ww < 8 and e_cell * ww < SUPERCELL_TARGET
+           and (max_rows is None or ROW_WINDOW * ww * 2 <= max_rows)):
+        ww *= 2
+    return ww
+
+
 def pick_window_g(m: int, n: int, nnz: int, max_g: int = 16) -> int:
     """Window factor targeting ~2k elements per (1024-row x g*1024-col)
     cell: elements/cell = nnz*1024*window/(m*n), so
@@ -291,12 +314,8 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     # quantization waste <= ~12%), capped at W=8 (3 sub-window bits).
     e_cell = seg_len_est * ROW_WINDOW
     if row_window_mult is None:
-        from spblas_tpu import native
-        row_window_mult = 1
-        if native.get_lib() is not None and any_lane is not True:
-            while (row_window_mult < 8
-                   and e_cell * row_window_mult < 8192.0):
-                row_window_mult *= 2
+        row_window_mult = (1 if any_lane is True
+                           else pick_row_window_mult(e_cell))
     ww = int(row_window_mult)
     row_window = ROW_WINDOW * ww
     # any-lane publish (B_LSRC carrier) trades one extra lane gather

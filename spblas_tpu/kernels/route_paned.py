@@ -170,12 +170,8 @@ def build_route_paned_plan(rowptr, colind, values, shape: Tuple[int, int],
     e_cell = nnz * window * ROW_WINDOW / max(m * n, 1)
     ww = row_window_mult
     if ww is None:
-        ww = 1
-        from spblas_tpu import native
-        if native.get_lib() is not None:
-            while (ww < 8 and e_cell * ww < 8192.0
-                   and ROW_WINDOW * ww * 2 <= panel_rows):
-                ww *= 2
+        from spblas_tpu.kernels.route2 import pick_row_window_mult
+        ww = pick_row_window_mult(e_cell, max_rows=panel_rows)
     row_window = ROW_WINDOW * ww
 
     panel_rows = max(row_window,

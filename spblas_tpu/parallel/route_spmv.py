@@ -97,17 +97,13 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
     # precedence (the single-chip round-4 rule: e_cell * W >= 8192,
     # W <= 8, home-lane); any-lane is the fallback gate when the
     # native packer is unavailable.
-    from spblas_tpu import native
+    from spblas_tpu.kernels.route2 import pick_row_window_mult
     window = g * SLOTS
     e_cell_min = min(
         (int(rowptr[min((d + 1) * mloc, m)] - rowptr[min(d * mloc, m)])
          * window / max(mloc * n, 1) * ROW_WINDOW)
         for d in range(p))
-    ww = 1
-    if native.get_lib() is not None:
-        while ww < 8 and e_cell_min * ww < 8192.0 \
-                and ROW_WINDOW * ww * 2 <= mloc:
-            ww *= 2
+    ww = pick_row_window_mult(e_cell_min, max_rows=mloc)
     any_lane = False
     if ww == 1:
         votes = 0

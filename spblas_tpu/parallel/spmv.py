@@ -116,6 +116,30 @@ def _warn_if_tpu(name: str) -> None:
 # distributed matvec chooser — the TPU default entry (VERDICT r3 #7)
 # ------------------------------------------------------------------ #
 
+def _banded_enough(a) -> bool:
+    """Shared band gate for the matvec AND matmul choosers (one copy —
+    tuning one and not the other silently desynchronizes them): band
+    panels pay 2*bw+1 slots/row, worth it when the band is mostly dense
+    (same spirit as the single-chip chooser)."""
+    import numpy as np
+    from spblas_tpu import native
+
+    m, n = a.shape
+    if m != n:
+        return False
+    nnz = int(a.nnz)
+    if nnz == 0:
+        return False
+    colind = np.asarray(a.colind)[:nnz].astype(np.int64)
+    rowptr = np.minimum(np.asarray(a.rowptr).astype(np.int64), nnz)
+    rows = native.expand_rowptr(m, nnz, rowptr)
+    if rows is None:                    # no native lib: numpy fallback
+        rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(rowptr))
+    bw = int(np.abs(colind - rows).max())
+    band_fill = nnz / max(m * (2 * bw + 1), 1)
+    return bw <= 512 and band_fill >= 0.25
+
+
 def partition_spmv(a, mesh, prefer: str | None = None):
     """Distributed matvec chooser: returns ``(kind, plan)``.
 
@@ -126,7 +150,6 @@ def partition_spmv(a, mesh, prefer: str | None = None):
     exercise the TPU selection on CPU meshes).  Run the result with
     :func:`dist_plan_spmv`; shard operands with
     :func:`partition_spmv_vector`."""
-    import numpy as np
     from spblas_tpu.formats.convert import to_csr
     from spblas_tpu.types import on_tpu
 
@@ -135,19 +158,7 @@ def partition_spmv(a, mesh, prefer: str | None = None):
         if not on_tpu():
             prefer = "csr"
         else:
-            m, n = a.shape
-            nnz = int(a.nnz)
-            colind = np.asarray(a.colind)[:nnz].astype(np.int64)
-            rows = np.repeat(np.arange(m, dtype=np.int64),
-                             np.diff(np.minimum(
-                                 np.asarray(a.rowptr).astype(np.int64),
-                                 nnz)))
-            bw = int(np.abs(colind - rows).max()) if nnz else 0
-            band_fill = nnz / max(m * (2 * bw + 1), 1)
-            # band panels pay 2*bw+1 slots/row; worth it when the band
-            # is mostly dense (same spirit as the single-chip chooser)
-            prefer = ("band" if m == n and bw <= 512
-                      and band_fill >= 0.25 else "route")
+            prefer = "band" if _banded_enough(a) else "route"
     if prefer == "band":
         from spblas_tpu.parallel.banded import partition_band
         return "band", partition_band(a, mesh)
@@ -212,7 +223,6 @@ def partition_spmm(a, mesh, prefer: str | None = None):
     operands), or ``"csr"`` (generic gather blocks — the CPU default).
     Run with :func:`dist_plan_spmm`; shard the dense operand with
     :func:`partition_spmm_operand`."""
-    import numpy as np
     from spblas_tpu.formats.convert import to_csr
     from spblas_tpu.types import on_tpu
 
@@ -221,17 +231,7 @@ def partition_spmm(a, mesh, prefer: str | None = None):
         if not on_tpu():
             prefer = "csr"
         else:
-            m, n = a.shape
-            nnz = int(a.nnz)
-            colind = np.asarray(a.colind)[:nnz].astype(np.int64)
-            rows = np.repeat(np.arange(m, dtype=np.int64),
-                             np.diff(np.minimum(
-                                 np.asarray(a.rowptr).astype(np.int64),
-                                 nnz)))
-            bw = int(np.abs(colind - rows).max()) if nnz else 0
-            band_fill = nnz / max(m * (2 * bw + 1), 1)
-            prefer = ("band" if m == n and bw <= 512
-                      and band_fill >= 0.25 else "sell")
+            prefer = "band" if _banded_enough(a) else "sell"
     if prefer == "band":
         from spblas_tpu.parallel.banded import partition_band
         return "band", partition_band(a, mesh)

@@ -332,7 +332,6 @@ def generate_block_chain_lower(m, block=64, deg=4, seed=0,
     algorithms/triangular_solve_impl.hpp:44-93).  Diagonal dominant so
     substitution is well-conditioned."""
     rng = np.random.default_rng(seed)
-    nb = -(-m // block)
     rows_i = np.arange(m, dtype=np.int64)
     blk = rows_i // block
     dep_rows = np.repeat(rows_i[blk > 0], deg)
@@ -352,7 +351,6 @@ def generate_block_chain_lower(m, block=64, deg=4, seed=0,
     out_vals = np.zeros(int(grp[-1]) + 1, np.float64)
     np.add.at(out_vals, grp, vals)
     rows, cols = rows[head], cols[head]
-    assert nb == -(-m // block)
     return CSR.from_arrays(out_vals.astype(dtype),
                            _rows_to_rowptr(rows, m), cols, (m, m),
                            nnz=len(rows))

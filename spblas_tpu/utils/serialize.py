@@ -93,7 +93,12 @@ def _rebuild(prefix, z, classes, static, tuples):
     for f in dataclasses.fields(cls):
         key = f"{prefix}{f.name}"
         if f.metadata.get("static"):
-            kwargs[f.name] = _from_jsonable(static[key])
+            # static fields added after a plan was saved fall back to
+            # the dataclass default (e.g. pre-round-4 Route2Plan files
+            # lack row_window_mult/has_hub — the versioning contract in
+            # kernels/route2.py's field comments)
+            if key in static:
+                kwargs[f.name] = _from_jsonable(static[key])
         elif key in tuples:
             items = []
             for i in range(tuples[key]):

@@ -136,6 +136,51 @@ def test_route2_update_values_reuse():
     assert_close(np.asarray(route2_spmv(plan2, jnp.asarray(x))), a2 @ x)
 
 
+@pytest.mark.parametrize("hub_deg,ww", [(256, None), (256, 8)])
+def test_route2_hub_split_oracle(hub_deg, ww):
+    """Explicit hub-split plans (flag-2 identity-lane chunks that
+    full-sum to one scalar, round 4) against the dense oracle through
+    the simulator AND the interpret kernel — with the low-degree
+    remainder on classic chunks, and coexisting with supercell
+    publishes (ww=8).  CLAUDE.md: every numeric path needs a
+    dense-oracle test; this one previously lived only in
+    benchmarks/dev/rmat_hub_ab.py."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(13)
+    m = n = 16_384
+    # three genuinely dense rows (deg >> hub_deg) + sparse remainder
+    hub_rows = np.repeat(np.array([5, 4000, 12_001]), 2000)
+    hub_cols = np.concatenate([rng.permutation(n)[:2000]
+                               for _ in range(3)])
+    lo_rows = rng.integers(0, m, 30_000)
+    lo_cols = rng.integers(0, n, 30_000)
+    rows = np.concatenate([hub_rows, lo_rows])
+    cols = np.concatenate([hub_cols, lo_cols])
+    v = rng.standard_normal(len(rows)).astype(np.float32)
+    a = sp.coo_matrix((v, (rows, cols)), shape=(m, n)).tocsr()
+    a.sum_duplicates()
+    plan = build_route2_plan(a.indptr, a.indices, a.data, (m, n),
+                             a.nnz, hub_deg=hub_deg, row_window_mult=ww)
+    assert plan.has_hub
+    if ww is not None:
+        assert plan.row_window_mult == ww
+    x = rng.standard_normal(n).astype(np.float32)
+    want = a @ x
+    floor = 1e-4 * float(np.abs(want).max() + 1)
+    assert_close(route2_spmv_numpy(plan, x), want, abs_floor=floor)
+    assert_close(np.asarray(route2_spmv(plan, jnp.asarray(x))), want,
+                 abs_floor=floor)
+    # values refresh must preserve the hub/aux carrier slots too
+    vals2 = rng.standard_normal(a.nnz).astype(np.float32)
+    a2 = a.copy()
+    a2.data = vals2
+    want2 = a2 @ x
+    floor2 = 1e-4 * float(np.abs(want2).max() + 1)
+    plan2 = plan.update_values(jnp.asarray(vals2))
+    assert_close(np.asarray(route2_spmv(plan2, jnp.asarray(x))), want2,
+                 abs_floor=floor2)
+
+
 def test_route2_update_values_preserves_aux_carriers():
     """values-refresh on an aux-bearing plan must keep the baked 1.0
     reduction multipliers (val_src = -1 slots).  The round-4 regression:

@@ -152,3 +152,44 @@ def test_paned_plan_round_trip(tmp_path):
     y1 = np.asarray(route_paned_spmv(plan, x))[:m]
     y2 = np.asarray(route_paned_spmv(plan2, x))[:m]
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_load_plan_missing_static_fields_use_defaults(tmp_path):
+    """Plans saved before new static fields existed must load with the
+    dataclass defaults (the versioning contract in Route2Plan's
+    any_lane/row_window_mult field comments).  Round-4 regression:
+    _rebuild KeyError'd on any missing static key."""
+    import json
+    from spblas_tpu.kernels.route2 import build_route2_plan
+    from spblas_tpu.kernels.route2_kernel import route2_spmv
+    import jax.numpy as jnp
+
+    a = generate_csr(300, 300, 2000, seed=11)
+    plan = build_route2_plan(np.asarray(a.rowptr), np.asarray(a.colind),
+                             np.asarray(a.values), (300, 300),
+                             int(a.nnz))
+    # the fixture must genuinely pack at the legacy geometry, else
+    # stripping the keys below would change semantics, not just format
+    assert plan.row_window_mult == 1 and not plan.has_hub \
+        and not plan.any_lane
+    p = str(tmp_path / "r2.npz")
+    save_plan(p, plan)
+    # simulate a pre-round-4 file: strip the round-4 static keys
+    with np.load(p, allow_pickle=False) as z:
+        payload = {k: z[k] for k in z.files}
+    static = json.loads(str(payload["__static__"]))
+    for k in ("row_window_mult", "has_hub", "any_lane", "dist_max"):
+        static.pop(k, None)
+    payload["__static__"] = np.str_(json.dumps(static))
+    np.savez(p, **payload)
+    plan2 = load_plan(p)
+    assert plan2.row_window_mult == 1 and not plan2.has_hub \
+        and not plan2.any_lane and plan2.dist_max == 7
+    x = generate_vector(300, seed=12)
+    # defaults must also be semantically right for a legacy plan:
+    # the fixture packs with ww=1/no hub, so the apply matches
+    np.testing.assert_allclose(
+        np.asarray(route2_spmv(plan2.update_values(a.values),
+                               jnp.asarray(np.asarray(x)))),
+        np.asarray(route2_spmv(plan, jnp.asarray(np.asarray(x)))),
+        rtol=1e-5, atol=1e-5)
