@@ -176,6 +176,29 @@ class Route2Plan:
 SUPERCELL_TARGET = 8192.0
 
 
+def _tile_dist_max(tiles: np.ndarray) -> int:
+    """max of the 3-bit dist field over a (n, 8, 128) tile array.
+
+    The obvious ``((tiles >> B_DIST) & 7).max()`` materializes two
+    full-size temporaries; on multi-100-MB freshly-written tile planes
+    the allocation first-touch made it ~1 s/panel of the mul-engine
+    build (round-4 profile).  A reused 16 MB scratch runs at memcpy
+    speed instead."""
+    n = tiles.shape[0]
+    if not tiles.size:
+        return 0
+    mask = np.int32(7 << B_DIST)
+    step = 4096
+    buf = np.empty((min(step, n),) + tiles.shape[1:], np.int32)
+    dm = 0
+    for i in range(0, n, step):
+        blk = tiles[i:i + step]
+        b = buf[:blk.shape[0]]
+        np.bitwise_and(blk, mask, out=b)
+        dm = max(dm, int(b.max()))
+    return dm >> B_DIST
+
+
 def pick_row_window_mult(e_cell: float, max_rows: int | None = None) -> int:
     """Supercell height auto-gate (round 4) — ONE copy, shared by the
     resident builder, the paned builder (kernels/route_paned.py) and
@@ -406,7 +429,7 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     x_rows = max(-(-total_slots // LANES), 1)
     x_rows = -(-x_rows // (SUBS * g)) * (SUBS * g)
     tiles_np = state.tiles.stack()
-    dist_max = int(((tiles_np >> B_DIST) & 7).max()) if nchunks else 0
+    dist_max = _tile_dist_max(tiles_np) if nchunks else 0
     return dict(
         tiles=tiles_np, vals=state.vals.stack().astype(dtype,
                                                        copy=False),
@@ -652,7 +675,7 @@ def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
     x_rows = max(pane_rows, SUBS * g)
     x_rows = -(-x_rows // (SUBS * g)) * (SUBS * g)
     tiles_np = state.tiles.stack()
-    dist_max = int(((tiles_np >> B_DIST) & 7).max()) if nchunks else 0
+    dist_max = _tile_dist_max(tiles_np) if nchunks else 0
     from spblas_tpu.utils.placement import device_put_batch
     tile, val, sb_d, yb_d, flags_d, srcs_d, ext_d = device_put_batch(
         tiles_np, state.vals.stack(),
@@ -1759,8 +1782,13 @@ def _build_route2_mul_arrays(slots, src_a, src_b, a_len: int,
     if not state.n:
         state.append_empty()
 
-    t1_np = np.concatenate(state.t1)
-    t2_np = np.concatenate(state.t2)
+    # single-block states keep the packer's buffer view — the
+    # len-1 concatenate was a 120 MB fresh-page copy per panel
+    # (round-4 profile: ~0.75 s/panel of the mul-engine build)
+    t1_np = state.t1[0] if len(state.t1) == 1 else \
+        np.concatenate(state.t1)
+    t2_np = state.t2[0] if len(state.t2) == 1 else \
+        np.concatenate(state.t2)
     ab_np = state.ab.stack()
     bb_np = state.bb.stack()
     yb_np = state.yb.stack()
@@ -1787,7 +1815,7 @@ def _build_route2_mul_arrays(slots, src_a, src_b, a_len: int,
     b_rows = -(-max(b_len, 1) // LANES)
     b_rows = -(-b_rows // (SUBS * g_b)) * (SUBS * g_b)
     record_phase("route2_mul", "aux_s", _time.perf_counter() - _t0)
-    dist_max = int(((t1_np >> B_DIST) & 7).max()) if nchunks else 0
+    dist_max = _tile_dist_max(t1_np) if nchunks else 0
     return dict(
         t1=t1_np, t2=t2_np,
         ab=ab_np, bb=bb_np, flags=flags_np, yb=yb_np,
