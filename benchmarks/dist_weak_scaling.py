@@ -1,4 +1,4 @@
-"""Weak-scaling harness for the distributed banded SpMV.
+"""Weak-scaling harness for the distributed SpMV paths.
 
 BASELINE.json's north star asks for >=70% weak-scaling efficiency from
 1 host to N>=2 hosts.  Real multi-chip hardware isn't attached to this
@@ -12,7 +12,12 @@ ppermute pipeline, timing) is exactly what a pod run uses:
 
 Usage (faked mesh):
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-  JAX_PLATFORMS=cpu python benchmarks/dist_weak_scaling.py
+  JAX_PLATFORMS=cpu python benchmarks/dist_weak_scaling.py [band|route]
+
+``band`` (default) scales the halo band pipeline; ``route`` scales the
+unstructured per-shard ROUTE2 path through the round-4 chooser surface
+(partition_spmv / dist_plan_spmv) — the same two entry points a pod
+run uses.
 """
 
 import time
@@ -56,17 +61,59 @@ def measure(p: int) -> float:
     return best / ITERS
 
 
+DEG = 10
+
+
+def measure_route(p: int) -> float:
+    """Unstructured weak scaling through the chooser surface
+    (partition_spmv with the TPU-default per-shard ROUTE2 selection,
+    forced via ``prefer`` on the CPU mesh)."""
+    from spblas_tpu.parallel import (dist_plan_spmv, partition_spmv,
+                                     partition_spmv_vector)
+    from spblas_tpu.utils.generate import generate_csr
+
+    mesh = make_row_mesh(p, devices=jax.devices()[:p])
+    m = ROWS_PER_DEVICE * p
+    a = generate_csr(m, m, DEG * m, seed=0)
+    kind, plan = partition_spmv(a, mesh, prefer="route")
+    x = partition_spmv_vector((kind, plan),
+                              jnp.ones((m,), jnp.float32), mesh)
+
+    @jax.jit
+    def chain(plan, v):
+        def body(_, u):
+            y = dist_plan_spmv((kind, plan), u, mesh)
+            return y / jnp.float32(DEG)
+        return jax.lax.fori_loop(0, ITERS, body, v)
+
+    jax.block_until_ready(chain(plan, x))
+    best = float("inf")
+    for r in range(3):
+        xr = x + jnp.float32(1e-3 * (r + 1))
+        jax.block_until_ready(xr)
+        t0 = time.perf_counter()
+        out = chain(plan, xr)
+        jax.block_until_ready(out)
+        float(np.asarray(out)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / ITERS
+
+
 def main():
+    import sys
+    mode = sys.argv[1] if len(sys.argv) > 1 else "band"
+    fn = measure_route if mode == "route" else measure
     pmax = jax.device_count()
-    t1 = measure(1)
-    print(f"p=1: {t1*1e3:.2f} ms/iter (rows/device={ROWS_PER_DEVICE})")
+    t1 = fn(1)
+    print(f"[{mode}] p=1: {t1*1e3:.2f} ms/iter "
+          f"(rows/device={ROWS_PER_DEVICE})")
     for p in (2, 4, pmax):
         if p <= 1 or p > pmax:
             continue
-        tp = measure(p)
+        tp = fn(p)
         eff = t1 / tp
-        print(f"p={p}: {tp*1e3:.2f} ms/iter, weak-scaling efficiency "
-              f"{eff:.2f}")
+        print(f"[{mode}] p={p}: {tp*1e3:.2f} ms/iter, weak-scaling "
+              f"efficiency {eff:.2f}")
 
 
 if __name__ == "__main__":
