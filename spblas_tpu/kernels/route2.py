@@ -971,9 +971,10 @@ def _pack_cells_native(lrow, lcol, vals, ent, starts, ends, cell_sb,
      elem_scat, n_windows, aux_slot, aux_lrow, aux_cell,
      spill_idx) = nat
     # group val/src tiles (chunk copies share their group's values).
-    # SPILLED elements were never committed — their elem_group/scat
-    # entries are uninitialized zeros and must not scatter (they would
-    # corrupt group 0's (0,0) slot); the native fill skips them
+    # SPILLED elements were never committed — the packer zeroes their
+    # elem_group/scat entries (the buffers come from np.empty) and they
+    # must not scatter (they would corrupt group 0's (0,0) slot); the
+    # native fill skips them via spill_idx
     ngroup = int(chunk_group.max()) + 1 if nch else 0
     ft = native.fill_group_tiles(ngroup, elem_group, elem_scat,
                                  vals, ent, spill_idx=spill_idx)

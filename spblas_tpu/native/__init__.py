@@ -53,16 +53,24 @@ def get_lib():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_LIB) or (
-                os.path.getmtime(_LIB) < max(os.path.getmtime(_SRC),
-                                             os.path.getmtime(_SRC2),
-                                             os.path.getmtime(_SRC3),
-                                             os.path.getmtime(_SRC4))):
+        # a deployment may ship the built .so without the sources:
+        # treat missing sources as "no rebuild needed" instead of
+        # raising from getmtime (graceful-degradation contract)
+        src_mtime = max((os.path.getmtime(s)
+                         for s in (_SRC, _SRC2, _SRC3, _SRC4)
+                         if os.path.exists(s)), default=0.0)
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
             if not _build():
                 _build_failed = True
                 return None
-        lib = ctypes.CDLL(_LIB)
-        _declare(lib)
+        try:
+            lib = ctypes.CDLL(_LIB)
+            _declare(lib)
+        except OSError as e:
+            print(f"spblas_tpu.native: load failed ({e}); using numpy "
+                  "fallbacks", file=sys.stderr)
+            _build_failed = True
+            return None
         _lib = lib
     return _lib
 
@@ -89,7 +97,7 @@ def _declare(lib):
     lib.spblas_spgemm_symbolic.argtypes = [i64, i64, i64, i64, i64p, i32p,
                                            i64p, i32p, i64p]
     lib.spblas_mm_read.restype = i64
-    lib.spblas_mm_read.argtypes = [charp, i64p, ctypes.c_void_p,
+    lib.spblas_mm_read.argtypes = [charp, i64, i64p, ctypes.c_void_p,
                                    ctypes.c_void_p, ctypes.c_void_p]
     lib.spblas_coo_to_csr.restype = None
     lib.spblas_coo_to_csr.argtypes = [i64, i64, i32p, i32p, f64p, i64p]
@@ -174,7 +182,13 @@ def ell_geometry(m, m_pad, nnz, rowptr, colind, width=0):
     valid = np.zeros((m_pad, w), bool)
     valid[:m] = np.arange(w)[None, :] < lengths[:, None]
     gather = np.where(valid, gather, 0)
-    cols = np.where(valid, colind[np.minimum(gather, max(nnz - 1, 0))], 0)
+    if nnz and len(colind):
+        cols = np.where(valid,
+                        colind[np.minimum(gather, max(nnz - 1, 0))], 0)
+    else:
+        # np.where evaluates both branches: an empty colind would
+        # IndexError even though valid is all-False
+        cols = np.zeros_like(gather)
     return gather.astype(np.int32), cols.astype(np.int32), valid, w
 
 
@@ -271,7 +285,8 @@ def mm_read(path: str):
     lib = get_lib()
     if lib is not None:
         shape = np.zeros(2, np.int64)
-        n = int(lib.spblas_mm_read(path.encode(), shape, None, None, None))
+        n = int(lib.spblas_mm_read(path.encode(), 0, shape,
+                                   None, None, None))
         if n == -6:
             raise ValueError(
                 f"mm_read({path}): complex Matrix Market files are not "
@@ -281,8 +296,11 @@ def mm_read(path: str):
         rows = np.zeros(max(n, 1), np.int32)
         cols = np.zeros(max(n, 1), np.int32)
         vals = np.zeros(max(n, 1), np.float64)
+        # the fill pass is bounded by the count pass's capacity: a file
+        # that changed between the two calls returns -7 instead of
+        # overrunning the buffers
         n2 = int(lib.spblas_mm_read(
-            path.encode(), shape,
+            path.encode(), n, shape,
             rows.ctypes.data_as(ctypes.c_void_p),
             cols.ctypes.data_as(ctypes.c_void_p),
             vals.ctypes.data_as(ctypes.c_void_p)))
@@ -295,7 +313,8 @@ def mm_read(path: str):
 
 def _mm_read_py(path: str):
     with open(path) as f:
-        header = f.readline()
+        # the MM banner is case-insensitive per the spec
+        header = f.readline().lower()
         if "coordinate" not in header:
             raise ValueError("only coordinate Matrix Market supported")
         if "complex" in header:
@@ -704,6 +723,10 @@ def gather_tiles_fill(idx, src, fill_tile):
         return None
     idx = np.ascontiguousarray(idx, np.int32)
     src = np.ascontiguousarray(src)
+    if src.itemsize != 4:
+        # the native kernel memcpys 4096-byte tiles; wider dtypes must
+        # take the caller's numpy fallback (mirrors gather()'s guard)
+        return None
     fill_tile = np.ascontiguousarray(fill_tile, src.dtype)
     n = len(idx)
     dst = np.empty((n, 8, 128), src.dtype)

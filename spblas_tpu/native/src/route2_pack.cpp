@@ -77,48 +77,20 @@ struct AuxAlloc {
   }
 };
 
-struct Chunk {
-  uint8_t acl[LANES], acj[LANES];  // bitmask over colors a
-  int8_t depth[LANES];
-  uint64_t rows_pub[MAX_ROW_WINDOW / 64];  // bitmask over local rows
-  // any-lane pend carriers: bitmask over (pub_sublane, acc_lane) —
-  // one direct publish per carrier slot (aux pubs are lane-matched
-  // and carry pend at their own slot, no bookkeeping needed)
-  uint64_t carrier[16];
-  // edge hash: key = col*128+jd -> color; colcolor hash: col -> mask
+// open-addressing edge/color hashes shared by the SpMV Chunk and the
+// mul-engine MulSide — ONE copy (a probing or sizing fix must hit
+// both).  edge hash: key = col*128+jd -> color; colcolor hash:
+// col -> color mask.
+struct EdgeColorHash {
   static constexpr int EH = 4096;  // power of two, >= 2*1024
   int64_t eh_key[EH]; int8_t eh_val[EH];
   static constexpr int CH = 2048;
   int32_t ch_key[CH]; uint8_t ch_val[CH];
-  std::vector<Elem> elems;
-  std::vector<Pub> pubs;
-  std::vector<AuxPub> aux_pubs;
-  int64_t cold = 0;
 
-  void reset() {
-    std::memset(acl, 0, sizeof acl);
-    std::memset(acj, 0, sizeof acj);
-    std::memset(depth, 0, sizeof depth);
-    std::memset(rows_pub, 0, sizeof rows_pub);
-    std::memset(carrier, 0, sizeof carrier);
+  void reset_tables() {
     std::memset(eh_key, -1, sizeof eh_key);
     std::memset(ch_key, -1, sizeof ch_key);
-    elems.clear(); pubs.clear(); aux_pubs.clear();
-    cold = 0;
   }
-  bool carrier_free(int s_pub, int jd) const {
-    int b = s_pub * LANES + jd;
-    return !((carrier[b >> 6] >> (b & 63)) & 1);
-  }
-  void carrier_set(int s_pub, int jd) {
-    int b = s_pub * LANES + jd;
-    carrier[b >> 6] |= 1ull << (b & 63);
-  }
-  bool row_published(int r) const {
-    return (rows_pub[r >> 6] >> (r & 63)) & 1;
-  }
-  void set_row_published(int r) { rows_pub[r >> 6] |= 1ull << (r & 63); }
-
   int eh_find(int64_t key) const {
     int h = (int)((key * 0x9E3779B97F4A7C15ull) >> 52) & (EH - 1);
     while (eh_key[h] != -1) {
@@ -151,6 +123,43 @@ struct Chunk {
     }
     ch_key[h] = col; ch_val[h] = bit;
   }
+};
+
+struct Chunk : EdgeColorHash {
+  uint8_t acl[LANES], acj[LANES];  // bitmask over colors a
+  int8_t depth[LANES];
+  uint64_t rows_pub[MAX_ROW_WINDOW / 64];  // bitmask over local rows
+  // any-lane pend carriers: bitmask over (pub_sublane, acc_lane) —
+  // one direct publish per carrier slot (aux pubs are lane-matched
+  // and carry pend at their own slot, no bookkeeping needed)
+  uint64_t carrier[16];
+  std::vector<Elem> elems;
+  std::vector<Pub> pubs;
+  std::vector<AuxPub> aux_pubs;
+  int64_t cold = 0;
+
+  void reset() {
+    std::memset(acl, 0, sizeof acl);
+    std::memset(acj, 0, sizeof acj);
+    std::memset(depth, 0, sizeof depth);
+    std::memset(rows_pub, 0, sizeof rows_pub);
+    std::memset(carrier, 0, sizeof carrier);
+    reset_tables();
+    elems.clear(); pubs.clear(); aux_pubs.clear();
+    cold = 0;
+  }
+  bool carrier_free(int s_pub, int jd) const {
+    int b = s_pub * LANES + jd;
+    return !((carrier[b >> 6] >> (b & 63)) & 1);
+  }
+  void carrier_set(int s_pub, int jd) {
+    int b = s_pub * LANES + jd;
+    carrier[b >> 6] |= 1ull << (b & 63);
+  }
+  bool row_published(int r) const {
+    return (rows_pub[r >> 6] >> (r & 63)) & 1;
+  }
+  void set_row_published(int r) { rows_pub[r >> 6] |= 1ull << (r & 63); }
 
   // longest feasible PREFIX of the segment at lane jd (depth- and
   // color-capped); fills as_* with the prefix's new-edge assignments
@@ -482,10 +491,18 @@ bool pack_cells_range(
       };
 
       // overflow spill: beyond the cell's chunk budget, emit the
-      // remaining elements for window-major repacking
+      // remaining elements for window-major repacking.  Zero the
+      // spilled entries' group slots too: downstream skips them via
+      // spill_idx, but the merge phase blindly adds a thread offset to
+      // every elem_chunk in its range and must not do arithmetic on
+      // indeterminate np.empty bytes (UB under signed overflow).
       auto spill_rest = [&](int off2) {
-        for (int k = off2; k < len; ++k)
-          spill.push_back((int32_t)(a0 + seg_start[s] + k));
+        for (int k = off2; k < len; ++k) {
+          int64_t idx = a0 + seg_start[s] + k;
+          spill.push_back((int32_t)idx);
+          out.elem_chunk[idx] = 0;
+          out.elem_scat[idx] = 0;
+        }
       };
 
       // ---- direct publish of the segment head (non-hub, non-spill):
@@ -669,8 +686,9 @@ extern "C" int64_t spblas_route2_pack(
       chunk_group[choff[t] + i] = (int32_t)(goff[t] + o.chunk_group[i]);
     }
     if (goff[t]) {
-      // group ids were thread-local; spilled entries hold garbage but
-      // are skipped downstream (spill_idx), so the blind add is safe
+      // group ids were thread-local; spilled entries were zeroed at
+      // spill time (spill_rest), so every slot in the range holds a
+      // defined value and the blind add cannot overflow
       int64_t e0 = cell_start[cuts[t]], e1 = cell_start[cuts[t + 1]];
       for (int64_t k = e0; k < e1; ++k)
         elem_chunk[k] += (int32_t)goff[t];
@@ -710,50 +728,13 @@ namespace {
 
 constexpr int B2_R2 = 0, B2_LF = 8, B2_SD2 = 15;
 
-struct MulSide {
+struct MulSide : EdgeColorHash {
   uint8_t acl[LANES], acj[LANES];
-  static constexpr int EH = 4096;
-  int64_t eh_key[EH]; int8_t eh_val[EH];
-  static constexpr int CH = 2048;
-  int32_t ch_key[CH]; uint8_t ch_val[CH];
 
   void reset() {
     std::memset(acl, 0, sizeof acl);
     std::memset(acj, 0, sizeof acj);
-    std::memset(eh_key, -1, sizeof eh_key);
-    std::memset(ch_key, -1, sizeof ch_key);
-  }
-  int eh_find(int64_t key) const {
-    int h = (int)((key * 0x9E3779B97F4A7C15ull) >> 52) & (EH - 1);
-    while (eh_key[h] != -1) {
-      if (eh_key[h] == key) return eh_val[h];
-      h = (h + 1) & (EH - 1);
-    }
-    return -1;
-  }
-  void eh_insert(int64_t key, int a) {
-    int h = (int)((key * 0x9E3779B97F4A7C15ull) >> 52) & (EH - 1);
-    while (eh_key[h] != -1) {
-      if (eh_key[h] == key) { eh_val[h] = (int8_t)a; return; }
-      h = (h + 1) & (EH - 1);
-    }
-    eh_key[h] = key; eh_val[h] = (int8_t)a;
-  }
-  uint8_t ch_get(int32_t col) const {
-    int h = (int)((uint32_t)col * 2654435761u >> 21) & (CH - 1);
-    while (ch_key[h] != -1) {
-      if (ch_key[h] == col) return ch_val[h];
-      h = (h + 1) & (CH - 1);
-    }
-    return 0;
-  }
-  void ch_or(int32_t col, uint8_t bit) {
-    int h = (int)((uint32_t)col * 2654435761u >> 21) & (CH - 1);
-    while (ch_key[h] != -1) {
-      if (ch_key[h] == col) { ch_val[h] |= bit; return; }
-      h = (h + 1) & (CH - 1);
-    }
-    ch_key[h] = col; ch_val[h] = bit;
+    reset_tables();
   }
 
   // tentative routing of this side's columns at lane jd (all-or-
@@ -938,9 +919,7 @@ bool flush_mul_chunk(MulChunk& ck, int cell, MulOut& out,
         int local = (int)(p->abs_slot - w * SLOTS);
         d1[local] |= (int32_t)((p->pend << B_PEND) | (1 << B_VA));
       }
-      if (!out.add(cell, (int32_t)w, b1, b2)) return false;
-      std::memcpy(out.t1.data() + (out.nch - 1) * SLOTS, d1,
-                  SLOTS * sizeof(int32_t));
+      if (!out.add(cell, (int32_t)w, d1, b2)) return false;
     }
   }
   if (pending)

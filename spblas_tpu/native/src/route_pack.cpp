@@ -80,11 +80,8 @@ struct Colorer {
       dl[e] = dst[e] % LANES;
       color[e] = 0;
     }
-    static thread_local std::vector<int32_t> ids, half_a, half_b;
-    ids.resize(SLOTS);
-    for (int e = 0; e < SLOTS; ++e) ids[e] = e;
+    static thread_local std::vector<int32_t> half_a;
     // 3 levels of euler splitting: bits 2,1,0 of the color
-    std::vector<int32_t> cur = ids, nxtv;
     for (int level = 0; level < 3; ++level) {
       // group edges by the color bits already fixed (above `level`)
       // simple approach: bucket by color>>(3-level)
@@ -245,7 +242,6 @@ int64_t spblas_route_pack(
         }
         // permute1: gather -> scatter (pads fill the bijection)
         {
-          int gi = 0, si = 0;
           for (int p = 0; p < n_real; ++p) {
             gsrc[p] = gposv[p];
             gdst[p] = sposv[p];
@@ -256,8 +252,6 @@ int64_t spblas_route_pack(
           p = n_real;
           for (int q = 0; q < SLOTS; ++q)
             if (!used_s[q]) gdst[p++] = q;
-          (void)gi;
-          (void)si;
           col.route(gsrc, gdst, q1, q2, q3);
           for (int q = 0; q < SLOTS; ++q)
             T1[q] |= (q1[q] << 13) | (q2[q] << 16) | (q3[q] << 23);

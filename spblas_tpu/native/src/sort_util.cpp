@@ -85,14 +85,24 @@ extern "C" int64_t spblas_argsort_i64(
   if (n == 0) return 0;
   int nt = nthreads_for(n);
 
-  // max key -> number of 8-bit passes
+  // max key -> number of 8-bit passes.  The same scan rejects negative
+  // keys (return -2 -> callers fall back to np.argsort): LSD radix on
+  // two's-complement would SILENTLY order negatives after positives,
+  // and a caller's packed-key overflow must not become a mis-sorted
+  // plan.
   std::vector<int64_t> mx(nt ? nt : 1, 0);
+  std::vector<int64_t> mn(nt ? nt : 1, 0);
   parallel_blocks(n, nt, [&](int t, int64_t b0, int64_t b1) {
-    int64_t m = 0;
-    for (int64_t i = b0; i < b1; ++i)
+    int64_t m = 0, lo = 0;
+    for (int64_t i = b0; i < b1; ++i) {
       if (key[i] > m) m = key[i];
+      if (key[i] < lo) lo = key[i];
+    }
     mx[t] = m;
+    mn[t] = lo;
   });
+  for (int64_t v : mn)
+    if (v < 0) return -2;
   int64_t maxkey = 0;
   for (int64_t v : mx) maxkey = std::max(maxkey, v);
   int passes = 1;

@@ -13,6 +13,7 @@
 // offsets int64 for safety in intermediate sums.
 
 #include <algorithm>
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -165,13 +166,19 @@ int64_t spblas_spgemm_symbolic(int64_t m, int64_t n, int64_t nnz_a,
 // Call 2: fill COO arrays (0-based, duplicates preserved, symmetric
 // entries expanded).  Returns -errno-style negative codes on failure.
 // ----------------------------------------------------------------- //
-int64_t spblas_mm_read(const char* path, int64_t* out_shape,
+int64_t spblas_mm_read(const char* path, int64_t capacity,
+                       int64_t* out_shape,
                        int32_t* out_rows, int32_t* out_cols,
                        double* out_vals) {
   FILE* f = std::fopen(path, "r");
   if (!f) return -1;
   char line[1024];
   if (!std::fgets(line, sizeof line, f)) { std::fclose(f); return -2; }
+  // the MM spec makes the banner case-insensitive ("%%MatrixMarket
+  // matrix coordinate Real General" is valid) — lowercase before the
+  // keyword checks
+  for (char* p = line; *p; ++p)
+    *p = (char)std::tolower((unsigned char)*p);
   bool pattern = std::strstr(line, "pattern") != nullptr;
   bool symmetric = std::strstr(line, "symmetric") != nullptr ||
                    std::strstr(line, "skew-symmetric") != nullptr ||
@@ -220,6 +227,13 @@ int64_t spblas_mm_read(const char* path, int64_t* out_shape,
     int got = pattern ? std::sscanf(line, "%ld %ld", &i, &j)
                       : std::sscanf(line, "%ld %ld %lf", &i, &j, &v);
     if (got < 2) { std::fclose(f); return -5; }
+    // the fill pass re-parses the file: bound writes by the capacity
+    // the caller allocated from the count pass (a file that changed
+    // between the calls must fail, not overrun the buffers)
+    if (w + ((symmetric && i != j) ? 2 : 1) > capacity) {
+      std::fclose(f);
+      return -7;
+    }
     out_rows[w] = static_cast<int32_t>(i - 1);
     out_cols[w] = static_cast<int32_t>(j - 1);
     out_vals[w] = v;

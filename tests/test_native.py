@@ -302,3 +302,61 @@ class TestSortUtil:
         np.testing.assert_array_equal(
             native.expand_rowptr(500, nnz, rp),
             np.repeat(np.arange(500), np.diff(rp)))
+
+
+class TestReviewHardening:
+    """Round-4 native-layer review findings (case-insensitive MM
+    banner, argsort negative-key rejection, fallback robustness)."""
+
+    def test_mm_banner_case_insensitive(self, tmp_path):
+        # the MM spec makes the banner case-insensitive; a capitalized
+        # "Symmetric" silently parsed as general (dropping the mirrored
+        # entries) before the fix
+        p = tmp_path / "sym.mtx"
+        p.write_text("%%MatrixMarket matrix coordinate real Symmetric\n"
+                     "3 3 3\n1 1 2.0\n2 1 -1.5\n3 3 4.0\n")
+        rows, cols, vals, shape = native.mm_read(str(p))
+        assert shape == (3, 3) and len(rows) == 4
+        dense = np.zeros((3, 3))
+        np.add.at(dense, (rows, cols), vals)
+        assert dense[0, 1] == -1.5 and dense[1, 0] == -1.5
+        # pure-python fallback agrees
+        r2 = native._mm_read_py(str(p))
+        assert len(r2[0]) == 4
+
+        p2 = tmp_path / "gen.mtx"
+        p2.write_text("%%MatrixMarket MATRIX Coordinate Real General\n"
+                      "2 2 1\n2 1 5.0\n")
+        rows, cols, vals, shape = native.mm_read(str(p2))
+        assert len(rows) == 1 and vals[0] == 5.0
+
+    def test_argsort_rejects_negative_keys(self):
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        # LSD radix on two's-complement would order negatives after
+        # positives; the wrapper must return None (numpy fallback)
+        assert native.argsort_i64(
+            np.array([5, -3, 2, -7, 9, 0], np.int64)) is None
+        key = np.array([5, 3, 2, 7, 9, 0], np.int64)
+        order, sk = native.argsort_i64(key)
+        np.testing.assert_array_equal(order,
+                                      np.argsort(key, kind="stable"))
+        np.testing.assert_array_equal(sk, np.sort(key))
+
+    def test_ell_geometry_empty_fallback(self, monkeypatch):
+        # the numpy fallback indexed an empty colind even though every
+        # slot was invalid (np.where evaluates both branches)
+        monkeypatch.setattr(native, "get_lib", lambda: None)
+        gather, cols, valid, w = native.ell_geometry(
+            3, 3, 0, np.zeros(4, np.int64), np.zeros(0, np.int32))
+        assert not valid.any() and cols.shape == gather.shape
+
+    def test_gather_tiles_fill_itemsize_guard(self):
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        # f64 tiles are 8192 B; the 4096-B native memcpy must refuse
+        # (None -> caller's numpy fallback), not return garbage
+        t = np.arange(2 * 8 * 128, dtype=np.float64).reshape(2, 8, 128)
+        fill = np.zeros((8, 128), np.float64)
+        assert native.gather_tiles_fill(
+            np.array([0, 1], np.int32), t, fill) is None
