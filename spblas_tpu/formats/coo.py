@@ -51,6 +51,16 @@ class COO:
         if capacity is None:
             capacity = max(_t.quantize_capacity(nnz_i), int(values.shape[0]))
         capacity = int(capacity)
+        if int(values.shape[0]) > nnz_i:
+            # caller-supplied oversized buffers (the reference's
+            # user-allocates-bigger handshake) may carry stale tail
+            # entries; COO numerics have no mask, so enforce the
+            # canonical zero padding here (round-4 review)
+            live = jnp.arange(int(values.shape[0]),
+                              dtype=jnp.int32) < nnz_i
+            values = jnp.where(live, values, 0)
+            rowind = jnp.where(live, rowind, 0)
+            colind = jnp.where(live, colind, 0)
         return cls(values=_pad_to(values, capacity),
                    rowind=_pad_to(rowind, capacity),
                    colind=_pad_to(colind, capacity),
@@ -101,6 +111,13 @@ class COO:
                 raise ValueError("colind out of range")
             if np.any(np.diff(rowind) < 0):
                 raise ValueError("COO entries not grouped by row")
+        # canonical padding: COO numeric paths have no entry mask, so
+        # a stale padded entry silently contributes (round-4 review)
+        if np.asarray(self.values)[nnz:].any():
+            raise ValueError("COO padding carries nonzero values")
+        if (np.asarray(self.rowind)[nnz:].any()
+                or np.asarray(self.colind)[nnz:].any()):
+            raise ValueError("COO padding carries nonzero indices")
 
     def __repr__(self):
         return (f"COO(shape={self.shape}, capacity={self.capacity}, "
@@ -117,7 +134,10 @@ def csr_to_coo(a: CSR) -> COO:
 
 
 def csc_to_coo(a: CSC) -> COO:
-    """CSC → COO sorted *column*-major; callers needing row-major must
-    re-sort (see ops.transpose)."""
-    return COO(values=a.values, rowind=a.rowind, colind=a.col_ids(),
-               nnz=a.nnz, shape=a.shape)
+    """CSC → COO with the class invariants intact (row-major live
+    entries, canonical zero padding).  The old direct reinterpretation
+    returned column-major entries with sentinel padding — both
+    invariant violations (round-4 review); delegate to the conversion
+    layer's re-sort instead."""
+    from spblas_tpu.formats.convert import to_coo
+    return to_coo(a)

@@ -47,6 +47,13 @@ class CSC:
         if capacity is None:
             capacity = max(_t.quantize_capacity(nnz_i), int(values.shape[0]))
         capacity = int(capacity)
+        if int(values.shape[0]) > nnz_i:
+            # canonical zero padding over caller-supplied oversized
+            # buffers (mirrors CSR/COO.from_arrays, round-4 review)
+            live = jnp.arange(int(values.shape[0]),
+                              dtype=jnp.int32) < nnz_i
+            values = jnp.where(live, values, 0)
+            rowind = jnp.where(live, rowind, 0)
         return cls(values=_pad_to(values, capacity), colptr=colptr,
                    rowind=_pad_to(rowind, capacity),
                    nnz=jnp.asarray(nnz_i, dtype=jnp.int32),

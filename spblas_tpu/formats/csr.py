@@ -73,6 +73,14 @@ class CSR:
         if capacity is None:
             capacity = max(_t.quantize_capacity(nnz_i), int(values.shape[0]))
         capacity = int(capacity)
+        if int(values.shape[0]) > nnz_i:
+            # canonical zero padding over caller-supplied oversized
+            # buffers (stale tails would trip validate and leak into
+            # mask-free consumers)
+            live = jnp.arange(int(values.shape[0]),
+                              dtype=jnp.int32) < nnz_i
+            values = jnp.where(live, values, 0)
+            colind = jnp.where(live, colind, 0)
         values = _pad_to(values, capacity)
         colind = _pad_to(colind, capacity)
         return cls(values=values, rowptr=rowptr, colind=colind,

@@ -361,6 +361,47 @@ def _try_bsr(a):
     return (bsr, (m, n))
 
 
+# plan kinds that preserve the operand dtype (jnp formulations) or are
+# complex-aware by construction; every other kind computes in f32
+_DTYPE_PRESERVING_KINDS = ("sell", "ell", "dia", "band_cx", "route_cx")
+
+
+def plan_dtype_safe(plan: Tuple[str, object], x_dtype) -> bool:
+    """True when running ``plan`` on an operand of ``x_dtype`` keeps
+    the numerics intact.  The f32 Pallas kinds (band/BSR/ROUTE) cast
+    their operand with ``astype(float32)``, which silently DROPS the
+    imaginary part of a complex operand and narrows f64 — those
+    operands must take the dtype-preserving base paths instead
+    (round-4 review; the TRSV route gate already enforced this)."""
+    import jax.numpy as jnp
+    kind = plan[0]
+    if kind in _DTYPE_PRESERVING_KINDS:
+        return True
+    dt = jnp.dtype(x_dtype)
+    if jnp.issubdtype(dt, jnp.complexfloating) or dt == jnp.float64:
+        return False
+    return True
+
+
+def optimized_plan(opt, op_key: str, x_dtype):
+    """The cached-plan gate shared by spmv and spmm (one copy — the
+    two hand-rolled copies diverged on the dtype guard): returns the
+    (kind, plan) to run, or None when the op must take its base path.
+    Structured plans built for the sibling op are aliased so RCM/band/
+    BSR inspection runs once per matrix."""
+    alias = "matmul" if op_key == "matvec" else "matvec"
+    builder = build_matvec_plan if op_key == "matvec" \
+        else build_matmul_plan
+    cached = opt._plans.get(alias)
+    if cached is not None and cached[0] in STRUCTURED_KINDS:
+        plan = cached           # structured plans serve both ops
+    else:
+        plan = opt.get_plan(op_key, builder)
+    if not plan_dtype_safe(plan, x_dtype):
+        return None
+    return plan
+
+
 def transform_safe(x) -> bool:
     """True when running a non-differentiable Pallas plan on ``x`` is
     safe: concrete values or plain jit tracing.  JVP/batch tracers

@@ -70,11 +70,23 @@ def multiply(a, b, c_capacity: Optional[int] = None):
         return _spgemm.spgemm(a, b, c_capacity=c_capacity)
     if kind == "dense_sparse":
         # dense A · sparse B via the transpose identity (the reference's
-        # generic layer reaches this case through mdspan row iteration)
+        # generic layer reaches this case through mdspan row iteration).
+        # The lazy flip only exists for CSR/CSC; other sparse formats
+        # canonicalize first (round-4 review: transposed(COO) raised and
+        # BSR/DCSR fell into the dense swapaxes)
         import jax.numpy as jnp
-        from spblas_tpu.views import transposed
+        from spblas_tpu.formats.convert import to_csr
+        from spblas_tpu.views import conjugated, scaled, transposed
+        b_base, alpha_b, conj_b = _v.fold(b)
+        if not isinstance(b_base, (CSR, CSC)):
+            # rebuild as alpha * conj(csr): conj applies BELOW the
+            # scale so the already-folded alpha is not re-conjugated
+            bc = to_csr(b_base)
+            b_view = scaled(alpha_b, conjugated(bc) if conj_b else bc)
+        else:
+            b_view = b
         at = transposed(a)
-        return jnp.swapaxes(spmm(transposed(b), at), -1, -2)
+        return jnp.swapaxes(spmm(transposed(b_view), at), -1, -2)
     return spmm(a, b)
 
 
@@ -84,9 +96,12 @@ def multiply_inspect(a, b) -> OperationInfo:
     ``views.matrix_opt`` / kernels plans."""
     a_base = _v.get_ultimate_base(a)
     m = a_base.shape[0]
-    if _kind(a, b) == "spmv":
+    b_base = _v.get_ultimate_base(b)
+    if _kind(a, b) == "spmv" or getattr(b_base, "ndim", 2) == 1:
+        # matrix (sparse OR dense) times vector -> vector result
+        # (_kind only tags sparse-A products as spmv)
         return OperationInfo(result_shape=(m,), result_nnz=0)
-    n_out = _v.get_ultimate_base(b).shape[1]
+    n_out = b_base.shape[1]
     return OperationInfo(result_shape=(m, n_out), result_nnz=0)
 
 

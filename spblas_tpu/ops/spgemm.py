@@ -498,11 +498,31 @@ def spgemm_fill(info: OperationInfo, a_view, b_view, d_view=None,
             plan = plan.with_capacity(c.capacity)
     if plan.route is not None:
         from spblas_tpu.kernels.plans import transform_safe
-        if not (all(transform_safe(v) for v in
-                    (a_values, b_values, alpha, beta))
-                and (d_values is None or transform_safe(d_values))):
+
+        def _f32_ok(v):
+            dt = jnp.result_type(v)
+            return not (jnp.issubdtype(dt, jnp.complexfloating)
+                        or dt == jnp.float64)
+
+        operands = [a_values, b_values, alpha, beta] + (
+            [d_values] if d_values is not None else [])
+        if not all(transform_safe(v) for v in operands):
             # grad/vmap through values: the route engine kernel has no
             # VJP — take the differentiable XLA numeric instead
+            plan = dataclasses.replace(plan, route=None)
+        elif not all(_f32_ok(v) for v in operands):
+            # the route kernels compute in f32: a complex alpha/values
+            # (e.g. fill with scaled(1j, a)) or f64 fill-time values
+            # would be silently truncated — take the dtype-preserving
+            # XLA numeric (round-4 review)
+            plan = dataclasses.replace(plan, route=None)
+        elif (a.capacity != plan.a_capacity
+              or b.capacity != plan.b_capacity
+              or (d_view is not None
+                  and d.capacity != plan.d_capacity)):
+            # the engine's gather indices and const-1 slot are baked
+            # against the compute-time capacities; a with_capacity'd
+            # operand (legal, same sparsity) would misalign the panes
             plan = dataclasses.replace(plan, route=None)
     c_values = _numeric(plan, a_values, b_values, d_values, alpha, beta)
     return CSR(values=c_values, rowptr=plan.c_rowptr,
@@ -563,9 +583,18 @@ class SpgemmState:
         rocSPARSE stage_symbolic (multiply_spgemm.hpp:150-173)."""
         self._require_info()
         plan = self.info.plan
-        if c is not None and c.capacity != plan.c_capacity:
-            plan = plan.with_capacity(c.capacity)
-            self.info = self.info.update(plan=plan)
+        if c is not None:
+            if c.capacity < self.info.result_nnz:
+                # same contract as spgemm_fill: silently truncating the
+                # structure (and persisting the truncated plan for every
+                # later numeric()) is the csr_builder overflow case
+                raise RuntimeError(
+                    f"symbolic_fill: user capacity {c.capacity} < "
+                    f"result_nnz {self.info.result_nnz} "
+                    "(csr_builder overflow analogue)")
+            if c.capacity != plan.c_capacity:
+                plan = plan.with_capacity(c.capacity)
+                self.info = self.info.update(plan=plan)
         cap = plan.c_capacity
         values = jnp.zeros((cap,), dtype=_v.get_ultimate_base(a).dtype)
         return CSR(values=values, rowptr=plan.c_rowptr,

@@ -33,13 +33,11 @@ def spmm(a_view, b_view) -> jax.Array:
         b = jnp.conj(b)
     opt = _v.get_matrix_opt(a_view)
     from spblas_tpu.kernels import plans as _plans
+    plan = None
     if (opt is not None and not conj_a and _v.is_sparse(a_view)
             and _plans.transform_safe(b)):
-        cached = opt._plans.get("matvec")
-        if cached is not None and cached[0] in _plans.STRUCTURED_KINDS:
-            plan = cached       # structured plans serve both ops
-        else:
-            plan = opt.get_plan("matmul", _plans.build_matmul_plan)
+        plan = _plans.optimized_plan(opt, "matmul", b.dtype)
+    if plan is not None:
         c = _plans.plan_spmm(plan, b)
     else:
         c = _spmm_base(a, b, conj_a)

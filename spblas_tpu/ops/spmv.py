@@ -36,13 +36,11 @@ def spmv(a_view, x_view) -> jax.Array:
         x = jnp.conj(x)
     opt = _v.get_matrix_opt(a_view)
     from spblas_tpu.kernels import plans as _plans
+    plan = None
     if (opt is not None and not conj_a and _v.is_sparse(a_view)
             and _plans.transform_safe(x)):
-        cached = opt._plans.get("matmul")
-        if cached is not None and cached[0] in _plans.STRUCTURED_KINDS:
-            plan = cached       # structured plans serve both ops
-        else:
-            plan = opt.get_plan("matvec", _plans.build_matvec_plan)
+        plan = _plans.optimized_plan(opt, "matvec", x.dtype)
+    if plan is not None:
         y = _plans.plan_spmv(plan, x)
     else:
         y = _spmv_base(a, x, conj_a)

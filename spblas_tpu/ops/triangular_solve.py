@@ -282,6 +282,19 @@ def triangular_solve(a_view, b, uplo: str = "lower",
     if info is None:
         info = triangular_solve_inspect(a, uplo=uplo, diag=diag)
     plan: TrsvPlan = info.plan
+    # a supplied info must agree with the call's triangle/diag tags —
+    # silently solving the OTHER triangle is worse than an error
+    # (round-4 review; the reference static_asserts its tags,
+    # triangular_solve_impl.hpp:46-47)
+    if plan.uplo != ("lower" if _check_uplo(uplo) else "upper"):
+        raise ValueError(
+            f"triangular_solve: info was inspected with "
+            f"uplo={plan.uplo!r} but called with uplo={uplo!r}")
+    if plan.unit_diag != _check_diag(diag):
+        plan_diag = "unit" if plan.unit_diag else "explicit"
+        raise ValueError(
+            f"triangular_solve: info was inspected with "
+            f"diag={plan_diag!r} but called with diag={diag!r}")
     b = jnp.asarray(b)
     if b.shape[0] != plan.m:
         raise ValueError(
