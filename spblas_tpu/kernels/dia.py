@@ -103,7 +103,9 @@ def dia_spmv(plan: DiaPlan, x: jax.Array) -> jax.Array:
     if (_on_tpu() and ndiag and ndiag <= 32
             and plan.diags.dtype == jnp.float32
             and x.dtype in (jnp.float32, jnp.bfloat16)
-            and (m + abs(min(plan.offsets))
+            # the x pane is VMEM-resident: its extent is set by the
+            # padded OPERAND (n for wide rectangles), not just m
+            and (max(m, n) + abs(min(plan.offsets))
                  + abs(max(plan.offsets))) <= 2_500_000):
         return _dia_spmv_pallas(plan, x)
     pad_lo = max(-min(plan.offsets, default=0), 0)
@@ -168,9 +170,13 @@ def _dia_spmv_pallas(plan: DiaPlan, x: jax.Array) -> jax.Array:
     rb = _dia_rb(ndiag)
     rows_out = int(plan.diags.shape[1])     # _DIA_RB_MAX multiple
     nblocks = rows_out // rb
-    # x rows must cover the furthest shifted read of the last block
+    # x rows must cover BOTH the furthest shifted read of the last
+    # block AND the padded operand itself (a wide rectangular matrix
+    # has n >> rows_out*128; the pad below would otherwise go negative
+    # — round-4 review)
     max_q = max((off + pad_lo) // _LANES for off in offsets)
-    x_rows = rows_out + max_q + rb + 8
+    x_rows = max(rows_out + max_q + rb + 8,
+                 -(-(pad_lo + n) // _LANES))
     xf = x.astype(jnp.float32)
     x2 = jnp.pad(xf, (pad_lo, x_rows * _LANES - pad_lo - n)
                  ).reshape(x_rows, _LANES)

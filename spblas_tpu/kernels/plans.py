@@ -361,23 +361,28 @@ def _try_bsr(a):
     return (bsr, (m, n))
 
 
-# plan kinds that preserve the operand dtype (jnp formulations) or are
-# complex-aware by construction; every other kind computes in f32
-_DTYPE_PRESERVING_KINDS = ("sell", "ell", "dia", "band_cx", "route_cx")
+# plan kinds that preserve the operand dtype (jnp formulations);
+# *_cx kinds are complex-AWARE but compute in two f32 planes
+_DTYPE_PRESERVING_KINDS = ("sell", "ell", "dia")
+_CX_KINDS = ("band_cx", "route_cx")
 
 
 def plan_dtype_safe(plan: Tuple[str, object], x_dtype) -> bool:
     """True when running ``plan`` on an operand of ``x_dtype`` keeps
     the numerics intact.  The f32 Pallas kinds (band/BSR/ROUTE) cast
     their operand with ``astype(float32)``, which silently DROPS the
-    imaginary part of a complex operand and narrows f64 — those
-    operands must take the dtype-preserving base paths instead
-    (round-4 review; the TRSV route gate already enforced this)."""
+    imaginary part of a complex operand and narrows f64; the *_cx
+    kinds split into two f32 planes, so they take complex64/f32 but
+    must not narrow complex128/f64 — those operands take the
+    dtype-preserving base paths instead (round-4 review; the TRSV
+    route gate already enforced this)."""
     import jax.numpy as jnp
     kind = plan[0]
     if kind in _DTYPE_PRESERVING_KINDS:
         return True
     dt = jnp.dtype(x_dtype)
+    if kind in _CX_KINDS:
+        return dt not in (jnp.complex128, jnp.float64)
     if jnp.issubdtype(dt, jnp.complexfloating) or dt == jnp.float64:
         return False
     return True

@@ -649,8 +649,20 @@ def build_route2_solve_plan(rowptr, colind, values, shape, nnz: int,
                                       return_counts=True)
         hub_lv = np.unique(e_lv[rw_cnt[rw_inv] > 16])
         is_hub_lv = np.isin(e_lv, hub_lv)
-        bounds = np.flatnonzero((np.diff(e_lv) != 0)
-                                & (is_hub_lv[1:] | is_hub_lv[:-1])) + 1
+        from spblas_tpu import native as _native
+        if _native.get_lib() is None:
+            # the python fallback packer aux-spills CONGESTED non-hub
+            # segments (pool-budget path in _pack_cell), and aux
+            # reductions only land at batch end — batching levels
+            # would let a later level gather an incomplete row sum.
+            # Fall back to per-level batches (the pre-round-4
+            # behavior); only the native packer keeps the hub-only
+            # aux invariant the batching relies on.
+            bounds = np.flatnonzero(np.diff(e_lv) != 0) + 1
+        else:
+            bounds = np.flatnonzero((np.diff(e_lv) != 0)
+                                    & (is_hub_lv[1:]
+                                       | is_hub_lv[:-1])) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(e_lv)]])
         for s0, s1 in zip(starts, ends):

@@ -66,6 +66,8 @@ class RouteMulPlan:
 
 
 def _pick_g(n: int, max_g: int = 8) -> int:
+    # v1 semantics: any integer g (see route_plan._pick_g's note on
+    # why this must NOT be unified with route2's power-of-two search)
     for g in range(1, max_g + 1):
         if g * SLOTS >= n:
             return g
@@ -323,7 +325,7 @@ def _emit_mul_chunk(lo_slot, la, lb, seg_start, seg_end, seg_slot,
 
     tgt = np.array([seg_slot[s_] for s_ in chosen], np.int64)
     src2 = last_sub * LANES + sl_arr
-    dst2 = (tgt // LANES) * LANES + (tgt % LANES)
+    dst2 = tgt    # the permute-2 target IS the output slot index
     in_s2 = np.zeros(SLOTS, bool)
     in_s2[src2] = True
     in_d2 = np.zeros(SLOTS, bool)

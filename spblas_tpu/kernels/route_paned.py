@@ -325,6 +325,12 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
     out_fl = np.zeros(ntot, np.int32)
     if len(idx1):
         out_fl[n_flag0:] = 1
+    if n_flag0 == 0 and ntot:
+        # an all-empty panel's pad group must read the ZERO-initialized
+        # y panel, not the never-DMA'd x scratch: stale VMEM bits that
+        # decode as NaN would survive the vA=0 mask as 0*NaN = NaN
+        # (round-4 review)
+        out_fl[:] = 1
     out_t = _gather_tiles_pad(tiles, gidx,
                               np.zeros((SUBS, LANES), np.int32))
     out_v = _gather_tiles_pad(vals, gidx,
@@ -359,7 +365,11 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
                 np.array(eva, np.int32), np.array(evb, np.int32),
                 np.array(evw, np.int32), np.array(evs, np.int32),
                 pos, idx),
-        rows=rows_p, out_rows=out_rows, has_aux=len(idx1) > 0,
+        # has_aux also covers the all-empty panel whose pad group was
+        # re-flagged to read the y panel (the kernel only dispatches on
+        # flags when has_aux is set)
+        rows=rows_p, out_rows=out_rows,
+        has_aux=len(idx1) > 0 or n_flag0 == 0,
         dist_max=sub["dist_max"], any_lane=sub["any_lane"])
 
 

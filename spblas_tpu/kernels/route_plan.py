@@ -225,7 +225,13 @@ _HOT_COL_THRESHOLD = 96
 
 def _pick_g(n: int, max_g: int = 8) -> int:
     """Smallest G whose window covers all of n (fewer select steps),
-    else max_g."""
+    else max_g.
+
+    NOT the same search as route2._pick_g: v1's octant ladder takes
+    ANY integer g (a 2500-col matrix gets g=3), while route2's r2
+    bit-field arithmetic requires powers of two.  route_mul._pick_g is
+    this function's mul-side twin — change all three together or not
+    at all."""
     for g in range(1, max_g + 1):
         if g * SLOTS >= n:
             return g

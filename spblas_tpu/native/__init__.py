@@ -311,19 +311,20 @@ def mm_read(path: str):
     return _mm_read_py(path)
 
 
-def _mm_read_py(path: str):
+def _mm_read_py(path: str, complex_ok: bool = False):
     with open(path) as f:
         # the MM banner is case-insensitive per the spec
         header = f.readline().lower()
         if "coordinate" not in header:
             raise ValueError("only coordinate Matrix Market supported")
-        if "complex" in header:
+        is_cx = "complex" in header
+        if is_cx and not complex_ok:
             raise ValueError(
                 "complex Matrix Market files are not supported")
         pattern = "pattern" in header
         skew = "skew-symmetric" in header
-        symmetric = ("symmetric" in header or skew
-                     or "hermitian" in header)
+        hermitian = "hermitian" in header
+        symmetric = ("symmetric" in header or skew or hermitian)
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
@@ -332,16 +333,28 @@ def _mm_read_py(path: str):
         for _ in range(nz):
             parts = f.readline().split()
             i, j = int(parts[0]) - 1, int(parts[1]) - 1
-            v = 1.0 if pattern else float(parts[2])
+            if pattern:
+                v = 1.0
+            elif is_cx:
+                v = float(parts[2]) + 1j * float(parts[3])
+            else:
+                v = float(parts[2])
             rows.append(i)
             cols.append(j)
             vals.append(v)
             if symmetric and i != j:
                 rows.append(j)
                 cols.append(i)
-                vals.append(-v if skew else v)
+                if skew:
+                    v2 = -v
+                elif hermitian:
+                    v2 = np.conj(v)
+                else:
+                    v2 = v
+                vals.append(v2)
+    vdt = np.complex128 if is_cx else np.float64
     return (np.asarray(rows, np.int32), np.asarray(cols, np.int32),
-            np.asarray(vals, np.float64), (m, n))
+            np.asarray(vals, vdt), (m, n))
 
 
 def coo_to_csr(m, rows, cols, vals):

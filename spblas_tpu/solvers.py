@@ -74,7 +74,13 @@ def power_method(a, n: int, iters: int = 100,
     mv = _as_matvec(a)
     if key is None:
         key = jax.random.PRNGKey(0)
-    v0 = jax.random.normal(key, (n,), jnp.float32)
+    # iterate in the operator's dtype — a hardcoded f32 carry made the
+    # fori_loop reject f64/complex operators at trace time (round-4
+    # review; A@v promotes the carry)
+    op_dtype = jnp.result_type(getattr(a, "dtype", jnp.float32))
+    real = jnp.finfo(op_dtype).dtype if jnp.issubdtype(
+        op_dtype, jnp.floating) else jnp.float32
+    v0 = jax.random.normal(key, (n,), real).astype(op_dtype)
     v0 = v0 / jnp.linalg.norm(v0)
 
     def body(_, v):

@@ -110,17 +110,35 @@ def inspect_phases(op: str) -> dict:
 
 def time_chained(step: Callable, x0, iters: int = 50, reps: int = 3
                  ) -> float:
-    """Best wall time per `step` application over a jitted fori chain."""
+    """Best wall time per `step` application over a jitted fori chain.
+
+    Follows the platform timing protocol (PERF_NOTES.md / CLAUDE.md):
+    DISTINCT inputs per repetition (identical-argument repeats are
+    memoized and time the dispatch floor) and a scalar readback inside
+    the timed region (block_until_ready alone has been observed to
+    return before execution completes)."""
 
     @jax.jit
     def chain(x):
         return jax.lax.fori_loop(0, iters, lambda _, v: step(v), x)
 
     jax.block_until_ready(chain(x0))
+
+    def _perturb(x, r):
+        if hasattr(x, "dtype"):
+            return x + jnp.asarray(1e-3 * r, x.dtype)
+        return jax.tree_util.tree_map(
+            lambda v: v + jnp.asarray(1e-3 * r, v.dtype), x)
+
     best = float("inf")
-    for _ in range(reps):
+    for r in range(reps):
+        xr = _perturb(x0, r + 1)
+        jax.block_until_ready(xr)
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(x0))
+        out = chain(xr)
+        jax.block_until_ready(out)
+        first = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.real(first.ravel()[0]))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 

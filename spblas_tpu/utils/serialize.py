@@ -114,6 +114,12 @@ def _rebuild(prefix, z, classes, static, tuples):
                                       tuples)
         elif key in z.files:
             kwargs[f.name] = jnp.asarray(z[key])
+        else:
+            # _collect omits None-valued fields, so absence means the
+            # saved value WAS None — reconstruct it explicitly (fields
+            # without a default, e.g. RoutePlan.aux_plan, would
+            # otherwise make cls(**kwargs) raise TypeError)
+            kwargs[f.name] = None
     return cls(**kwargs)
 
 
