@@ -48,6 +48,12 @@ def dist_add_compute(a: RowBlockCSR, b: RowBlockCSR, mesh: Mesh
     if a.mloc != b.mloc:
         raise ValueError("operands partitioned with different row blocks")
     p, mloc = a.p, a.mloc
+    from spblas_tpu.parallel.mesh import check_mesh_matches
+    check_mesh_matches(p, mesh, "dist_add_compute")
+    if b.p != p:
+        raise ValueError(
+            f"dist_add: a partitioned for p={p} but b for "
+            f"p={b.p}")
     m, n = a.shape
     a_cols = np.asarray(a.colind)
     a_rptr = np.asarray(a.rowptr)
@@ -109,11 +115,18 @@ def dist_add_numeric(plan: DistAddPlan, a: RowBlockCSR, b: RowBlockCSR,
                      mesh: Mesh, alpha=1.0, beta=1.0) -> RowBlockCSR:
     """C = alpha*A + beta*B into the planned structure — purely local."""
     ccap = plan.c_capacity
-    alpha = jnp.asarray(alpha, a.dtype)
-    beta = jnp.asarray(beta, b.dtype)
+    # scalars PROMOTE the output dtype instead of truncating to each
+    # operand's (casting alpha to a.dtype dropped complex parts against
+    # real operands and rounded fractional scales against integer-
+    # valued containers — round-4 review)
+    out_dtype = jnp.result_type(a.dtype, b.dtype,
+                                jnp.result_type(alpha),
+                                jnp.result_type(beta))
+    alpha = jnp.asarray(alpha, out_dtype)
+    beta = jnp.asarray(beta, out_dtype)
 
     def body(sa, sb, av, bv):
-        out = jnp.zeros((ccap,), jnp.result_type(av.dtype, bv.dtype))
+        out = jnp.zeros((ccap,), out_dtype)
         out = out.at[sa[0]].add(alpha * av[0], mode="drop")
         out = out.at[sb[0]].add(beta * bv[0], mode="drop")
         return out[None]

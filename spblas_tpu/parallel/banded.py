@@ -95,6 +95,8 @@ def dist_band_spmv(plan: DistBandPlan, x: jax.Array, mesh: Mesh
     zero padding of the single-device kernel.
     """
     p, mloc, h = plan.p, plan.mloc, plan.h
+    from spblas_tpu.parallel.mesh import check_mesh_matches
+    check_mesh_matches(p, mesh, "dist_band_spmv")
     if x.shape[0] != p * mloc:
         raise ValueError(
             f"x length {x.shape[0]} != padded {p * mloc}; "
@@ -116,7 +118,10 @@ def dist_band_spmv(plan: DistBandPlan, x: jax.Array, mesh: Mesh
             jnp.zeros((0,), xl.dtype)
         xwin = jnp.concatenate([left, xl, right])
         xp = jnp.pad(xwin, (0, tail - xwin.shape[0]))
-        return band_spmv_padded(panels, xp)
+        # cast back like the single-device band_spmv: the chooser's
+        # band/route kinds must agree on output dtype (round-4 review)
+        return band_spmv_padded(panels, xp).astype(
+            jnp.result_type(panels.dtype, xl.dtype))
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation, which the jax 0.9 checker would otherwise reject
@@ -132,6 +137,8 @@ def dist_band_spmm(plan: DistBandPlan, b: jax.Array, mesh: Mesh
     of the halo pipeline — each device exchanges only its (h, k) edge
     panels with ring neighbors."""
     p, mloc, h = plan.p, plan.mloc, plan.h
+    from spblas_tpu.parallel.mesh import check_mesh_matches
+    check_mesh_matches(p, mesh, "dist_band_spmm")
     if b.shape[0] != p * mloc:
         raise ValueError(
             f"B rows {b.shape[0]} != padded {p * mloc}; "
@@ -153,7 +160,8 @@ def dist_band_spmm(plan: DistBandPlan, b: jax.Array, mesh: Mesh
             jnp.zeros((0, k), bl.dtype)
         bwin = jnp.concatenate([left, bl, right])
         bp = jnp.pad(bwin, ((0, tail - bwin.shape[0]), (0, 0)))
-        return band_spmm_padded(panels, bp)
+        return band_spmm_padded(panels, bp).astype(
+            jnp.result_type(panels.dtype, bl.dtype))
 
     fn = jax.shard_map(body, mesh=mesh,
                        in_specs=(P(ROW_AXIS, None, None),

@@ -41,6 +41,25 @@ def make_row_mesh(num_devices: Optional[int] = None,
                          axis_types=(jax.sharding.AxisType.Auto,))
 
 
+def mesh_size(mesh: Mesh, axis_name: str = ROW_AXIS) -> int:
+    """Devices along the row axis."""
+    return int(mesh.shape[axis_name])
+
+
+def check_mesh_matches(p: int, mesh: Mesh, what: str,
+                       axis_name: str = ROW_AXIS) -> None:
+    """Every distributed executor calls this: a plan/container
+    partitioned for p devices run on a different-size mesh would have
+    shard_map hand each kernel a (p/mesh, ...) local slice of which the
+    kernels read only block [0] — silently dropping data (round-4
+    review)."""
+    ms = mesh_size(mesh, axis_name)
+    if int(p) != ms:
+        raise ValueError(
+            f"{what}: partitioned for p={int(p)} devices but the mesh "
+            f"has {ms}; re-partition on this mesh")
+
+
 def row_sharding(mesh: Mesh, ndim: int = 1,
                  axis_name: str = ROW_AXIS) -> NamedSharding:
     """Shard the leading axis over the mesh row axis, replicate the rest."""

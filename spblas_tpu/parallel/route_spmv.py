@@ -114,14 +114,10 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
                 votes += 1
         any_lane = votes * 2 > p
 
+    from spblas_tpu.parallel.rowblock import local_rowptr
     plans = []
     for d in range(p):
-        r0, r1 = d * mloc, min((d + 1) * mloc, m)
-        lo, hi = int(rowptr[min(r0, m)]), int(rowptr[min(r1, m)])
-        sub_rp = np.zeros(mloc + 1, np.int64)
-        if r1 > r0:
-            sub_rp[: r1 - r0 + 1] = rowptr[r0: r1 + 1] - lo
-        sub_rp[r1 - r0 + 1:] = hi - lo
+        lo, hi, sub_rp = local_rowptr(rowptr, d, mloc, m)
         # hub_deg pinned off (DistRoutePlan carries no hub field)
         plans.append(build_route2_plan(
             sub_rp, colind[lo:hi], values[lo:hi], (mloc, n), hi - lo,
@@ -168,6 +164,8 @@ def dist_route_spmv(plan: DistRoutePlan, x: jax.Array, mesh: Mesh
     from spblas_tpu.kernels.route2_kernel import route2_dispatch
 
     p, mloc, nloc = plan.p, plan.mloc, plan.nloc
+    from spblas_tpu.parallel.mesh import check_mesh_matches
+    check_mesh_matches(p, mesh, "dist_route_spmv")
     n = plan.shape[1]
     if x.shape[0] != p * nloc:
         raise ValueError(
@@ -240,14 +238,10 @@ def partition_sell(a, mesh: Mesh) -> DistSellPlan:
     colind = np.asarray(a.colind)[:nnz]
     values = np.asarray(a.values)[:nnz]
 
+    from spblas_tpu.parallel.rowblock import local_rowptr
     plans = []
     for d in range(p):
-        r0, r1 = d * mloc, min((d + 1) * mloc, m)
-        lo, hi = int(rowptr[min(r0, m)]), int(rowptr[min(r1, m)])
-        sub_rp = np.zeros(mloc + 1, np.int64)
-        if r1 > r0:
-            sub_rp[: r1 - r0 + 1] = rowptr[r0: r1 + 1] - lo
-        sub_rp[r1 - r0 + 1:] = hi - lo
+        lo, hi, sub_rp = local_rowptr(rowptr, d, mloc, m)
         sub = CSR.from_arrays(values[lo:hi], sub_rp, colind[lo:hi],
                               (mloc, n), nnz=hi - lo)
         plans.append(build_sell_plan(sub))
@@ -307,6 +301,8 @@ def dist_sell_spmm(plan: DistSellPlan, b: jax.Array, mesh: Mesh
     row-sharded.  Local compute is the accumulated-row-gather SELL form
     (kernels/sell.py) over the all-gathered B."""
     p, mloc, nloc = plan.p, plan.mloc, plan.nloc
+    from spblas_tpu.parallel.mesh import check_mesh_matches
+    check_mesh_matches(p, mesh, "dist_sell_spmm")
     n = plan.shape[1]
     if b.shape[0] != p * nloc:
         raise ValueError(

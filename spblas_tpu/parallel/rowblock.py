@@ -53,6 +53,21 @@ class RowBlockCSR:
         return self.values.dtype
 
 
+def local_rowptr(rowptr, d: int, mloc: int, m: int):
+    """Device ``d``'s zero-based clamped sub-rowptr (mloc+1) plus its
+    global entry range [lo, hi) — ONE copy of the block-slicing idiom
+    shared by partition_route / partition_sell / partition_rowblock
+    (round-4 review: three hand-rolled copies)."""
+    import numpy as _np
+    r0, r1 = min(d * mloc, m), min((d + 1) * mloc, m)
+    lo, hi = int(rowptr[r0]), int(rowptr[r1])
+    sub = _np.zeros(mloc + 1, _np.int64)
+    if r1 > r0:
+        sub[: r1 - r0 + 1] = rowptr[r0: r1 + 1] - lo
+    sub[r1 - r0 + 1:] = hi - lo
+    return lo, hi, sub
+
+
 def partition_rowblock(a, mesh: Mesh,
                        local_capacity: int | None = None) -> RowBlockCSR:
     """Host-side partition of a CSR into p uniform row blocks."""

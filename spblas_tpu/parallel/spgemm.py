@@ -72,6 +72,12 @@ def dist_spgemm_compute(a: RowBlockCSR, b: RowBlockCSR, mesh: Mesh
     result_nnz is known on return (the two-phase allocation handshake).
     """
     p = a.p
+    from spblas_tpu.parallel.mesh import check_mesh_matches
+    check_mesh_matches(p, mesh, "dist_spgemm_compute")
+    if b.p != p:
+        raise ValueError(
+            f"dist_spgemm: a partitioned for p={p} but b for "
+            f"p={b.p}")
     m, k = a.shape
     k2, n = b.shape
     if k != k2:
@@ -145,6 +151,15 @@ def dist_spgemm_compute(a: RowBlockCSR, b: RowBlockCSR, mesh: Mesh
         P_cols[d, :nnz_c] = cc
         P_nnz[d] = nnz_c
 
+    # src_b indexes the FLATTENED all-gathered B values (p * lcap_b
+    # padded entries): the p-times-amplified index space can overflow
+    # int32 even when each matrix is within the per-matrix 2^31 limit
+    # (round-4 review) — fail loudly instead of wrapping negative
+    if P_src_b.size and int(P_src_b.max()) >= 2 ** 31:
+        raise ValueError(
+            f"dist_spgemm: flattened B index space "
+            f"{int(P_src_b.max()) + 1} exceeds int32; reduce per-device "
+            "B capacity or the device count")
     shard2 = NamedSharding(mesh, P(ROW_AXIS, None))
     shard1 = NamedSharding(mesh, P(ROW_AXIS))
     dput = jax.device_put

@@ -157,6 +157,14 @@ def partition_spmv(a, mesh, prefer: str | None = None):
     if prefer is None:
         if not on_tpu():
             prefer = "csr"
+        elif (jnp.issubdtype(a.dtype, jnp.complexfloating)
+              or a.dtype == jnp.float64):
+            # the band/route/sell shard kernels compute in f32 — keep
+            # complex/f64 on the dtype-preserving gather blocks (the
+            # single-chip chooser's policy, kernels/plans.py; round-4
+            # review: complex panels silently lost their imaginary
+            # part here)
+            prefer = "csr"
         else:
             prefer = "band" if _banded_enough(a) else "route"
     if prefer == "band":
@@ -230,6 +238,14 @@ def partition_spmm(a, mesh, prefer: str | None = None):
     if prefer is None:
         if not on_tpu():
             prefer = "csr"
+        elif (jnp.issubdtype(a.dtype, jnp.complexfloating)
+              or a.dtype == jnp.float64):
+            # the band/route/sell shard kernels compute in f32 — keep
+            # complex/f64 on the dtype-preserving gather blocks (the
+            # single-chip chooser's policy, kernels/plans.py; round-4
+            # review: complex panels silently lost their imaginary
+            # part here)
+            prefer = "csr"
         else:
             prefer = "band" if _banded_enough(a) else "sell"
     if prefer == "band":
@@ -274,6 +290,8 @@ def dist_plan_spmm(kind_plan, b, mesh):
 
 def _dist_apply(a: DistCSR, x, mesh, strategy):
     p, mloc, nloc = a.p, a.mloc, a.nloc
+    from spblas_tpu.parallel.mesh import check_mesh_matches
+    check_mesh_matches(p, mesh, "dist_spmv/dist_spmm")
     if x.shape[0] != p * nloc:
         raise ValueError(
             f"operand leading dim {x.shape[0]} != padded n {p * nloc}; "

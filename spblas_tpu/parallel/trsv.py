@@ -67,10 +67,9 @@ def dist_triangular_solve_inspect(a, mesh: Mesh, uplo: str = "lower",
     m, n = a.shape
     if m != n:
         raise ValueError("triangular solve requires square A")
-    lower = uplo == "lower"
-    if uplo not in ("lower", "upper"):
-        raise ValueError(f"bad uplo {uplo!r}")
-    unit = diag == "unit"
+    from spblas_tpu.ops.triangular_solve import _check_diag, _check_uplo
+    lower = _check_uplo(uplo)
+    unit = _check_diag(diag)
     p = mesh.devices.size
     mloc = -(-m // p)
     nnz = int(a.nnz)
@@ -170,6 +169,8 @@ def dist_triangular_solve(plan: DistTrsvPlan, b: jax.Array, mesh: Mesh
                           ) -> jax.Array:
     """x = A^{-1} b with b (p*mloc,) row-sharded; returns x row-sharded."""
     p, mloc = plan.p, plan.mloc
+    from spblas_tpu.parallel.mesh import check_mesh_matches
+    check_mesh_matches(p, mesh, "dist_triangular_solve")
     if b.shape[0] != p * mloc:
         raise ValueError(f"b length {b.shape[0]} != padded {p * mloc}")
     L = plan.rows.shape[1]

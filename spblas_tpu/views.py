@@ -85,7 +85,13 @@ def transposed(tensor):
     if isinstance(tensor, ConjugatedView):
         return ConjugatedView(base=transposed(tensor.base))
     if isinstance(tensor, OptimizedMatrix):
-        return transposed(tensor.base)
+        # stay optimized through the flip (the reference's matrix_opt
+        # keeps its handle through transposed views): re-wrap the
+        # transposed base with a FRESH plan cache — the cached plans
+        # describe the untransposed orientation (round-4 review: the
+        # old unwrap silently dropped the wrapper and every later op
+        # re-paid full inspection)
+        return OptimizedMatrix(transposed(tensor.base))
     if isinstance(tensor, CSR):
         m, n = tensor.shape
         return CSC(values=tensor.values, colptr=tensor.rowptr,
