@@ -544,7 +544,11 @@ def section_spmv_real(iters=300):
     base = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                          "data")
     out = {}
-    for name in ("fem2d_128", "stencil3d_32", "rmat_32k"):
+    # fem2d_512 (262k rows / 1.8M nnz) is the at-scale loader point —
+    # the three small files are overhead-bound on this platform
+    # (~300 us/dispatch; PERF_NOTES) and measure the IO path, not the
+    # kernels
+    for name in ("fem2d_128", "stencil3d_32", "rmat_32k", "fem2d_512"):
         path = _os.path.join(base, name + ".mtx.gz")
         t0 = time.perf_counter()
         a = load_matrix_market(path)

@@ -23,11 +23,12 @@ def _gen(name):
         "fem2d_128": lambda: generate_fem_graph_csr(128, 128, seed=9),
         "stencil3d_32": lambda: generate_stencil_csr((32, 32, 32)),
         "rmat_32k": lambda: generate_rmat_csr(32768, 32768 * 16, seed=5),
+        "fem2d_512": lambda: generate_fem_graph_csr(512, 512, seed=7),
     }[name]()
 
 
 @pytest.mark.parametrize("name", ["fem2d_128", "stencil3d_32",
-                                  "rmat_32k"])
+                                  "rmat_32k", "fem2d_512"])
 def test_checked_in_matrix_matches_generator(name):
     a = _gen(name)
     b = load_matrix_market(os.path.join(DATA, name + ".mtx.gz"))
