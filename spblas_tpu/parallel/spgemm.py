@@ -189,7 +189,21 @@ def _numeric_kernel(src_a, src_b, valid, slot, a_values, b_values, *,
 def dist_spgemm_numeric(plan: DistSpgemmPlan, a: RowBlockCSR,
                         b: RowBlockCSR, mesh: Mesh) -> RowBlockCSR:
     """Distributed numeric phase (execute): re-runnable with new values of
-    unchanged sparsity — the distributed ``multiply_numeric``."""
+    unchanged sparsity — the distributed ``multiply_numeric``.
+
+    The local kernel is gather + scatter-add over the expansion maps —
+    on TPU that is element-gather speed (the single-chip reuse path
+    runs a fused route engine instead); it WARNS there like dist_spmv.
+    """
+    import warnings
+    from spblas_tpu.types import on_tpu
+    if on_tpu():
+        warnings.warn(
+            "dist_spgemm_numeric: the sharded numeric kernel is XLA "
+            "gather + scatter-add (~0.13 G elem/s on TPU); for "
+            "repeated numerics at route-engine speed run the "
+            "single-chip SpgemmState per shard", UserWarning,
+            stacklevel=2)
     ccap = plan.c_capacity
     spec2 = P(ROW_AXIS, None)
     fn = jax.shard_map(
