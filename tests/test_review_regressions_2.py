@@ -80,14 +80,19 @@ def test_multiply_inspect_spmv_shape():
     assert sp.multiply(a, x).shape == info.result_shape
 
 
-def test_mm_complex_rejected(tmp_path):
+def test_mm_complex_loads(tmp_path):
+    # complex coordinate files load as complex64 CSR since round 4
+    # (utils/io.py python fallback); this test previously asserted
+    # rejection and went stale when support landed mid-round.
     from spblas_tpu.utils.io import load_matrix_market
     p = str(tmp_path / "c.mtx")
     with open(p, "w") as f:
         f.write("%%MatrixMarket matrix coordinate complex general\n")
         f.write("2 2 1\n1 1 1.0 2.0\n")
-    with pytest.raises(ValueError):
-        load_matrix_market(p)
+    a = load_matrix_market(p)
+    dense = np.asarray(a.todense())
+    assert dense.dtype == np.complex64
+    np.testing.assert_allclose(dense, [[1.0 + 2.0j, 0.0], [0.0, 0.0]])
 
 
 def test_mm_hermitian_real_expands(tmp_path):
