@@ -1681,10 +1681,13 @@ def build_route2_mul_plan(slots, src_a, src_b, a_len: int, b_len: int,
     _t0 = _time.perf_counter()
     A = _build_route2_mul_arrays(slots, src_a, src_b, a_len, b_len,
                                  capacity)
+    record_phase("route2_mul", "host_pack_s", _time.perf_counter() - _t0)
+    _t0 = _time.perf_counter()
     from spblas_tpu.utils.placement import device_put_batch
     t1_d, t2_d, ab_d, bb_d, flags_d, yb_d = device_put_batch(
         A["t1"], A["t2"], A["ab"], A["bb"], A["flags"], A["yb"])
-    record_phase("route2_mul", "stack_put_s", _time.perf_counter() - _t0)
+    record_phase("route2_mul", "upload_issue_s",
+                 _time.perf_counter() - _t0)
     return Route2MulPlan(
         tile1=t1_d, tile2=t2_d, a_base=ab_d, b_base=bb_d,
         src_flag=flags_d, y_base=yb_d,

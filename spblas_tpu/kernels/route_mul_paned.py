@@ -111,6 +111,9 @@ def build_route2_mul_paned_plan(slots, src_a, src_b, a_len: int,
     ops/spgemm is slot-sorted).  ``panel_slots`` adapts downward when a
     panel would exceed the per-dispatch chunk budget.
     """
+    import time as _time
+    from spblas_tpu.utils.profiling import record_phase
+    _t0 = _time.perf_counter()
     slots = np.asarray(slots, np.int64)
     src_a = np.asarray(src_a, np.int64)
     src_b = np.asarray(src_b, np.int64)
@@ -146,9 +149,18 @@ def build_route2_mul_paned_plan(slots, src_a, src_b, a_len: int,
     b_rows = -(-b_rows // (SUBS * g_b)) * (SUBS * g_b)
     b_rows_pad = -(-b_rows // pane_rows) * pane_rows
 
+    # host-pack vs upload split (VERDICT r4 #3: BENCH_r04's pack_s
+    # folded the multi-GB stream-ordered upload issue into the host
+    # figure — through the tunnel that is tens of seconds and must be
+    # attributable separately)
+    record_phase("route2_mul", "host_pack_s",
+                 _time.perf_counter() - _t0)
+    _t0 = _time.perf_counter()
     from spblas_tpu.utils.placement import device_put_batch
     flat = device_put_batch(*[a for hp in host_panels
                               for a in hp["arrays"]])
+    record_phase("route2_mul", "upload_issue_s",
+                 _time.perf_counter() - _t0)
     panels = []
     for i, hp in enumerate(host_panels):
         (t1, t2, ab, bb, yb, fl, eva, evb, evw, evs) = \

