@@ -222,7 +222,10 @@ def section_spgemm(m=2_000, nnz=40_000):
             def body(_, carry):
                 s, av2 = carry
                 out = _numeric(plan, av2, bv, None, one, one)
-                return (s + out[0], av2 * jnp.float32(1.0000001))
+                # full-sum readback (uniform with spgemm_large; the
+                # resident engine is one dispatch so out[0] was safe,
+                # but the comparison XLA path shares this chain)
+                return (s + out.sum(), av2 * jnp.float32(1.0000001))
             return jax.lax.fori_loop(0, iters, body,
                                      (jnp.float32(0), av))
         jax.block_until_ready(chain(plan, a.values, a.values))
@@ -279,7 +282,13 @@ def section_spgemm_large(m=100_000, nnz=1_000_000, reuse_iters=20,
             def body(_, carry):
                 s, av2 = carry
                 out = _numeric(plan, av2, bv, None, one, one)
-                return (s + out[0], av2 * jnp.float32(1.0000001))
+                # readback must depend on EVERY output panel: with
+                # out[0], XLA dead-code-eliminates 9 of the paned
+                # engine's 10 panel dispatches and the chain times 1/10
+                # of the work (BENCH_r04's 4.32 ms "beats the model
+                # 5.6x" was exactly this artifact; the honest rate is
+                # ~20 ms ~= 0.83 of the traffic model — round 5)
+                return (s + out.sum(), av2 * jnp.float32(1.0000001))
             return jax.lax.fori_loop(0, iters, body,
                                      (jnp.float32(0), av))
         jax.block_until_ready(chain(plan, a.values, a.values))
@@ -348,24 +357,30 @@ def section_dist_spgemm(m=100_000, nnz=1_000_000, reuse_iters=20,
     engine = plan.engine is not None
 
     def numeric_chain(pl, iters):
+        # the plan (multi-GB engine arrays) MUST ride as a jit
+        # argument — a closure constant trips the remote-compile
+        # HTTP 413 limit (PERF_NOTES platform rules)
         @jax.jit
-        def chain(av, bv):
+        def chain(pl, av, bv):
             def body(_, carry):
                 s, av2 = carry
                 c = dist_spgemm_numeric(
                     pl, _dc.replace(ar, values=av2),
                     _dc.replace(ar, values=bv), mesh)
-                return (s + c.values[0, 0],
+                # full-sum readback: see section_spgemm_large — a
+                # single-element read lets XLA drop unreferenced panel
+                # dispatches
+                return (s + c.values.sum(),
                         av2 * jnp.float32(1.0000001))
             return jax.lax.fori_loop(0, iters, body,
                                      (jnp.float32(0), av))
-        jax.block_until_ready(chain(ar.values, ar.values))
+        jax.block_until_ready(chain(pl, ar.values, ar.values))
         best = float("inf")
         for r in range(3):
             av = ar.values * (1 + 1e-4 * (r + 1))
             jax.block_until_ready(av)
             t0 = time.perf_counter()
-            out = chain(av, ar.values)
+            out = chain(pl, av, ar.values)
             jax.block_until_ready(out)
             float(out[0])
             best = min(best, time.perf_counter() - t0)
