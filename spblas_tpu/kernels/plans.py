@@ -261,12 +261,110 @@ def _hub_fraction(a) -> float:
     return float(deg[deg > _ROUTE_HUB_DEG].sum()) / nnz
 
 
+import dataclasses as _dc
+
+
+@jax.tree_util.register_dataclass
+@_dc.dataclass(frozen=True)
+class SortedRoutePlan:
+    """Degree-sorted ROUTE v1 + un-permute pass (round 5, VERDICT r4
+    #4 — the implemented RMAT attack).
+
+    Grouping equal-degree rows into stripes removes the per-stripe
+    degree imbalance that starves v1 cells on power-law patterns
+    (measured host fill on RMAT 131k deg16: 0.331 -> 0.464, chunks
+    5728 -> 4092); the result comes out in sorted row order and one
+    deg-1 ROUTE2 plan (the inverse permutation as a sparse matrix)
+    routes it back — a second Pallas dispatch instead of an
+    element-gather or keyed-sort un-permute.
+    Reference bar: vendor SpMV is pattern-oblivious
+    (include/spblas/vendor/cusparse/detail/spmv_impl.hpp:26-102)."""
+
+    base: object            # RoutePlan over A[perm, :]
+    # Route2Plan of the inverse permutation (deg-1 sparse matrix): the
+    # un-permute is a cheap second Pallas dispatch.  A fused variant
+    # (stage 2 = unperm + the base plan's aux reduction over its full
+    # output pane) was implemented and MEASURED WORSE: the degree sort
+    # spills ~10% of RMAT nnz to aux, and route2 packs those scattered
+    # aux targets at fill 0.109 (2356 chunks) where v1's recursive aux
+    # chain packs them at ~0.5 — on-chip 2.45 vs 2.97 Gnnz/s (round 5).
+    unperm: object
+    entry_perm: jax.Array   # (nnz,) original entry index per sorted entry
+
+    def update_values(self, values: jax.Array) -> "SortedRoutePlan":
+        return _dc.replace(
+            self, base=self.base.update_values(values[self.entry_perm]))
+
+    @property
+    def fill(self):
+        return self.base.fill
+
+    @property
+    def nchunks(self):
+        return self.base.nchunks + self.unperm.nchunks
+
+
+# second-dispatch overhead charged against the sorted plan's chunk win
+# (measured on chip, round 5: chained extra dispatch + glue)
+_SORTED_DISPATCH_NS = 150_000
+_V1_NS_PER_CHUNK = 160
+_R2_NS_PER_CHUNK = 70
+
+
+def _try_route_sorted(rp, ci, vv, m, n, nnz, plan_plain):
+    """Degree-sorted v1 + unperm candidate; returns (kind, plan) for
+    whichever of {plain, sorted} the chunk-cost model favors."""
+    import numpy as np
+    from spblas_tpu.kernels.route_plan import build_route_plan
+    from spblas_tpu.kernels.route2 import build_route2_plan
+
+    rp64 = np.minimum(rp.astype(np.int64), nnz)
+    deg = np.diff(rp64[: m + 1])
+    # order: degree (stripe balance) with a column-center-of-mass
+    # tiebreak (x-window locality within equal-degree runs) — the
+    # measured best of six orderings on RMAT 131k deg16 (chunks
+    # 5728 plain / 4092 deg-only / 3670 deg+com)
+    com = np.zeros(m)
+    np.add.at(com, np.repeat(np.arange(m), deg), ci[:nnz])
+    com = com / np.maximum(deg, 1)
+    perm = np.lexsort((com, -deg))
+    if np.array_equal(perm, np.arange(m)):
+        return ("route1", plan_plain)
+    new_deg = deg[perm]
+    starts = rp64[perm]
+    lens = new_deg
+    entry_perm = (np.repeat(starts - np.concatenate(
+        [[0], np.cumsum(lens)[:-1]]), lens)
+        + np.arange(int(lens.sum()))) if nnz else np.zeros(0, np.int64)
+    rp_s = np.concatenate([[0], np.cumsum(new_deg)])
+    plan_s = build_route_plan(rp_s, ci[:nnz][entry_perm],
+                              vv[:nnz][entry_perm], (m, n), nnz)
+    cost_plain = plan_plain.nchunks * _V1_NS_PER_CHUNK
+    est_unperm = int(m / (1024 * 0.3)) + 8
+    cost_sorted = (plan_s.nchunks * _V1_NS_PER_CHUNK
+                   + est_unperm * _R2_NS_PER_CHUNK
+                   + _SORTED_DISPATCH_NS)
+    if cost_sorted >= cost_plain:
+        return ("route1", plan_plain)
+    inv = np.empty(m, np.int64)
+    inv[perm] = np.arange(m)
+    unperm = build_route2_plan(
+        np.arange(m + 1, dtype=np.int64), inv,
+        np.ones(m, np.float32), (m, m), m)
+    return ("route1_sorted",
+            SortedRoutePlan(base=plan_s, unperm=unperm,
+                            entry_perm=jax.numpy.asarray(
+                                entry_perm, dtype=jax.numpy.int32)))
+
+
 def _try_route(a):
     """ROUTE plan for general sparsity when x and y fit VMEM residency.
 
     Kind "route" = ROUTE2 (kernels/route2.py, one lane gather/chunk);
     kind "route1" = ROUTE v1 (kernels/route_plan.py, permutation-free
-    placement) for hub-heavy patterns.  Returns (kind, plan) or None."""
+    placement) for hub-heavy patterns — degree-sorted with an unperm
+    pass ("route1_sorted") when the chunk model favors it.
+    Returns (kind, plan) or None."""
     import numpy as np
 
     m, n = a.shape
@@ -278,8 +376,9 @@ def _try_route(a):
     vv = np.asarray(a.values)
     if _hub_fraction(a) > _ROUTE_HUB_FRACTION:
         from spblas_tpu.kernels.route_plan import build_route_plan
-        return ("route1",
-                build_route_plan(rp, ci, vv, (m, n), int(a.nnz)))
+        plan_plain = build_route_plan(rp, ci, vv, (m, n), int(a.nnz))
+        return _try_route_sorted(rp, ci, vv, m, n, int(a.nnz),
+                                 plan_plain)
     from spblas_tpu.kernels.route2 import build_route2_plan
     plan = build_route2_plan(rp, ci, vv, (m, n), int(a.nnz))
     if plan.fill < 0.08:
@@ -435,6 +534,11 @@ def plan_spmv(plan: Tuple[str, object], x: jax.Array) -> jax.Array:
     if kind == "route1":
         from spblas_tpu.kernels.route_spmv import route_spmv
         return route_spmv(p, x)
+    if kind == "route1_sorted":
+        from spblas_tpu.kernels.route_spmv import route_spmv
+        from spblas_tpu.kernels.route2_kernel import route2_spmv
+        return route2_spmv(p.unperm, route_spmv(p.base, x)
+                           ).astype(x.dtype)
     if kind == "route_paned":
         from spblas_tpu.kernels.route_paned import route_paned_spmv
         return route_paned_spmv(p, x)
@@ -480,7 +584,8 @@ def plan_spmm(plan: Tuple[str, object], b: jax.Array) -> jax.Array:
         bsr, (m, n) = p
         bp = jnp.pad(b, ((0, bsr.shape[1] - n), (0, 0)))
         return bsr_spmm(bsr, bp)[:m]
-    if kind in ("route", "route1", "route_paned", "route_cx"):
+    if kind in ("route", "route1", "route1_sorted", "route_paned",
+                "route_cx"):
         # A matvec ROUTE plan fed to spmm replays the whole SpMV cost
         # per B column — a silent ~k-times trap (VERDICT r2 weak #6).
         # Reachable only when a caller bypasses build_matmul_plan
@@ -500,6 +605,9 @@ def plan_spmm(plan: Tuple[str, object], b: jax.Array) -> jax.Array:
         elif kind == "route_paned":
             from spblas_tpu.kernels.route_paned import route_paned_spmv
             cols = jax.lax.map(lambda col: route_paned_spmv(p, col), b.T)
+        elif kind == "route1_sorted":
+            cols = jax.lax.map(
+                lambda col: plan_spmv((kind, p), col), b.T)
         else:
             from spblas_tpu.kernels.route_spmv import route_spmv
             cols = jax.lax.map(lambda col: route_spmv(p, col), b.T)

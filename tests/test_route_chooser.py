@@ -117,3 +117,37 @@ def test_chooser_fill_guard_swaps_to_v1(fake_tpu):
     x = rng.standard_normal(m).astype(np.float32)
     y = np.asarray(_plans.plan_spmv((kind, plan), jnp.asarray(x)))
     assert_close(y, A @ x, factor=256, abs_floor=1e-3)
+
+
+def test_route1_sorted_matches_oracle():
+    """Degree-sorted v1 + unperm pass (round 5): forced past the cost
+    model so the chained two-dispatch path is exercised on CPU."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.kernels import plans as _plans
+    from spblas_tpu.utils import generate as gen
+    from tests.util import assert_close, dense_from_csr
+
+    a = gen.generate_rmat_csr(2048, 2048 * 16, seed=3)
+    m = a.shape[0]
+    rp = np.asarray(a.rowptr)
+    ci = np.asarray(a.colind)
+    vv = np.asarray(a.values)
+    from spblas_tpu.kernels.route_plan import build_route_plan
+    plain = build_route_plan(rp, ci, vv, (m, m), int(a.nnz))
+    import unittest.mock as mock
+    with mock.patch.object(_plans, "_SORTED_DISPATCH_NS", -10**12):
+        kind, plan = _plans._try_route_sorted(rp, ci, vv, m, m,
+                                              int(a.nnz), plain)
+    assert kind == "route1_sorted"
+    # the fill win is a large-m property (131k: chunks 5728 -> 4092);
+    # at this test size just require no regression
+    assert plan.base.nchunks <= plain.nchunks
+    x = np.random.default_rng(5).standard_normal(m).astype(np.float32)
+    y = _plans.plan_spmv((kind, plan), jnp.asarray(x))
+    assert_close(np.asarray(y), dense_from_csr(a) @ x, abs_floor=1e-3)
+    # values refresh keeps the permuted entry mapping
+    p2 = plan.update_values(2.0 * a.values)
+    y2 = _plans.plan_spmv((kind, p2), jnp.asarray(x))
+    assert_close(np.asarray(y2), 2.0 * dense_from_csr(a) @ x,
+                 abs_floor=1e-3)
