@@ -509,6 +509,55 @@ def section_sptrsv_deep(m=1_000_000, block=64, deg=4, iters=50):
                      if info.plan.route is not None else "level_sweep")}
 
 
+def section_sptrsv_4m(m=4_000_000, block=64, deg=4, iters=10):
+    """Beyond the one-dispatch pane envelope (round 5, VERDICT r4 #8):
+    m=4M block-chain lower with 62,500 levels through the PANE-BLOCKED
+    substitution (ops/triangular_solve.BlockTrsv — per-1M-row diagonal
+    block one-dispatch solves chained with strip SpMV updates)."""
+    import jax
+    import jax.numpy as jnp
+    from spblas_tpu.formats.csr import CSR
+    from spblas_tpu.ops.triangular_solve import (
+        triangular_solve, triangular_solve_inspect)
+    from spblas_tpu.utils.generate import generate_block_chain_arrays
+
+    vals, rowptr, cols = generate_block_chain_arrays(
+        m, block=block, deg=deg, seed=0)
+    L = CSR.from_arrays(vals, rowptr, cols, (m, m), nnz=len(vals))
+    jax.block_until_ready(L.values)
+    t0 = time.perf_counter()
+    info = triangular_solve_inspect(
+        L, uplo="lower", host_arrays=(rowptr, cols, vals))
+    t_inspect = time.perf_counter() - t0
+    levels = info.plan.num_levels
+    b0 = jnp.ones((m,), jnp.float32)
+
+    # NO outer fori chain: the blocked plan is ~1 GB of sub-plan
+    # arrays, far past the remote-compile closure limit (HTTP 413).
+    # The inner dispatches (route2_solve / strip plan_spmv) are jitted
+    # with their plans as ARGUMENTS, so eager per-solve timing is
+    # correct — it just includes per-dispatch tunnel latency a chain
+    # would amortize (recorded as-is; conservative).
+    x = triangular_solve(L, b0, uplo="lower", info=info)   # warm
+    jax.block_until_ready(x)
+    best = float("inf")
+    for r in range(max(iters, 3)):
+        br = b0 + jnp.float32((r + 1) * 1e-3)
+        jax.block_until_ready(br)
+        t0 = time.perf_counter()
+        x = triangular_solve(L, br, uplo="lower", info=info)
+        float(jnp.sum(x))          # scalar readback in the timed region
+        best = min(best, time.perf_counter() - t0)
+    blk = info.plan.blocked
+    return {"inspect_s": t_inspect, "solve_s": best, "levels": levels,
+            "rows_per_s": m / best,
+            "ms_per_1k_levels": best * 1e3 / (levels / 1e3),
+            "path": ("blocked" if blk is not None else "other"),
+            "blocks": len(blk.subs) if blk is not None else 0,
+            "strip_kinds": list(blk.strip_kinds) if blk is not None
+            else None}
+
+
 def section_headline_bf16(m=409_600, half_bw=50, iters=300):
     import jax.numpy as jnp
     from spblas_tpu.kernels.banded import band_spmv
@@ -755,6 +804,7 @@ SECTIONS = {
     "spmm_general_k64": lambda: section_spmm_general(k=64),
     "sptrsv_100k": lambda: section_sptrsv(m=100_000),
     "sptrsv_deep": section_sptrsv_deep,
+    "sptrsv_4m": section_sptrsv_4m,
     "spmv_general_paned_4m": section_spmv_general_paned,
     "spmv_mesh": section_spmv_mesh,
     "spmv_real": section_spmv_real,
@@ -828,6 +878,7 @@ def main():
             ("spmm_general_k64", 420),
             ("sptrsv_100k", 600),
             ("sptrsv_deep", 900),
+            ("sptrsv_4m", 1800),
             ("spmv_general_xla", 300),
             ("headline_bf16", 420),
             ("spmm_banded", 420),

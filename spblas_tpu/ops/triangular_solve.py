@@ -68,17 +68,56 @@ class TrsvPlan:
     route_diag: object = None      # (m,) int32 diag entry idx, or None
     route_vals_ref: object = None  # the values array the bake saw
     route_dpe: object = None       # (capacity,) int32 entry->diag idx
+    # pane-blocked substitution for m past the one-dispatch VMEM
+    # envelope (round 5, VERDICT r4 #8): a BlockTrsv of per-block
+    # one-dispatch solves + off-diagonal strip SpMV plans
+    blocked: object = None
 
     @property
     def num_levels(self) -> int:
         return int(self.lv_estart.shape[0]) - 1
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockTrsv:
+    """Pane-blocked forward/backward substitution (round 5).
+
+    Rows split into K contiguous blocks of ``bm``; block k solves
+    x_k = (alpha*L_kk)^{-1} (b_k - alpha*S_k @ x_known) where L_kk is
+    the diagonal block (its own one-dispatch ROUTE2 solve plan — each
+    block fits the two-resident-pane VMEM envelope the whole matrix
+    exceeded) and S_k the off-diagonal strip, applied through the
+    matvec plan chooser (ROUTE/paned — the x side streams, so the
+    strip is size-unbounded).  Lifts the m/128 <= 9000 cap the way
+    vendor TRSV is size-unbounded
+    (include/spblas/vendor/onemkl_sycl/triangular_solve_impl.hpp:37-160).
+    """
+
+    subs: tuple            # per block: TrsvPlan (diag block)
+    sub_vals: tuple        # per block: (sub_nnz,) f32 values at inspect
+    sub_eidx: tuple        # per block: (sub_nnz,) int32 global entry idx
+    strip_plans: tuple     # per block: matvec plan or () when empty
+    strip_eidx: tuple      # per block: (strip_nnz,) int32 or ()
+    strip_kinds: tuple = dataclasses.field(metadata=dict(static=True))
+    bm: int = dataclasses.field(default=0, metadata=dict(static=True))
+    lower: bool = dataclasses.field(default=True,
+                                    metadata=dict(static=True))
+
+
 @traced
 def triangular_solve_inspect(a_view, uplo: str = "lower",
-                             diag: str = "explicit") -> OperationInfo:
+                             diag: str = "explicit",
+                             host_arrays=None) -> OperationInfo:
     """Level-set analysis (host-side) — the work vendors hide inside
-    ``optimize_trsv``.  Returns an info whose plan drives the solve."""
+    ``optimize_trsv``.  Returns an info whose plan drives the solve.
+
+    ``host_arrays`` (optional): ``(rowptr, colind[, values])`` numpy
+    copies of the container's arrays — large inspections through a
+    tunneled runtime otherwise pay a multi-100-MB device->host pull
+    (PERF_NOTES platform rules); callers that built the matrix from
+    host arrays pass them through.
+    """
     import time as _time
     from spblas_tpu.utils.profiling import record_phase
     a = to_csr(_v.get_ultimate_base(a_view))
@@ -88,8 +127,15 @@ def triangular_solve_inspect(a_view, uplo: str = "lower",
     lower = _check_uplo(uplo)
     unit = _check_diag(diag)
     _t0 = _time.perf_counter()
-    rowptr = np.asarray(a.rowptr).astype(np.int64)
-    colind = np.asarray(a.colind)
+    values_h = None
+    if host_arrays is not None:
+        rowptr = np.asarray(host_arrays[0]).astype(np.int64)
+        colind = np.asarray(host_arrays[1])
+        if len(host_arrays) > 2:
+            values_h = np.asarray(host_arrays[2])
+    else:
+        rowptr = np.asarray(a.rowptr).astype(np.int64)
+        colind = np.asarray(a.colind)
     nnz = int(a.nnz)
     record_phase("trsv_inspect", "pull_s", _time.perf_counter() - _t0)
 
@@ -152,14 +198,26 @@ def triangular_solve_inspect(a_view, uplo: str = "lower",
                  _time.perf_counter() - _t0)
 
     route = route_diag = vals_ref = None
+    blocked = None
     if _route_solve_eligible(a, m, nnz, num_levels):
         _t0 = _time.perf_counter()
         from spblas_tpu.kernels.route2 import build_route2_solve_plan
+        if values_h is None:
+            values_h = np.asarray(a.values)
         route = build_route2_solve_plan(
-            rowptr, colind, np.asarray(a.values), (m, m), nnz, levels,
+            rowptr, colind, values_h, (m, m), nnz, levels,
             diag_pos, unit, lower)
         vals_ref = a.values
         record_phase("trsv_inspect", "route_pack_s",
+                     _time.perf_counter() - _t0)
+    elif _block_solve_eligible(a, m, nnz):
+        _t0 = _time.perf_counter()
+        if values_h is None:
+            values_h = np.asarray(a.values)
+        blocked = _build_block_solve(rowptr, colind, values_h, m, nnz,
+                                     lower, unit, uplo, diag)
+        vals_ref = a.values
+        record_phase("trsv_inspect", "block_pack_s",
                      _time.perf_counter() - _t0)
 
     # ONE batched placement for every schedule array (separate
@@ -207,7 +265,7 @@ def triangular_solve_inspect(a_view, uplo: str = "lower",
         uplo="lower" if lower else "upper",
         unit_diag=unit, m=m,
         route=route, route_diag=route_diag, route_vals_ref=vals_ref,
-        route_dpe=route_dpe)
+        route_dpe=route_dpe, blocked=blocked)
     return OperationInfo(result_shape=(m, 1), result_nnz=m, plan=plan)
 
 
@@ -230,8 +288,157 @@ def _route_solve_eligible(a, m, nnz, num_levels) -> bool:
     # and the output pane, route2_solve), so the row budget is half the
     # single-pane ~18k cap; the nnz/level caps bound host pack time and
     # plan bytes (the plan streams from HBM, not VMEM)
-    return (m // 128 <= 9_000 and nnz <= 16_000_000
+    return (m // 128 <= _solve_pane_cap() and nnz <= 16_000_000
             and num_levels <= 200_000)
+
+
+def _solve_pane_cap() -> int:
+    """Two-resident-pane row budget (env-tunable so the pane-blocked
+    path is testable at CPU sizes)."""
+    import os
+    return int(os.environ.get("SPBLAS_ROUTE_SOLVE_PANE_CAP", 9_000))
+
+
+def _block_solve_eligible(a, m, nnz) -> bool:
+    """Pane-blocked substitution envelope (round 5): beyond the
+    one-dispatch pane cap but within host-inspect reach."""
+    import os
+    from spblas_tpu.types import on_tpu
+    if os.environ.get("SPBLAS_NO_ROUTE_TRSV") == "1":
+        return False
+    if not (on_tpu() or os.environ.get("SPBLAS_FORCE_ROUTE_TRSV")):
+        return False
+    if a.dtype != jnp.float32:
+        return False
+    bm = _block_solve_rows()
+    return (m // 128 > _solve_pane_cap() and -(-m // bm) <= 16
+            and nnz <= 128_000_000)
+
+
+def _block_solve_rows() -> int:
+    import os
+    return int(os.environ.get("SPBLAS_BLOCK_SOLVE_ROWS", 1 << 20))
+
+
+def _build_block_solve(rowptr, colind, values_h, m, nnz, lower: bool,
+                       unit: bool, uplo: str, diag: str):
+    """Host build of the pane-blocked plan: per block, a diagonal-block
+    sub-inspect (recurses into the ordinary inspector, whose own gates
+    pick one-dispatch/ragged per block) plus a strip matvec plan
+    through the chooser."""
+    from spblas_tpu.formats.csr import CSR
+    from spblas_tpu.kernels.plans import build_matvec_plan
+
+    bm = _block_solve_rows()
+    K = -(-m // bm)
+    row_of = np.repeat(np.arange(m, dtype=np.int64),
+                       np.diff(np.minimum(rowptr[: m + 1], nnz)))
+    cols = colind[:nnz].astype(np.int64)
+    eidx = np.arange(nnz, dtype=np.int64)
+
+    subs, sub_vals, sub_eidx = [], [], []
+    strip_kinds, strip_plans, strip_eidx = [], [], []
+    for k in range(K):
+        lo_r, hi_r = k * bm, min((k + 1) * bm, m)
+        bk = hi_r - lo_r
+        sel = (row_of >= lo_r) & (row_of < hi_r)
+        in_diag = sel & (cols >= lo_r) & (cols < hi_r)
+        if lower:
+            in_strip = sel & (cols < lo_r)
+        else:
+            in_strip = sel & (cols >= hi_r)
+
+        # diagonal block as its own CSR (host arrays through the
+        # inspector's host_arrays shortcut — no tunnel round-trips)
+        de = np.flatnonzero(in_diag)
+        d_rows = row_of[de] - lo_r
+        d_rp = np.zeros(bk + 1, np.int64)
+        np.add.at(d_rp[1:], d_rows, 1)
+        d_rp = np.cumsum(d_rp)
+        d_ci = cols[de] - lo_r
+        d_vv = values_h[de].astype(np.float32)
+        sub_csr = CSR.from_arrays(d_vv, d_rp, d_ci.astype(np.int32),
+                                  (bk, bk), nnz=len(de))
+        sub_info = triangular_solve_inspect(
+            sub_csr, uplo=uplo, diag=diag,
+            host_arrays=(d_rp, d_ci.astype(np.int32), d_vv))
+        subs.append(sub_info.plan)
+        sub_vals.append(sub_csr.values)
+        sub_eidx.append(jnp.asarray(de, dtype=jnp.int32))
+
+        se = np.flatnonzero(in_strip)
+        if len(se) == 0 or (lower and k == 0) or \
+                (not lower and k == K - 1):
+            strip_kinds.append("none")
+            strip_plans.append(())
+            strip_eidx.append(())
+            continue
+        s_rows = row_of[se] - lo_r
+        s_rp = np.zeros(bk + 1, np.int64)
+        np.add.at(s_rp[1:], s_rows, 1)
+        s_rp = np.cumsum(s_rp)
+        s_ci = cols[se] - (0 if lower else hi_r)
+        s_n = lo_r if lower else m - hi_r
+        strip_csr = CSR.from_arrays(
+            values_h[se].astype(np.float32), s_rp,
+            s_ci.astype(np.int32), (bk, s_n), nnz=len(se))
+        kind, plan = build_matvec_plan(strip_csr)
+        strip_kinds.append(kind)
+        strip_plans.append(plan)
+        strip_eidx.append(jnp.asarray(se, dtype=jnp.int32))
+    return BlockTrsv(subs=tuple(subs), sub_vals=tuple(sub_vals),
+                     sub_eidx=tuple(sub_eidx),
+                     strip_plans=tuple(strip_plans),
+                     strip_eidx=tuple(strip_eidx),
+                     strip_kinds=tuple(strip_kinds),
+                     bm=bm, lower=lower)
+
+
+def _solve_one(plan: TrsvPlan, values, b, alpha):
+    """The inner route-or-ragged dispatch shared by the top-level solve
+    and the pane-blocked executor (values/b/alpha already vetted)."""
+    if plan.route is not None:
+        from spblas_tpu.kernels.route2_kernel import route2_solve
+        route = plan.route
+        if values is not plan.route_vals_ref:
+            route = route.update_solve_values(values, plan.route_dpe)
+        alpha_f = jnp.asarray(alpha, jnp.float32)
+        if plan.route_diag is not None:
+            y0 = b / (values[plan.route_diag] * alpha_f)
+        else:
+            y0 = b / alpha_f
+        return route2_solve(route, y0)
+    return _trsv_execute(plan, values, b, alpha)
+
+
+def _blocked_solve(blk: BlockTrsv, values, vals_ref, b, alpha):
+    """Execute the pane-blocked substitution: K chained block solves
+    with strip SpMV updates between them."""
+    from spblas_tpu.kernels.plans import plan_spmv
+
+    refresh = values is not vals_ref
+    K = len(blk.subs)
+    m = b.shape[0]
+    order = range(K) if blk.lower else range(K - 1, -1, -1)
+    xs: dict = {}
+    for k in order:
+        lo_r = k * blk.bm
+        hi_r = min((k + 1) * blk.bm, m)
+        r_k = b[lo_r:hi_r].astype(jnp.float32)
+        if blk.strip_kinds[k] != "none":
+            plan_k = blk.strip_plans[k]
+            if refresh:
+                plan_k = plan_k.update_values(
+                    values[blk.strip_eidx[k]])
+            if blk.lower:
+                xp = jnp.concatenate([xs[j] for j in range(k)])
+            else:
+                xp = jnp.concatenate([xs[j] for j in range(k + 1, K)])
+            sy = plan_spmv((blk.strip_kinds[k], plan_k), xp)
+            r_k = r_k - jnp.asarray(alpha, jnp.float32) * sy
+        vk = values[blk.sub_eidx[k]] if refresh else blk.sub_vals[k]
+        xs[k] = _solve_one(blk.subs[k], vk, r_k, alpha)
+    return jnp.concatenate([xs[k] for k in range(K)])
 
 
 @jax.jit
@@ -304,28 +511,28 @@ def triangular_solve(a_view, b, uplo: str = "lower",
     alpha_ok = (transform_safe(alpha)
                 and not jnp.issubdtype(jnp.result_type(alpha),
                                        jnp.complexfloating))
-    if (plan.route is not None and not conj
-            and transform_safe(b) and transform_safe(values) and alpha_ok
-            and b.dtype == jnp.float32
-            and values.dtype == jnp.float32):
-        # transform_safe on rhs, values AND alpha: the one-dispatch
-        # kernel has no VJP, so grad/vmap through any input must take
-        # the differentiable ragged sweep; complex alpha likewise (the
-        # kernel is real-f32)
-        from spblas_tpu.kernels.route2_kernel import route2_solve
-        route = plan.route
-        if values is not plan.route_vals_ref:
-            # numeric re-run with new values, same sparsity: re-bake the
-            # -a_ij/d_i tiles on device instead of dropping to the
-            # ragged sweep (rocSPARSE numeric-reuse contract,
-            # vendor/rocsparse/multiply_spgemm.hpp:178-214)
-            route = route.update_solve_values(values, plan.route_dpe)
-        alpha_f = jnp.asarray(alpha, jnp.float32)
-        if plan.route_diag is not None:
-            y0 = b / (values[plan.route_diag] * alpha_f)
-        else:
-            y0 = b / alpha_f
-        return route2_solve(route, y0)
+    fast_ok = (not conj and transform_safe(b) and transform_safe(values)
+               and alpha_ok and b.dtype == jnp.float32
+               and values.dtype == jnp.float32)
+    # transform_safe on rhs, values AND alpha: the one-dispatch kernel
+    # has no VJP, so grad/vmap through any input must take the
+    # differentiable ragged sweep; complex alpha likewise (real-f32
+    # kernels).  Numeric re-runs with new values re-bake on device
+    # (_solve_one / the blocked refresh path) — the rocSPARSE
+    # numeric-reuse contract (multiply_spgemm.hpp:178-214).
+    if plan.route is not None and fast_ok:
+        return _solve_one(plan, values, b, alpha)
+    if plan.blocked is not None and fast_ok:
+        blk: BlockTrsv = plan.blocked
+        refresh = values is not plan.route_vals_ref
+        strips_ok = all(
+            k == "none" or hasattr(p, "update_values")
+            for k, p in zip(blk.strip_kinds, blk.strip_plans)) \
+            if refresh else True
+        if strips_ok:
+            return _blocked_solve(blk, values, plan.route_vals_ref, b,
+                                  alpha).astype(
+                jnp.result_type(values.dtype, b.dtype))
     return _trsv_execute(plan, values, b, alpha)
 
 

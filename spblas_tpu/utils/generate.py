@@ -430,3 +430,31 @@ def generate_block_chain_lower(m, block=64, deg=4, seed=0,
     return CSR.from_arrays(out_vals.astype(dtype),
                            _rows_to_rowptr(rows, m), cols, (m, m),
                            nnz=len(rows))
+
+
+def generate_block_chain_arrays(m, block=64, deg=4, seed=0,
+                                dtype=np.float32):
+    """HOST (numpy) arrays of :func:`generate_block_chain_lower` —
+    ``(vals, rowptr, cols)`` for inspectors that run on host anyway
+    (the 4M-row solve bench: pulling 160 MB back through the tunnel
+    costs minutes; see generate_csr_arrays)."""
+    rng = np.random.default_rng(seed)
+    rows_i = np.arange(m, dtype=np.int64)
+    blk = rows_i // block
+    dep_rows = np.repeat(rows_i[blk > 0], deg)
+    prev_base = (blk[blk > 0] - 1) * block
+    dep_cols = (np.repeat(prev_base, deg)
+                + rng.integers(0, block, len(dep_rows)))
+    dep_vals = rng.uniform(-0.1, 0.1, len(dep_rows))
+    rows = np.concatenate([dep_rows, rows_i])
+    cols = np.concatenate([dep_cols, rows_i])
+    vals = np.concatenate([dep_vals, rng.uniform(2.0, 3.0, m)])
+    key = rows * np.int64(m) + cols
+    order = np.argsort(key, kind="stable")
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    head = np.concatenate([[True], key[order][1:] != key[order][:-1]])
+    grp = np.cumsum(head) - 1
+    out_vals = np.zeros(int(grp[-1]) + 1, np.float64)
+    np.add.at(out_vals, grp, vals)
+    rows, cols = rows[head], cols[head]
+    return (out_vals.astype(dtype), _rows_to_rowptr(rows, m), cols)
