@@ -20,7 +20,11 @@ Run: python benchmarks/dev/rot_publish_ab.py
 """
 
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 import numpy as np
 

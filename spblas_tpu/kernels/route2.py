@@ -85,6 +85,9 @@ B_LSRC = 25
 # supercell publish sub-window (round 4): home-lane plans only — the
 # field shares the (then unused) lsrc bit range
 B_SUBW = 29
+# rotate mode (round 5): which of the chunk's two rotations a publish
+# used (home-lane plans; coexists with B_SUBW in the lsrc bit range)
+B_SEL = 28
 MAX_G = 32                    # r2 field spans 8g <= 256 slab rows
 
 
@@ -127,6 +130,13 @@ class Route2Plan:
     # hub-split plans carry flag-2 chunks (identity-lane hub rows whose
     # tiles full-sum to one scalar — round 4, VERDICT r3 #4)
     has_hub: bool = dataclasses.field(default=False,
+                                      metadata=dict(static=True))
+    # per-chunk publish-position rotations (round 5): rho0 | rho1 << 10
+    # per chunk (0 = identity; aux chunks always 0).  Each chunk
+    # re-hashes the 1024-class publish collisions and the per-lane
+    # Poisson load — the supercell residual walls (VERDICT r4 #5)
+    rho: object = None
+    rotated: bool = dataclasses.field(default=False,
                                       metadata=dict(static=True))
 
     @property
@@ -253,7 +263,8 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
                       spill: Optional[bool] = None,
                       any_lane: Optional[bool] = None,
                       row_window_mult: Optional[int] = None,
-                      hub_deg: Optional[int] = None) -> Route2Plan:
+                      hub_deg: Optional[int] = None,
+                      rotate: Optional[bool] = None) -> Route2Plan:
     """Build the ROUTE2 plan from host CSR arrays (inspector phase).
 
     O(nnz log nnz) host work; the hot path is the per-cell chunk packer
@@ -264,11 +275,12 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
     A = _build_route2_arrays(rowptr, colind, values, shape, nnz, g=g,
                              dtype=dtype, spill=spill, any_lane=any_lane,
                              row_window_mult=row_window_mult,
-                             hub_deg=hub_deg)
+                             hub_deg=hub_deg, rotate=rotate)
     from spblas_tpu.utils.placement import device_put_batch
-    tile, val, sb_d, yb_d, flags_d, srcs_d, ext_d = device_put_batch(
+    (tile, val, sb_d, yb_d, flags_d, srcs_d, ext_d,
+     rho_d) = device_put_batch(
         A["tiles"], A["vals"], A["sb"], A["yb"], A["flags"], A["srcs"],
-        A["ext"])
+        A["ext"], A["rho"])
     return Route2Plan(
         tile=tile, val=val, slab_base=sb_d, y_base=yb_d,
         src_flag=flags_d, val_src=srcs_d, ext_cols=ext_d,
@@ -276,7 +288,8 @@ def build_route2_plan(rowptr, colind, values, shape: Tuple[int, int],
         x_rows=A["x_rows"], y_rows=A["y_rows"], aux_rows=A["aux_rows"],
         n_aux_chunks=A["n_aux_chunks"], fill=A["fill"],
         dist_max=A["dist_max"], any_lane=A["any_lane"],
-        row_window_mult=A["row_window_mult"], has_hub=A["has_hub"])
+        row_window_mult=A["row_window_mult"], has_hub=A["has_hub"],
+        rho=rho_d if A["rotated"] else None, rotated=A["rotated"])
 
 
 def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
@@ -285,7 +298,8 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
                          spill: Optional[bool] = None,
                          any_lane: Optional[bool] = None,
                          row_window_mult: Optional[int] = 1,
-                         hub_deg: Optional[int] = 0) -> dict:
+                         hub_deg: Optional[int] = 0,
+                         rotate: Optional[bool] = False) -> dict:
     """Host phase of :func:`build_route2_plan`: everything up to device
     placement, returned as numpy arrays + static meta.  The paned
     builder (kernels/route_paned.py) calls this per row panel and
@@ -354,6 +368,23 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     assert not (any_lane and ww > 1), \
         "supercells use the lsrc bits; any_lane must be off"
 
+    # per-chunk d=2 publish-position rotations (round 5, VERDICT r4
+    # #5): each chunk re-hashes the 1024-class publish collisions AND
+    # the per-lane Poisson load, dissolving the supercell residual
+    # walls into a per-chunk matching problem (packing sim
+    # benchmarks/dev/rho_pack_sim.py: m=1M W=8 fill 0.373 -> 0.56;
+    # kernel un-rotation measured +7-14 ns/chunk,
+    # benchmarks/dev/rot_publish_ab.py).  Home-lane only (the sel bit
+    # shares the lsrc range); native packer only.
+    import os as _os
+    if rotate is None:
+        rotate = ww > 1 and _os.environ.get("SPBLAS_NO_ROTATE") != "1"
+    rotate = bool(rotate) and not any_lane
+    if rotate:
+        from spblas_tpu import native as _nat
+        if _nat.get_lib() is None:
+            rotate = False
+
     # hub split (round 4, VERDICT r3 #4): rows past hub_deg leave the
     # coloring-constrained packing entirely — their elements sit at
     # their identity lane (slot (a, col&127), r2 = in-window col>>7),
@@ -385,14 +416,17 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     state = _BuildState(g, y_rows)
     spilled = _pack_stream(rows, colind, values, ent, g, window, state,
                            tgt_rows=None, spill=spill,
-                           any_lane=any_lane, row_window=row_window)
+                           any_lane=any_lane, row_window=row_window,
+                           rotate=rotate)
     if spilled is not None:
         if not _pack_spill_native(*spilled, g, window, state,
-                                  row_window=row_window):
+                                  row_window=row_window,
+                                  rotate=rotate):
             # no native library: repack the overflow per cell (denser
             # window-major packing needs the native spill_only mode)
             _pack_stream(*spilled, g, window, state, tgt_rows=None,
-                         any_lane=any_lane, row_window=row_window)
+                         any_lane=any_lane, row_window=row_window,
+                         rotate=rotate)
 
     # hub chunks (flag 2) come after the flag-0 run, each run padded to
     # whole CB groups so per-group flags stay homogeneous
@@ -414,7 +448,7 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     if state.aux_pending:
         _pad_to_cb(state, 0)
     n_aux_chunks = _drain_aux(state, g, window, any_lane=any_lane,
-                              row_window=row_window)
+                              row_window=row_window, rotate=rotate)
 
     if not state.tiles:
         state.append_empty()
@@ -441,7 +475,8 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
         g=g, shape=(m, n), nat_slots=int(nat_slots), x_rows=x_rows,
         y_rows=y_rows, aux_rows=aux_rows, n_aux_chunks=n_aux_chunks,
         fill=float(fill), dist_max=dist_max, any_lane=bool(any_lane),
-        row_window_mult=ww, has_hub=n_hub_chunks > 0)
+        row_window_mult=ww, has_hub=n_hub_chunks > 0,
+        rho=state.rho.stack(), rotated=bool(rotate))
 
 
 def _pad_to_cb(state: "_BuildState", flag: int, cb: int = 8) -> None:
@@ -457,6 +492,7 @@ def _pad_to_cb(state: "_BuildState", flag: int, cb: int = 8) -> None:
     state.sb.append_fill(pad)
     state.yb.append_fill(pad)
     state.flags.extend_const(flag, pad)
+    state.rho.append_fill(pad)
 
 
 def _pack_hub_stream(rows, cols, vals, ent, g: int, window: int,
@@ -528,12 +564,14 @@ def _pack_hub_stream(rows, cols, vals, ent, g: int, window: int,
     state.sb.extend(sb[chunk_grp])
     state.yb.extend(yb[chunk_grp])
     state.flags.extend_const(2, total)
+    state.rho.extend_const(0, total)
     return total
 
 
 def _drain_aux(state: "_BuildState", g: int, window: int,
                any_lane: bool = True,
-               row_window: int = ROW_WINDOW) -> int:
+               row_window: int = ROW_WINDOW,
+               rotate: bool = False) -> int:
     """Pack the pending aux partial sums into reduction chunks (levels
     recurse until dry).  Returns the number of chunks appended."""
     n_aux_chunks = 0
@@ -550,7 +588,8 @@ def _drain_aux(state: "_BuildState", g: int, window: int,
                      np.ones(len(a_slots), np.float32),
                      np.full(len(a_slots), -1, np.int64),
                      g, window, state, tgt_rows=None, src_flag=1,
-                     any_lane=any_lane, row_window=row_window)
+                     any_lane=any_lane, row_window=row_window,
+                     rotate=rotate)
         n_aux_chunks += len(state.tiles) - first
     assert not state.aux_pending, "aux recursion runaway"
     return n_aux_chunks
@@ -813,6 +852,7 @@ class _BuildState:
         self.sb = _RunList((), np.int32)
         self.yb = _RunList((), np.int32)
         self.flags = _RunList((), np.int32)
+        self.rho = _RunList((), np.int32)   # rotate mode (0 otherwise)
         self.aux_windows: List[np.ndarray] = []  # per-window lane depths
         self.aux_base = 0             # pane row where aux slots start
         self.aux_pending: List[Tuple[int, int]] = []  # (abs slot, row)
@@ -850,12 +890,14 @@ class _BuildState:
         self.sb.append_fill(1)
         self.yb.append_fill(1)
         self.flags.append_fill(1)
+        self.rho.append_fill(1)
 
 
 def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
                  tgt_rows, src_flag: int = 0, col_base: int = 0,
                  spill: bool = False, any_lane: bool = True,
-                 row_window: int = ROW_WINDOW, cell_level=None):
+                 row_window: int = ROW_WINDOW, cell_level=None,
+                 rotate: bool = False):
     """Sort a (row, col) element stream into cells and pack each cell.
 
     ``col_base`` offsets columns (used by aux levels whose "columns"
@@ -929,7 +971,7 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
     res = _pack_cells_native(lrow_s, lcol_s, vals_s, ent_s, starts,
                              ends, cell_sb, cell_yb, g, window, state,
                              src_flag, spill=spill, any_lane=any_lane,
-                             row_window=row_window)
+                             row_window=row_window, rotate=rotate)
     if res is not None:
         spill_idx = res
         if spill and len(spill_idx):
@@ -944,10 +986,10 @@ def _pack_stream(rows, cols, vals, ent, g, window, state: _BuildState,
                 c_sp = cols_s[spill_idx]
             return (r_sp, c_sp, vals_s[spill_idx], ent_s[spill_idx])
         return None
-    if row_window != ROW_WINDOW:
+    if row_window != ROW_WINDOW or rotate:
         raise RuntimeError(
-            "supercell packing (row_window_mult > 1) requires the "
-            "native packer; build with g++ or pass row_window_mult=1")
+            "supercell/rotate packing requires the native packer; "
+            "build with g++ or pass row_window_mult=1, rotate=False")
     if rows_s is None:  # python fallback needs the global coordinates
         rows_s = (((cell_key // ncellc) % nstripe) * row_window
                   + lrow_s).astype(np.int64)
@@ -963,7 +1005,8 @@ def _pack_cells_native(lrow, lcol, vals, ent, starts, ends, cell_sb,
                        cell_yb, g, window, state: _BuildState,
                        src_flag: int, spill: bool = False,
                        any_lane: bool = True,
-                       row_window: int = ROW_WINDOW):
+                       row_window: int = ROW_WINDOW,
+                       rotate: bool = False):
     """Native C++ cell packer (native/src/route2_pack.cpp); returns
     the spilled stream indices (possibly empty) or None when the
     library is unavailable.  ``lrow``/``lcol`` are the window-local
@@ -976,12 +1019,12 @@ def _pack_cells_native(lrow, lcol, vals, ent, starts, ends, cell_sb,
     nat = native.route2_pack(ne, ncells, cell_start, lrow, lcol,
                              aux_windows_in=len(state.aux_windows),
                              spill=spill, any_lane=any_lane,
-                             row_window=row_window)
+                             row_window=row_window, rotate=rotate)
     if nat is None:
         return None
     (nch, tiles, chunk_cell, chunk_auxwin, chunk_group, elem_group,
      elem_scat, n_windows, aux_slot, aux_lrow, aux_cell,
-     spill_idx) = nat
+     spill_idx, chunk_rho) = nat
     # group val/src tiles (chunk copies share their group's values).
     # SPILLED elements were never committed — the packer zeroes their
     # elem_group/scat entries (the buffers come from np.empty) and they
@@ -1017,6 +1060,7 @@ def _pack_cells_native(lrow, lcol, vals, ent, starts, ends, cell_sb,
     state.sb.extend(cell_sb[chunk_cell])
     state.yb.extend(yb)
     state.flags.extend_const(src_flag, nch)
+    state.rho.extend(chunk_rho)
     if len(aux_slot):
         state.aux_pending.append(
             (state.aux_base * LANES + aux_slot.astype(np.int64),
@@ -1026,7 +1070,8 @@ def _pack_cells_native(lrow, lcol, vals, ent, starts, ends, cell_sb,
 
 def _pack_spill_native(rows, cols, vals, ent, g, window,
                        state: _BuildState,
-                       row_window: int = ROW_WINDOW) -> bool:
+                       row_window: int = ROW_WINDOW,
+                       rotate: bool = False) -> bool:
     """Window-major repack of the per-cell Poisson-tail overflow: cells
     span ALL stripes of one x window, every segment publishes to an aux
     slot (spill_only), and the pending targets carry the GLOBAL row.
@@ -1069,12 +1114,13 @@ def _pack_spill_native(rows, cols, vals, ent, g, window,
         aux_windows_in=len(state.aux_windows), spill_only=True,
         # spill chunks publish aux-only; any_lane is unused but the
         # native validation requires it off in supercell plans, and
-        # row_window keeps the lsrc bit range clear of the subw field
-        any_lane=False, row_window=row_window)
+        # row_window/rotate keep the lsrc bit range clear of the
+        # subw/sel fields
+        any_lane=False, row_window=row_window, rotate=rotate)
     if nat is None:
         return False
     (nch, tiles, chunk_cell, chunk_auxwin, chunk_group, elem_group,
-     elem_scat, n_windows, aux_slot, aux_lrow, aux_cell, _) = nat
+     elem_scat, n_windows, aux_slot, aux_lrow, aux_cell, _, _) = nat
     cell_sb = (wkey[starts] * (window // LANES)).astype(np.int32)
     ngroup = int(chunk_group.max()) + 1 if nch else 0
     ft = native.fill_group_tiles(ngroup, elem_group, elem_scat,
@@ -1099,6 +1145,7 @@ def _pack_spill_native(rows, cols, vals, ent, g, window,
     state.sb.extend(cell_sb[chunk_cell])
     state.yb.extend(yb)
     state.flags.extend_const(0, nch)           # they read the x pane
+    state.rho.extend_const(0, nch)
     if len(aux_slot):
         state.aux_pending.append(
             (state.aux_base * LANES + aux_slot.astype(np.int64),
@@ -1167,6 +1214,7 @@ def _pack_cell(r, c, v, ent, g, window, state: _BuildState,
             state.sb.append(sb)
             state.yb.append(yb_c)
             state.flags.append(src_flag)
+            state.rho.append(0)
 
     def place_aux(ck, idx, row):
         jd = ck._probe[0]
@@ -2141,11 +2189,30 @@ def route2_spmv_numpy(plan: Route2Plan, x: np.ndarray) -> np.ndarray:
                 RS = RS[ii, (t >> B_LSRC) & 127]
             RS = RS * vA
         yb = int(ybs[k])
-        if plan.row_window_mult == 1:
+        ww = plan.row_window_mult
+        if plan.rotated and flags[k] != 2:
+            # sublane un-rotation per rotation class (kernel mirror)
+            rho = int(np.asarray(plan.rho)[k])
+            r0, r1 = (rho >> 7) & 7, (rho >> 17) & 7
+            sel = (t >> B_SEL) & 1
+            u0 = np.where(sel == 0, RS, 0.0)[(ii + r0) & 7, jj]
+            u1 = np.where(sel == 1, RS, 0.0)[(ii + r1) & 7, jj]
+            if ww == 1:
+                y2[yb:yb + SUBS] += u0 + u1
+            else:
+                s0 = (np.where(sel == 0, t, 0)[(ii + r0) & 7, jj]
+                      >> B_SUBW) & 7
+                s1 = (np.where(sel == 1, t, 0)[(ii + r1) & 7, jj]
+                      >> B_SUBW) & 7
+                for sw in range(ww):
+                    y2[yb + sw * SUBS: yb + (sw + 1) * SUBS] += (
+                        np.where(s0 == sw, u0, 0.0)
+                        + np.where(s1 == sw, u1, 0.0))
+        elif ww == 1:
             y2[yb:yb + SUBS] += RS
         else:
             subw = (t >> B_SUBW) & 7
-            for sw in range(plan.row_window_mult):
+            for sw in range(ww):
                 y2[yb + sw * SUBS: yb + (sw + 1) * SUBS] += \
                     np.where(subw == sw, RS, 0.0)
     return y2.reshape(-1)[:m]

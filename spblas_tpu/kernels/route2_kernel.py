@@ -27,8 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spblas_tpu.kernels.route2 import (B2_LF, B2_R2, B2_SD2,
                                        B_DIST, B_LF, B_LSRC, B_PEND,
-                                       B_R2, B_SD2, B_SUBW, B_VA,
-                                       LANES, SUBS, Route2MulPlan,
+                                       B_R2, B_SD2, B_SEL, B_SUBW,
+                                       B_VA, LANES, SUBS, Route2MulPlan,
                                        Route2Plan)
 from spblas_tpu.types import on_tpu as _on_tpu
 
@@ -104,11 +104,25 @@ def _hub_chunk_body(t, val, slab, g):
     return vA * s
 
 
-def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
+def _unrotate(tile, rhi):
+    """Destination-indexed SUBLANE roll of an (8,128) tile by the
+    traced scalar rhi: T[i,j] = tile[(i + rhi) & 7, j] — one sublane
+    gather (~1 ns).  The packer emits sublane-aligned rotations only
+    (rho a multiple of 128): the packing sim showed full-position and
+    sublane-only rotations reach the SAME fill, and this form skips
+    the ~12 ns lane gather + carry select of the general roll
+    (benchmarks/dev/rot_publish_ab.py, rho_pack_sim.py)."""
+    ii = jnp.broadcast_to(jnp.arange(SUBS)[:, None], (SUBS, LANES))
+    return jnp.take_along_axis(tile, (ii + rhi) & 7, axis=0)
+
+
+def _route2_kernel(sb_ref, yb_ref, fl_ref, rho_ref, t_hbm, v_hbm,
+                   x_ref, y_ref,
                    t_buf, v_buf, t_sem, v_sem, *, g: int,
                    has_aux: bool, init_from_x: bool = False,
                    dist_max: int = 7, any_lane: bool = False,
-                   ww: int = 1, has_hub: bool = False):
+                   ww: int = 1, has_hub: bool = False,
+                   rotated: bool = False):
     k = pl.program_id(0)
     nk = pl.num_programs(0)
 
@@ -142,7 +156,35 @@ def _route2_kernel(sb_ref, yb_ref, fl_ref, t_hbm, v_hbm, x_ref, y_ref,
 
     def publish(t, upd, ci):
         yb = yb_ref[ci]
-        if ww == 1:
+        if rotated:
+            # per-chunk d=2 publish rotations (round 5): move each
+            # publish from its rotated slot back to its true position;
+            # the two rotation classes (sel bit) un-rotate separately —
+            # two same-destination publishes in one chunk necessarily
+            # used different sels, so their values AND their subw
+            # fields must ride separate ladders
+            rho = rho_ref[ci]
+            r0 = (rho >> 7) & 7         # sublane-aligned rotations
+            r1 = (rho >> 17) & 7
+            sel = (t >> B_SEL) & 1
+            u0 = _unrotate(jnp.where(sel == 0, upd, 0.0), r0)
+            u1 = _unrotate(jnp.where(sel == 1, upd, 0.0), r1)
+            if ww == 1:
+                upd2 = u0 + u1
+                y_ref[pl.ds(yb, SUBS), :] = \
+                    y_ref[pl.ds(yb, SUBS), :] + upd2
+            else:
+                s0 = (_unrotate(jnp.where(sel == 0, t, 0),
+                                r0) >> B_SUBW) & 7
+                s1 = (_unrotate(jnp.where(sel == 1, t, 0),
+                                r1) >> B_SUBW) & 7
+                wide = jnp.concatenate(
+                    [jnp.where(s0 == sw, u0, 0.0)
+                     + jnp.where(s1 == sw, u1, 0.0)
+                     for sw in range(ww)], axis=0)
+                y_ref[pl.ds(yb, ww * SUBS), :] = \
+                    y_ref[pl.ds(yb, ww * SUBS), :] + wide
+        elif ww == 1:
             y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + upd
         else:
             # supercell publish: route the (8,128) publish tile to its
@@ -238,7 +280,8 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
                          interpret=interpret, dist_max=plan.dist_max,
                          any_lane=plan.any_lane,
                          row_window_mult=plan.row_window_mult,
-                         has_hub=plan.has_hub)
+                         has_hub=plan.has_hub,
+                         rho=plan.rho, rotated=plan.rotated)
     return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(xdt)
 
 
@@ -246,7 +289,8 @@ def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
                     g: int, x_rows: int, out_rows: int, has_aux: bool,
                     interpret: bool, init_from_x: bool = False,
                     dist_max: int = 7, any_lane: bool = False,
-                    row_window_mult: int = 1, has_hub: bool = False):
+                    row_window_mult: int = 1, has_hub: bool = False,
+                    rho=None, rotated: bool = False):
     """The raw ROUTE2 pallas dispatch over plan arrays — shared by
     route2_spmv, route2_solve and the distributed per-shard executor
     (parallel/route_spmv.py), which cannot pass plan pytrees through
@@ -259,9 +303,13 @@ def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
     sb = jnp.pad(slab_base, (0, pad))
     yb = jnp.pad(y_base, (0, pad))
     fl = jnp.pad(src_flag, (0, pad), mode="edge")
+    if rho is None:
+        rh = jnp.zeros((nc + pad,), jnp.int32)
+    else:
+        rh = jnp.pad(rho, (0, pad))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,          # slab_base, y_base, src_flag
+        num_scalar_prefetch=4,      # slab_base, y_base, src_flag, rho
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # tile
@@ -281,7 +329,7 @@ def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
         functools.partial(_route2_kernel, g=g, has_aux=has_aux,
                           init_from_x=init_from_x, dist_max=dist_max,
                           any_lane=any_lane, ww=row_window_mult,
-                          has_hub=has_hub),
+                          has_hub=has_hub, rotated=rotated),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, LANES),
                                        jnp.float32),
@@ -292,7 +340,7 @@ def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
             + (x_rows + out_rows) * LANES * 4,
             transcendentals=0,
         ),
-    )(sb, yb, fl, t, v, x2)
+    )(sb, yb, fl, rh, t, v, x2)
 
 
 # SMEM holds 3 x 4 B of chunk scalars per chunk (~1 MB scalar memory);

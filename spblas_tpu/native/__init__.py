@@ -119,7 +119,8 @@ def _declare(lib):
     lib.spblas_route2_pack.argtypes = [
         i64, i64, i64p, i32p, i32p, i64, i64, ctypes.c_int32,
         i32p, i32p, i32p, i32p, i32p, i32p, i64p, i64p, i32p, i32p,
-        i32p, i64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        i32p, i64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, i32p]
     lib.spblas_route2_mul_pack.restype = i64
     lib.spblas_route2_mul_pack.argtypes = [
         i64, i64, i64p, i32p, i32p, i32p, i64, i64,
@@ -477,15 +478,17 @@ def mul_expand(m, a_nnz, a_rowptr, a_colind, b_nnz, b_rowptr, b_colind,
 
 def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
                 spill_only=False, spill=False, any_lane=True,
-                row_window=1024):
+                row_window=1024, rotate=False):
     """Native ROUTE2 chunk packing (kernels/route2.py hot loop).
 
     Returns (nch, tiles(nch,8,128), chunk_cell, chunk_auxwin,
     chunk_group, elem_group, elem_scat, n_aux_windows, aux_slot,
-    aux_lrow, aux_cell, spill_idx) or None when the library is
-    unavailable.  With ``spill=True``, Poisson-tail overflow beyond
+    aux_lrow, aux_cell, spill_idx, chunk_rho) or None when the library
+    is unavailable.  With ``spill=True``, Poisson-tail overflow beyond
     each cell's deserved chunk count comes back as stream indices in
-    ``spill_idx`` for window-major repacking."""
+    ``spill_idx`` for window-major repacking.  ``rotate=True``
+    (round 5) packs with per-chunk d=2 publish-position rotations;
+    chunk_rho carries rho0 | rho1 << 10 per chunk."""
     lib = get_lib()
     if lib is None:
         return None
@@ -512,13 +515,14 @@ def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
         aux_cell = np.empty(max(ne, 1), np.int32)
         spill_out = np.empty(max(ne, 1) if spill else 1, np.int32)
         spill_n = np.zeros(1, np.int64)
+        chunk_rho = np.zeros(max_chunks, np.int32)
         rc = lib.spblas_route2_pack(
             ne, ncells, cell_start, lrow, lcol, max_chunks,
             int(aux_windows_in), int(spill_only),
             tiles, chunk_cell, chunk_auxwin, chunk_group,
             elem_group, elem_scat, aux_info, aux_slot, aux_lrow,
             aux_cell, spill_out, spill_n, int(spill), int(any_lane),
-            int(row_window))
+            int(row_window), int(rotate), chunk_rho)
         if rc == -1:
             max_chunks *= 4
             continue
@@ -532,7 +536,7 @@ def route2_pack(ne, ncells, cell_start, lrow, lcol, aux_windows_in=0,
                 chunk_cell[:nch], chunk_auxwin[:nch],
                 chunk_group[:nch], elem_group, elem_scat,
                 int(aux_info[1]), aux_slot[:na], aux_lrow[:na],
-                aux_cell[:na], spill_idx)
+                aux_cell[:na], spill_idx, chunk_rho[:nch])
     return None
 
 

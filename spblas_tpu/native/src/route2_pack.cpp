@@ -54,7 +54,13 @@ constexpr int B_R2 = 0, B_LF = 8, B_SD2 = 15, B_DIST = 18,
 constexpr int B_SUBW = 29;
 constexpr int MAX_ROW_WINDOW = 8 * SLOTS;
 
-struct Pub { int32_t slot; int16_t jd; int16_t pend; };
+// sel: rotation-class selector (rotate mode, round 5) — braced inits
+// with three members zero it
+struct Pub { int32_t slot; int16_t jd; int16_t pend; int16_t sel; };
+// rotate mode: publish-class selector bit (home-lane supercell plans
+// keep subw at 29-31; bit 28 carries which of the chunk's two
+// rotations this publish used)
+constexpr int B_SEL = 28;
 struct AuxPub { int64_t abs_slot; int16_t jd; int16_t pend;
                 int32_t lrow; int32_t cell; };
 struct Elem { int32_t col; int32_t idx; int16_t jd; int8_t d;
@@ -133,6 +139,10 @@ struct Chunk : EdgeColorHash {
   // one direct publish per carrier slot (aux pubs are lane-matched
   // and carry pend at their own slot, no bookkeeping needed)
   uint64_t carrier[16];
+  // per-chunk publish-position rotations (rotate mode, round 5):
+  // publish pos = ((lr & 1023) + rho[sel]) & 1023 — each chunk
+  // re-hashes the 1024-class collisions AND the per-lane load
+  int32_t rho[2];
   std::vector<Elem> elems;
   std::vector<Pub> pubs;
   std::vector<AuxPub> aux_pubs;
@@ -144,6 +154,7 @@ struct Chunk : EdgeColorHash {
     std::memset(depth, 0, sizeof depth);
     std::memset(rows_pub, 0, sizeof rows_pub);
     std::memset(carrier, 0, sizeof carrier);
+    rho[0] = rho[1] = 0;
     reset_tables();
     elems.clear(); pubs.clear(); aux_pubs.clear();
     cold = 0;
@@ -239,14 +250,16 @@ struct Out {
   std::vector<int32_t> chunk_cell;  // auxwin: -1 direct, else window
   std::vector<int32_t> chunk_auxwin;
   std::vector<int32_t> chunk_group; // shared val-tile group
+  std::vector<int32_t> chunk_rho;   // rho0 | rho1 << 10 (0 = identity)
   int32_t* elem_chunk;              // SHARED: disjoint element writes
   int32_t* elem_scat;               // per element: d*128 + jd
   int64_t nch = 0, ngroup = 0;
 
-  int32_t* add(int cell, int auxwin, int group) {
+  int32_t* add(int cell, int auxwin, int group, int32_t rho = 0) {
     chunk_cell.push_back(cell);
     chunk_auxwin.push_back(auxwin);
     chunk_group.push_back(group);
+    chunk_rho.push_back(rho);
     size_t need = (size_t)(nch + 1) * SLOTS;
     if (tiles.capacity() < need)
       tiles.reserve(std::max(need, tiles.capacity() * 2));
@@ -283,7 +296,7 @@ std::vector<int64_t> split_cells(int64_t ncells, const int64_t* cell_start,
 
 bool flush_chunk(Chunk& ck, int cell, Out& out,
                  std::vector<AuxPub>* aux_pending, AuxAlloc* aux,
-                 int row_window = SLOTS) {
+                 int row_window = SLOTS, int32_t rotate = 0) {
   if (ck.elems.empty() && ck.pubs.empty() && ck.aux_pubs.empty())
     return true;
   int group = (int)out.ngroup++;
@@ -309,17 +322,27 @@ bool flush_chunk(Chunk& ck, int cell, Out& out,
   // direct copy: publish slot gets valid bit + acc lane (lsrc); its
   // pend rides the carrier slot (pub_sublane, acc_lane)
   if (!ck.pubs.empty() || ck.aux_pubs.empty()) {
-    int32_t* t = out.add(cell, -1, group);
+    int32_t rho_packed = rotate
+        ? (int32_t)(ck.rho[0] | (ck.rho[1] << 10)) : 0;
+    int32_t* t = out.add(cell, -1, group, rho_packed);
     if (!t) return false;
     std::memcpy(t, base, sizeof base);
     for (const Pub& p : ck.pubs) {
       // supercell (row_window > SLOTS): publish lands at the row's
       // 1024-class tile position, with the sub-window id in the lsrc
-      // bit range (home-lane only, so lsrc is free)
+      // bit range (home-lane only, so lsrc is free); rotate mode
+      // shifts the position by the chunk's rho[sel] and stores sel
       int local = p.slot & (SLOTS - 1);
-      int32_t hi = row_window == SLOTS
-          ? (int32_t)((uint32_t)p.jd << B_LSRC)
-          : (int32_t)((uint32_t)(p.slot / SLOTS) << B_SUBW);
+      int32_t hi;
+      if (rotate) {
+        local = (local + ck.rho[p.sel]) & (SLOTS - 1);
+        hi = (int32_t)(((uint32_t)(p.slot / SLOTS) << B_SUBW)
+                       | ((uint32_t)p.sel << B_SEL));
+      } else {
+        hi = row_window == SLOTS
+            ? (int32_t)((uint32_t)p.jd << B_LSRC)
+            : (int32_t)((uint32_t)(p.slot / SLOTS) << B_SUBW);
+      }
       t[local] |= (int32_t)(1u << B_VA) | hi;
       t[(local >> 7) * LANES + p.jd] |=
           (int32_t)(p.pend << B_PEND);
@@ -345,9 +368,10 @@ bool flush_chunk(Chunk& ck, int cell, Out& out,
         const AuxPub* p = bywin[i].second;
         int local = (int)(p->abs_slot - w * SLOTS);
         // lane-matched aux slot: its carrier is itself (lsrc = lane);
-        // supercell plans must keep the lsrc range clear (the kernel
-        // reads it as the sub-window, which must be 0 for aux tiles)
-        int32_t hi = row_window == SLOTS
+        // supercell AND rotate plans must keep the lsrc range clear
+        // (the kernel reads it as sub-window / sel, which must be 0
+        // for aux tiles — aux copies also carry rho = 0)
+        int32_t hi = (row_window == SLOTS && !rotate)
             ? (int32_t)((uint32_t)(local & 127) << B_LSRC) : 0;
         t[local] |= (int32_t)((p->pend << B_PEND) | (1u << B_VA)) | hi;
       }
@@ -393,7 +417,11 @@ extern "C" int64_t spblas_route2_pack(
     // row_window (SLOTS..8*SLOTS, round 4): supercell height — local
     // rows span this many slots, publishes carry a sub-window id in
     // the lsrc bit range (requires any_lane=0)
-    int32_t row_window);
+    int32_t row_window,
+    // rotate (round 5): per-chunk d=2 publish-position rotations
+    // (requires any_lane=0); chunk_rho receives rho0 | rho1 << 10
+    // per emitted chunk (0 for aux copies)
+    int32_t rotate, int32_t* chunk_rho);
 
 namespace {
 
@@ -403,6 +431,7 @@ bool pack_cells_range(
     const int64_t* cell_start, const int32_t* lrow, const int32_t* lcol,
     int64_t c_begin, int64_t c_end, int32_t spill_only,
     int32_t spill_enable, int32_t any_lane, int32_t row_window,
+    int32_t rotate,
     Out& out, AuxAlloc& aux, std::vector<AuxPub>& pending,
     std::vector<int32_t>& spill) {
   std::vector<Chunk> pool_store(MAX_OPEN + 1);
@@ -456,7 +485,7 @@ bool pack_cells_range(
     auto flush_at = [&](int pos) -> bool {
       int id = open[pos];
       bool ok = flush_chunk(pool_store[id], (int)cell, out, &pending,
-                            &aux, row_window);
+                            &aux, row_window, rotate);
       pool_store[id].reset();
       freelist.push_back(id);
       open.erase(open.begin() + pos);
@@ -487,7 +516,22 @@ bool pack_cells_range(
         int id = freelist.back(); freelist.pop_back();
         open.push_back(id);
         ++cell_opened;
-        return &pool_store[id];
+        Chunk* c = &pool_store[id];
+        if (rotate) {
+          // deterministic per-(cell, open-ordinal) rotations so
+          // rebuilds are bit-identical.  SUBLANE-ONLY (multiples of
+          // 128): the packing sim showed full/lane/sublane rotations
+          // all reach the same fill, and the sublane un-rotation is a
+          // single in-kernel sublane gather (~3 ns vs ~15 for the
+          // lane+carry form).  The two rotations are kept distinct.
+          uint32_t h = (uint32_t)(cell * 2654435761u)
+                       ^ (uint32_t)(cell_opened * 0x85EBCA77u);
+          int r0 = (int)((h >> 8) & 7);
+          int r1 = (r0 + 1 + (int)((h >> 20) % 7)) & 7;
+          c->rho[0] = r0 << 7;
+          c->rho[1] = r1 << 7;
+        }
+        return c;
       };
 
       // overflow spill: beyond the cell's chunk budget, emit the
@@ -516,21 +560,33 @@ bool pack_cells_range(
         int nas = 0;
         // carrier tracks the publish TILE POSITION (1024-class): for
         // supercells this doubles as the position-collision guard (two
-        // rows congruent mod 1024 cannot both publish in one chunk)
+        // rows congruent mod 1024 cannot both publish in one chunk);
+        // rotate mode shifts the position per chunk, dissolving the
+        // class into a per-chunk re-hash
         int s_pub = (row & (SLOTS - 1)) >> 7;
-        auto try_direct = [&](Chunk& ck, int jd2) -> bool {
+        auto try_direct = [&](Chunk& ck, int jd2, int sp2,
+                              int sel) -> bool {
           if (ck.depth[jd2] + len > SUBS) return false;
-          if (!ck.carrier_free(s_pub, jd2)) return false;
+          if (!ck.carrier_free(sp2, jd2)) return false;
           int pr = ck.route_prefix(segc, len, jd2, as_col, as_a,
                                    as_new, &nas);
           if (pr < len) return false;
           int pend = ck.commit(segc, segi, len, jd2, as_col, as_a,
                                as_new, nas);
-          ck.carrier_set(s_pub, jd2);
-          ck.pubs.push_back({row, (int16_t)jd2, (int16_t)pend});
+          ck.carrier_set(sp2, jd2);
+          ck.pubs.push_back({row, (int16_t)jd2, (int16_t)pend,
+                             (int16_t)sel});
           ck.set_row_published(row);
           off = len;
           return true;
+        };
+        auto try_rot = [&](Chunk& ck) -> bool {
+          for (int sel = 0; sel < 2 && off == 0; ++sel) {
+            int pos = ((row & (SLOTS - 1)) + ck.rho[sel])
+                      & (SLOTS - 1);
+            try_direct(ck, pos & 127, pos >> 7, sel);
+          }
+          return off != 0;
         };
         // FIRST-FIT over chunks in insertion order (fullest first —
         // emptiest-first equalized chunks and tripled the per-cell
@@ -541,6 +597,10 @@ bool pack_cells_range(
         for (int p2 = 0; p2 < nopen && off == 0; ++p2) {
           Chunk& ck = pool_store[open[p2]];
           if (ck.row_published(row)) { ck.cold++; continue; }
+          if (rotate) {
+            if (!try_rot(ck)) ck.cold++;
+            continue;
+          }
           int tried = 0;
           int t_max = any_lane ? LANES : 0;
           for (int t = 0; t <= t_max && off == 0; ++t) {
@@ -549,7 +609,7 @@ bool pack_cells_range(
             if (ck.depth[jd2] + len > SUBS) continue;
             if (!ck.carrier_free(s_pub, jd2)) continue;
             if (++tried > 16) break;
-            try_direct(ck, jd2);
+            try_direct(ck, jd2, s_pub, 0);
           }
           if (off == 0) ck.cold++;
         }
@@ -561,7 +621,11 @@ bool pack_cells_range(
           // no fit anywhere: take a fresh chunk whole
           Chunk* ckp = open_fresh();
           if (!ckp) return false;
-          if (!try_direct(*ckp, jd)) return false;
+          if (rotate) {
+            if (!try_rot(*ckp)) return false;
+          } else if (!try_direct(*ckp, jd, s_pub, 0)) {
+            return false;
+          }
         }
       }
 
@@ -633,9 +697,11 @@ extern "C" int64_t spblas_route2_pack(
     int32_t* chunk_group, int32_t* elem_chunk, int32_t* elem_scat,
     int64_t* aux_info, int64_t* aux_slot, int32_t* aux_lrow,
     int32_t* aux_cell, int32_t* spill_out, int64_t* spill_n,
-    int32_t spill_enable, int32_t any_lane, int32_t row_window) {
+    int32_t spill_enable, int32_t any_lane, int32_t row_window,
+    int32_t rotate, int32_t* chunk_rho) {
   if (row_window < SLOTS || row_window > MAX_ROW_WINDOW
-      || (row_window > SLOTS && any_lane)) return -2;
+      || (row_window > SLOTS && any_lane)
+      || (rotate && any_lane)) return -2;
   int nt = pack_threads_for(ne, ncells);
   std::vector<int64_t> cuts = split_cells(ncells, cell_start, ne, nt);
   std::vector<Out> outs(nt);
@@ -650,8 +716,8 @@ extern "C" int64_t spblas_route2_pack(
   auto work = [&](int t) {
     ok[t] = pack_cells_range(cell_start, lrow, lcol, cuts[t],
                              cuts[t + 1], spill_only, spill_enable,
-                             any_lane, row_window, outs[t], auxs[t],
-                             pendings[t], spills[t]) ? 1 : 0;
+                             any_lane, row_window, rotate, outs[t],
+                             auxs[t], pendings[t], spills[t]) ? 1 : 0;
   };
   if (nt == 1) {
     work(0);
@@ -684,6 +750,7 @@ extern "C" int64_t spblas_route2_pack(
       chunk_auxwin[choff[t] + i] =
           aw < 0 ? -1 : (int32_t)(woff[t] + aw);
       chunk_group[choff[t] + i] = (int32_t)(goff[t] + o.chunk_group[i]);
+      if (chunk_rho) chunk_rho[choff[t] + i] = o.chunk_rho[i];
     }
     if (goff[t]) {
       // group ids were thread-local; spilled entries were zeroed at

@@ -119,9 +119,13 @@ def partition_route(a, mesh: Mesh) -> DistRoutePlan:
     for d in range(p):
         lo, hi, sub_rp = local_rowptr(rowptr, d, mloc, m)
         # hub_deg pinned off (DistRoutePlan carries no hub field)
+        # rotate pinned off: DistRoutePlan carries no rho stream and
+        # the stacked SPMD kernel compiles without the un-rotation
+        # (same COMMON-flag contract as any_lane/row_window_mult)
         plans.append(build_route2_plan(
             sub_rp, colind[lo:hi], values[lo:hi], (mloc, n), hi - lo,
-            g=g, any_lane=any_lane, row_window_mult=ww, hub_deg=0))
+            g=g, any_lane=any_lane, row_window_mult=ww, hub_deg=0,
+            rotate=False))
 
     nch = max(pl.nchunks for pl in plans)
     # pad to whole CB groups so per-device tails stay flag-homogeneous

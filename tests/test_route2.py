@@ -383,3 +383,45 @@ def test_python_packer_fallback_matches_oracle(monkeypatch):
               * x[np.asarray(colind)[:nnz]].astype(np.float64))
     err = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
     assert err < 1e-5
+
+
+def test_rotated_supercell_plan_oracle():
+    """Per-chunk sublane publish rotations (round 5, VERDICT r4 #5):
+    packed fill rises on starved supercell grids and the un-rotating
+    kernel must still match the dense oracle; values-refresh and
+    serialization keep the rho stream."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spblas_tpu.kernels.route2 import build_route2_plan
+    from spblas_tpu.kernels.route2_kernel import route2_spmv
+    from spblas_tpu.utils.generate import generate_csr
+    from tests.util import assert_close, dense_from_csr
+
+    m, nnz = 20_000, 100_000
+    a = generate_csr(m, m, nnz, seed=1)
+    rp = np.asarray(a.rowptr)
+    ci = np.asarray(a.colind)
+    vv = np.asarray(a.values)
+    plan = build_route2_plan(rp, ci, vv, (m, m), int(a.nnz),
+                             row_window_mult=8, rotate=True)
+    assert plan.rotated and plan.rho is not None
+    plain = build_route2_plan(rp, ci, vv, (m, m), int(a.nnz),
+                              row_window_mult=8, rotate=False)
+    assert plan.nchunks <= plain.nchunks      # the fill win
+    x = np.random.default_rng(2).standard_normal(m).astype(np.float32)
+    y = np.asarray(route2_spmv(plan, jnp.asarray(x)))
+    assert_close(y, dense_from_csr(a) @ x, abs_floor=1e-3)
+    # values refresh keeps rho/tiles
+    p2 = plan.update_values(jnp.asarray(2.0 * vv))
+    y2 = np.asarray(route2_spmv(p2, jnp.asarray(x)))
+    assert_close(y2, 2.0 * dense_from_csr(a) @ x, abs_floor=1e-3)
+    # serialization round-trip
+    import tempfile, os
+    from spblas_tpu.utils.serialize import save_plan, load_plan
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "rot.npz")
+        save_plan(path, plan)
+        back = load_plan(path)
+        assert back.rotated
+        y3 = np.asarray(route2_spmv(back, jnp.asarray(x)))
+        assert_close(y3, dense_from_csr(a) @ x, abs_floor=1e-3)
