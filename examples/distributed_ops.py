@@ -62,3 +62,29 @@ bp = jax.device_put(jnp.asarray(np.pad(b, (0, p * tplan.mloc - mt))),
 xs = np.asarray(dist_triangular_solve(tplan, bp, mesh))[:mt]
 assert np.abs(np.asarray(L.todense()) @ xs - b).max() < 1e-4
 print("dist sptrsv ok")
+
+# --- distributed SpGEMM at engine speed (round 5) -------------------- #
+# the TPU default reuse path: stacked per-shard paned mul engines under
+# shard_map (forced here on the CPU mesh via the env gate)
+import os
+os.environ["SPBLAS_FORCE_ROUTE_SPGEMM"] = "1"
+try:
+    from spblas_tpu.parallel import (dist_spgemm_compute,
+                                     dist_spgemm_numeric,
+                                     partition_rowblock)
+    ar = partition_rowblock(g1, mesh)
+    br = partition_rowblock(g2, mesh)
+    plan = dist_spgemm_compute(ar, br, mesh)
+    assert plan.engine is not None, "stacked mul engine gate"
+    ce = assemble_csr(dist_spgemm_numeric(plan, ar, br, mesh))
+    assert np.allclose(np.asarray(ce.todense()), expected,
+                       rtol=1e-3, atol=1e-3)
+    # numeric re-run with new values, same sparsity (the reuse contract)
+    import dataclasses
+    a2 = dataclasses.replace(ar, values=ar.values * 3.0)
+    c3 = assemble_csr(dist_spgemm_numeric(plan, a2, br, mesh))
+    assert np.allclose(np.asarray(c3.todense()), 3.0 * expected,
+                       rtol=1e-3, atol=1e-3)
+finally:
+    os.environ.pop("SPBLAS_FORCE_ROUTE_SPGEMM", None)
+print("dist spgemm engine ok")
