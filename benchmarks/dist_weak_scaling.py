@@ -99,10 +99,48 @@ def measure_route(p: int) -> float:
     return best / ITERS
 
 
+def measure_spgemm(p: int) -> float:
+    """Distributed SpGEMM numeric weak scaling through the stacked
+    per-shard mul engines (round 5): work per device held constant
+    (C = A·A, rows scale with the mesh), numeric re-run timed."""
+    import dataclasses
+    import os
+    from spblas_tpu.parallel import (dist_spgemm_compute,
+                                     dist_spgemm_numeric,
+                                     partition_rowblock)
+    from spblas_tpu.utils.generate import generate_csr
+
+    os.environ["SPBLAS_FORCE_ROUTE_SPGEMM"] = "1"   # CPU-mesh force
+    mesh = make_row_mesh(p, devices=jax.devices()[:p])
+    m = (ROWS_PER_DEVICE // 8) * p                  # keep host pack fast
+    a = generate_csr(m, m, DEG * m, seed=0)
+    ar = partition_rowblock(a, mesh)
+    plan = dist_spgemm_compute(ar, ar, mesh)
+    assert plan.engine is not None
+
+    def run(values):
+        c = dist_spgemm_numeric(
+            plan, dataclasses.replace(ar, values=values), ar, mesh)
+        return c.values
+
+    jax.block_until_ready(run(ar.values))
+    best = float("inf")
+    for r in range(3):
+        av = ar.values * (1 + 1e-3 * (r + 1))
+        jax.block_until_ready(av)
+        t0 = time.perf_counter()
+        out = run(av)
+        jax.block_until_ready(out)
+        float(np.asarray(out).ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     import sys
     mode = sys.argv[1] if len(sys.argv) > 1 else "band"
-    fn = measure_route if mode == "route" else measure
+    fn = {"route": measure_route,
+          "spgemm": measure_spgemm}.get(mode, measure)
     pmax = jax.device_count()
     t1 = fn(1)
     print(f"[{mode}] p=1: {t1*1e3:.2f} ms/iter "
