@@ -112,6 +112,7 @@ def test_trsv_plan_with_route_roundtrip(tmp_path, monkeypatch):
     from spblas_tpu.utils.generate import generate_triangular_csr
     from spblas_tpu.utils.serialize import save_plan, load_plan
 
+    import dataclasses
     monkeypatch.setenv("SPBLAS_FORCE_ROUTE_TRSV", "1")
     L = generate_triangular_csr(600, seed=11, lower=True)
     info = sp.triangular_solve_inspect(L, uplo="lower")
@@ -120,7 +121,7 @@ def test_trsv_plan_with_route_roundtrip(tmp_path, monkeypatch):
     save_plan(str(path), info.plan)
     plan2 = load_plan(str(path))
     b = np.random.default_rng(0).standard_normal(600).astype(np.float32)
-    import dataclasses
+
     info2 = dataclasses.replace(info, plan=plan2)
     x = np.asarray(sp.triangular_solve(L, b, uplo="lower", info=info2))
     want = np.asarray(
@@ -193,3 +194,34 @@ def test_load_plan_missing_static_fields_use_defaults(tmp_path):
                                jnp.asarray(np.asarray(x)))),
         np.asarray(route2_spmv(plan, jnp.asarray(np.asarray(x)))),
         rtol=1e-5, atol=1e-5)
+
+
+def test_dist_spgemm_engine_plan_roundtrip(tmp_path, monkeypatch):
+    """DistSpgemmPlan with the stacked mul engine (round 5): nested
+    DistMulEngine/DistMulPanel tuples must survive the npz round-trip
+    and keep producing oracle-correct numerics."""
+
+
+    import numpy as np
+    from spblas_tpu.parallel import (assemble_csr, dist_spgemm_compute,
+                                     dist_spgemm_numeric, make_row_mesh,
+                                     partition_rowblock)
+    from spblas_tpu.utils.generate import generate_csr
+    from spblas_tpu.utils.serialize import load_plan, save_plan
+    from tests.util import assert_close
+
+    monkeypatch.setenv("SPBLAS_FORCE_ROUTE_SPGEMM", "1")
+    mesh = make_row_mesh(8)
+    a = generate_csr(64, 64, 500, seed=21)
+    ar = partition_rowblock(a, mesh)
+    plan = dist_spgemm_compute(ar, ar, mesh)
+    assert plan.engine is not None
+    path = str(tmp_path / "dist_mul.npz")
+    save_plan(path, plan)
+    back = load_plan(path)
+    assert back.engine is not None
+    assert len(back.engine.panels) == len(plan.engine.panels)
+    # reloaded arrays land unsharded; shard_map re-shards on entry
+    c = assemble_csr(dist_spgemm_numeric(back, ar, ar, mesh))
+    expected = np.asarray(a.todense()) @ np.asarray(a.todense())
+    assert_close(np.asarray(c.todense()), expected, factor=256)
