@@ -378,7 +378,14 @@ def _build_route2_arrays(rowptr, colind, values, shape: Tuple[int, int],
     # shares the lsrc range); native packer only.
     import os as _os
     if rotate is None:
-        rotate = ww > 1 and _os.environ.get("SPBLAS_NO_ROTATE") != "1"
+        # auto only on clearly STARVED supercell grids (expected
+        # elements per supercell under half the 8192 target): there the
+        # fill win (m=1M: chunks -25%) dominates any plausible
+        # un-rotation cost; denser grids (m=300k, e_sc ~9k) keep the
+        # round-4-proven plain supercell config — the full-rotation
+        # on-chip A/B REGRESSED there (7.27 -> 6.56, PERF_NOTES r5)
+        rotate = (ww > 1 and e_cell * ww < 4096.0
+                  and _os.environ.get("SPBLAS_NO_ROTATE") != "1")
     rotate = bool(rotate) and not any_lane
     if rotate:
         from spblas_tpu import native as _nat
