@@ -870,10 +870,13 @@ def main():
         ("spmm_general", 600),
         ("spmv_mesh", 700),
         ("spmv_real", 700),
+        # default so the f64 policy is a measured row in every BENCH
+        # (VERDICT r4 #7); subprocess-isolated — if f64 fails to lower
+        # on the attached platform the recorded error IS the fact
+        ("spmv_f64", 600),
     ]
     if os.environ.get("SPBLAS_BENCH_FULL") == "1":
         defaults += [
-            ("spmv_f64", 600),
             ("spmv_general_paned_4m", 1800),
             ("spmm_general_k64", 420),
             ("sptrsv_100k", 600),
