@@ -80,6 +80,12 @@ class PanedPanel:
     # any-lane publish (B_LSRC carriers, kernels/route2.py round 3)
     any_lane: bool = dataclasses.field(default=False,
                                        metadata=dict(static=True))
+    # per-chunk publish rotations (round 5, kernels/route2.py): rho0 |
+    # rho1 << 10 per chunk; panels on starved supercell grids pack with
+    # them (the shared route2 gate decides per panel)
+    rho: Optional[jax.Array] = None
+    rotated: bool = dataclasses.field(default=False,
+                                      metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -207,12 +213,13 @@ def build_route_paned_plan(rowptr, colind, values, shape: Tuple[int, int],
     panels = []
     for i, hp in enumerate(host_panels):
         (t, v, sb, yb, fl, eva, evb, evw, evs,
-         pos, idx) = flat[11 * i: 11 * i + 11]
+         pos, idx, rho) = flat[12 * i: 12 * i + 12]
         panels.append(PanedPanel(
             tile=t, val=v, sb=sb, yb=yb, fl=fl, eva=eva, evb=evb,
             evw=evw, evs=evs, rows=hp["rows"], out_rows=hp["out_rows"],
             has_aux=hp["has_aux"], dist_max=hp["dist_max"],
-            src_pos=pos, src_idx=idx, any_lane=hp["any_lane"]))
+            src_pos=pos, src_idx=idx, any_lane=hp["any_lane"],
+            rho=rho, rotated=hp["rotated"]))
     return RoutePanedPlan(
         panels=tuple(panels), shape=(m, n), g=g, pane_rows=pane_rows,
         x_rows_pad=x_rows_pad,
@@ -227,7 +234,7 @@ def _panel_arrays(rowptr, colind, values, r0, rows_p, n, g, ww=1):
                                (rows_p, n), e1 - e0, g=g,
                                row_window_mult=ww,
                                any_lane=False if ww > 1 else None,
-                               hub_deg=0)
+                               hub_deg=0, rotate=None)
     sub["e0"] = e0
     return sub
 
@@ -245,6 +252,7 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
     the src tiles are never materialized per output chunk."""
     tiles, vals, srcs = sub["tiles"], sub["vals"], sub["srcs"]
     sb, yb, fl = sub["sb"], sub["yb"], sub["flags"]
+    rho_in = sub["rho"]
     idx0 = np.flatnonzero(fl == 0)
     idx1 = np.flatnonzero(fl != 0)
     pane = sb[idx0] // pane_rows
@@ -360,17 +368,20 @@ def _regroup_by_pane(sub: dict, pane_rows: int, rows_p: int) -> dict:
     src_off = cstart[np.maximum(gidx, 0)][out_slot] + within
     pos = (out_slot * SLOTS + sp_off[src_off]).astype(np.int32)
     idx = (sp_ent[src_off] + sub["e0"]).astype(np.int32)
+    out_rho = np.where(gidx >= 0, rho_in[np.maximum(gidx, 0)],
+                       0).astype(np.int32)
     return dict(
         arrays=(out_t, out_v, out_sb, out_yb, out_fl,
                 np.array(eva, np.int32), np.array(evb, np.int32),
                 np.array(evw, np.int32), np.array(evs, np.int32),
-                pos, idx),
+                pos, idx, out_rho),
         # has_aux also covers the all-empty panel whose pad group was
         # re-flagged to read the y panel (the kernel only dispatches on
         # flags when has_aux is set)
         rows=rows_p, out_rows=out_rows,
         has_aux=len(idx1) > 0 or n_flag0 == 0,
-        dist_max=sub["dist_max"], any_lane=sub["any_lane"])
+        dist_max=sub["dist_max"], any_lane=sub["any_lane"],
+        rotated=sub["rotated"])
 
 
 def _gather_tiles_pad(src: np.ndarray, gidx: np.ndarray,
@@ -391,10 +402,11 @@ def _gather_tiles_pad(src: np.ndarray, gidx: np.ndarray,
 # ------------------------------------------------------------------ #
 
 def _paned_kernel(sb_ref, yb_ref, fl_ref, eva_ref, evb_ref, evw_ref,
-                  evs_ref, t_hbm, v_hbm, x_hbm, y_ref, t_buf, v_buf,
-                  x_buf, t_sem, v_sem, x_sem, *, g: int, pane_rows: int,
+                  evs_ref, rho_ref, t_hbm, v_hbm, x_hbm, y_ref, t_buf,
+                  v_buf, x_buf, t_sem, v_sem, x_sem, *, g: int,
+                  pane_rows: int,
                   has_aux: bool, dist_max: int, any_lane: bool,
-                  ww: int = 1):
+                  ww: int = 1, rotated: bool = False):
     k = pl.program_id(0)
     nk = pl.num_programs(0)
 
@@ -451,7 +463,32 @@ def _paned_kernel(sb_ref, yb_ref, fl_ref, eva_ref, evb_ref, evw_ref,
             upd = _chunk_body(t, v_buf[slot, i], slab, g,
                               dist_max, any_lane)
             yb = yb_ref[ci]
-            if ww == 1:
+            if rotated:
+                # per-chunk sublane publish rotations (round 5) —
+                # mirrors route2_kernel's rotated publish
+                from spblas_tpu.kernels.route2_kernel import _unrotate
+                from spblas_tpu.kernels.route2 import B_SEL
+                rho = rho_ref[ci]
+                r0 = (rho >> 7) & 7
+                r1 = (rho >> 17) & 7
+                sel = (t >> B_SEL) & 1
+                u0 = _unrotate(jnp.where(sel == 0, upd, 0.0), r0)
+                u1 = _unrotate(jnp.where(sel == 1, upd, 0.0), r1)
+                if ww == 1:
+                    y_ref[pl.ds(yb, SUBS), :] = \
+                        y_ref[pl.ds(yb, SUBS), :] + (u0 + u1)
+                else:
+                    s0 = (_unrotate(jnp.where(sel == 0, t, 0), r0)
+                          >> B_SUBW) & 7
+                    s1 = (_unrotate(jnp.where(sel == 1, t, 0), r1)
+                          >> B_SUBW) & 7
+                    wide = jnp.concatenate(
+                        [jnp.where(s0 == sw, u0, 0.0)
+                         + jnp.where(s1 == sw, u1, 0.0)
+                         for sw in range(ww)], axis=0)
+                    y_ref[pl.ds(yb, ww * SUBS), :] = \
+                        y_ref[pl.ds(yb, ww * SUBS), :] + wide
+            elif ww == 1:
                 y_ref[pl.ds(yb, SUBS), :] = \
                     y_ref[pl.ds(yb, SUBS), :] + upd
             else:
@@ -491,8 +528,11 @@ def _paned_dispatch(panel: PanedPanel, x2, *, g: int, pane_rows: int,
                     interpret: bool, ww: int = 1):
     nc = int(panel.tile.shape[0])
     nsteps = nc // CB
+    rho = panel.rho
+    if rho is None:
+        rho = jnp.zeros((nc,), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # tile
@@ -513,7 +553,8 @@ def _paned_dispatch(panel: PanedPanel, x2, *, g: int, pane_rows: int,
         functools.partial(_paned_kernel, g=g, pane_rows=pane_rows,
                           has_aux=panel.has_aux,
                           dist_max=panel.dist_max,
-                          any_lane=panel.any_lane, ww=ww),
+                          any_lane=panel.any_lane, ww=ww,
+                          rotated=panel.rotated),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((panel.out_rows, LANES),
                                        jnp.float32),
@@ -525,7 +566,7 @@ def _paned_dispatch(panel: PanedPanel, x2, *, g: int, pane_rows: int,
             transcendentals=0,
         ),
     )(panel.sb, panel.yb, panel.fl, panel.eva, panel.evb, panel.evw,
-      panel.evs, panel.tile, panel.val, x2)
+      panel.evs, rho, panel.tile, panel.val, x2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -169,3 +169,26 @@ def test_paned_supercell_panels():
     y = np.asarray(route_paned_spmv(plan, jnp.asarray(x),
                                     interpret=True))
     assert_close(y, dense_from_csr(a) @ x, factor=64, abs_floor=1e-3)
+
+
+def test_paned_rotated_panels_oracle():
+    """Starved supercell panels pack with per-chunk publish rotations
+    (round 5) and the paned kernel's un-rotating publish matches the
+    dense oracle; serialization keeps per-panel rho."""
+    import numpy as np
+    from spblas_tpu.kernels.route_paned import (build_route_paned_plan,
+                                                route_paned_spmv)
+    from spblas_tpu.utils.generate import generate_csr_arrays
+
+    m, deg = 300_000, 3
+    vals, rowptr, colind = generate_csr_arrays(m, m, m * deg, seed=1)
+    plan = build_route_paned_plan(rowptr, colind, vals, (m, m), m * deg,
+                                  panel_rows=65536, pane_rows=8192)
+    assert any(p.rotated for p in plan.panels), "gate should fire"
+    x = np.random.default_rng(2).standard_normal(m).astype(np.float32)
+    y = np.asarray(route_paned_spmv(plan, x))[:m]
+    rows = np.repeat(np.arange(m), np.diff(rowptr))
+    ref = np.zeros(m, np.float64)
+    np.add.at(ref, rows, vals.astype(np.float64) * x[colind])
+    err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert err < 1e-4, err
