@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spblas_tpu.formats.csr import CSR, host_row_ids
-from spblas_tpu.types import on_tpu as _on_tpu
+from spblas_tpu.types import on_tpu as _on_tpu, no_x64
 
 _R = 128  # rows per panel
 _G = 8    # panels per grid program (amortizes per-program grid cost)
@@ -116,6 +116,7 @@ def _spmv_kernel(panel_ref, xp_ref, out_ref, *, w):
 
 
 
+@no_x64
 def band_spmv_padded(panels: jax.Array, xp: jax.Array,
                      interpret: bool | None = None) -> jax.Array:
     """Core panel sweep over pre-padded x (len >= nblk*128 + w - 128).
@@ -172,6 +173,7 @@ def _spmm_kernel(panel_ref, bp_ref, out_ref, *, w):
             precision=jax.lax.Precision.HIGHEST)
 
 
+@no_x64
 def band_spmm_padded(panels: jax.Array, bp: jax.Array,
                      interpret: bool | None = None) -> jax.Array:
     """Core panel SpMM over pre-padded B (rows >= nblk*128 + w - 128) —
@@ -430,6 +432,7 @@ def _spmm_stream_kernel(panel_ref, bp_ref, out_ref, bwin, sem, *, w, k,
             precision=jax.lax.Precision.HIGHEST)
 
 
+@no_x64
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def band_spmm_stream(plan: BandPlan, b: jax.Array,
                      interpret: bool | None = None) -> jax.Array:
@@ -500,6 +503,7 @@ def _power_kernel(panel_ref, x_ref, out_ref, xp, ybuf, *, w, h, mp, L):
             out_ref[...] = xp[...]
 
 
+@no_x64
 @functools.partial(jax.jit, static_argnames=("iters", "interpret"))
 def band_power_iterations(plan: BandPlan, x: jax.Array, iters: int,
                           interpret: bool | None = None) -> jax.Array:

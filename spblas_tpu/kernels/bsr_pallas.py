@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spblas_tpu.formats.bsr import BSR
-from spblas_tpu.types import on_tpu as _on_tpu
+from spblas_tpu.types import on_tpu as _on_tpu, no_x64
 
 
 
@@ -74,6 +74,7 @@ def _bsr_spmm_kernel(rowptr_ref, colind_ref, values_ref, b_ref, out_ref,
     jax.lax.fori_loop(0, nblk, body, 0)
 
 
+@no_x64
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bsr_spmm(a: BSR, b: jax.Array, interpret: bool | None = None
              ) -> jax.Array:
@@ -164,6 +165,7 @@ def _bsr_spmv_kernel(rowptr_ref, colind_ref, values_ref, x_ref, out_ref,
     out_ref[i, :] = acc[0]
 
 
+@no_x64
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bsr_spmv(a: BSR, x: jax.Array, interpret: bool | None = None
              ) -> jax.Array:

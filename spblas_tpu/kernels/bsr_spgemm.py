@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spblas_tpu import types as _t
 from spblas_tpu.formats.bsr import BSR
-from spblas_tpu.types import on_tpu as _on_tpu
+from spblas_tpu.types import on_tpu as _on_tpu, no_x64
 
 
 @jax.tree_util.register_dataclass
@@ -153,6 +153,7 @@ def _numeric_kernel(pair_ptr_ref, pair_a_ref, pair_b_ref, a_ref, b_ref,
 
 
 
+@no_x64
 def bsr_spgemm_numeric(plan: BsrSpgemmPlan, a: BSR, b: BSR,
                        interpret: bool | None = None) -> BSR:
     """Numeric phase: one grid program per C block, contraction pairs

@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spblas_tpu.formats.csr import CSR
+from spblas_tpu.types import no_x64
 
 
 @jax.tree_util.register_dataclass
@@ -148,20 +149,25 @@ def _dia_kernel(x_ref, d_ref, y_ref, *, offsets, pad_lo, rb):
     acc = jnp.zeros((rb, _LANES), jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rb, _LANES), 1)
     for k, off in enumerate(offsets):
-        q, r = divmod(off + pad_lo, _LANES)
+        q, r = divmod(int(off) + pad_lo, _LANES)
         xa0 = x_ref[pl.ds(base + q, rb), :]
         if r == 0:
             s = xa0
         else:
             xa1 = x_ref[pl.ds(base + q + 1, rb), :]
-            # left-shift by r == roll right by LANES - r
+            # left-shift by r == roll right by LANES - r.  np.int32:
+            # a weak Python-int shift traces as i64 under
+            # jax_enable_x64 and tpu.dynamic_rotate rejects i64 shift
+            # operands (round-5 spmv_f64 section, f32 leg under x64)
+            sh = np.int32(_LANES - r)
             s = jnp.where(lane < _LANES - r,
-                          pltpu.roll(xa0, _LANES - r, 1),
-                          pltpu.roll(xa1, _LANES - r, 1))
+                          pltpu.roll(xa0, sh, 1),
+                          pltpu.roll(xa1, sh, 1))
         acc = acc + d_ref[k] * s
     y_ref[...] = acc
 
 
+@no_x64
 def _dia_spmv_pallas(plan: DiaPlan, x: jax.Array) -> jax.Array:
     m, n = plan.shape
     ndiag = plan.ndiag

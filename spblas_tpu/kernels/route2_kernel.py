@@ -30,7 +30,7 @@ from spblas_tpu.kernels.route2 import (B2_LF, B2_R2, B2_SD2,
                                        B_R2, B_SD2, B_SEL, B_SUBW,
                                        B_VA, LANES, SUBS, Route2MulPlan,
                                        Route2Plan)
-from spblas_tpu.types import on_tpu as _on_tpu
+from spblas_tpu.types import on_tpu as _on_tpu, no_x64
 
 CB = 8          # chunks per grid step (the builder aligns flag groups;
                 # CB=16 measured only ~2% faster on uniform 300k)
@@ -285,6 +285,7 @@ def route2_spmv(plan: Route2Plan, x: jax.Array,
     return jax.lax.slice(y2.reshape(-1), (0,), (m,)).astype(xdt)
 
 
+@no_x64
 def route2_dispatch(tile, val, slab_base, y_base, src_flag, x2, *,
                     g: int, x_rows: int, out_rows: int, has_aux: bool,
                     interpret: bool, init_from_x: bool = False,
@@ -463,6 +464,7 @@ def _route2_mul_kernel(ab_ref, bb_ref, yb_ref, fl_ref, t1_hbm, t2_hbm,
         group(b_ref)
 
 
+@no_x64
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def route2_mul(plan: Route2MulPlan, a_arr: jax.Array, b_arr: jax.Array,
                interpret: bool | None = None) -> jax.Array:

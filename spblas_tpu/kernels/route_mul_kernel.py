@@ -18,7 +18,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spblas_tpu.kernels.route_mul import RouteMulPlan
 from spblas_tpu.kernels.route_plan import LANES, SUBS
-from spblas_tpu.types import on_tpu as _on_tpu
+from spblas_tpu.types import on_tpu as _on_tpu, no_x64
 
 CB = 8
 
@@ -109,6 +109,7 @@ def _mul_kernel(ab_ref, bb_ref, ob_ref, t1_hbm, t2_hbm, t3_hbm, a_ref,
         o_ref[pl.ds(ob, SUBS), :] = o_ref[pl.ds(ob, SUBS), :] + upd
 
 
+@no_x64
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def route_mul(plan: RouteMulPlan, a_arr: jax.Array, b_arr: jax.Array,
               interpret: bool | None = None) -> jax.Array:

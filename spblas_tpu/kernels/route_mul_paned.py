@@ -45,7 +45,7 @@ from spblas_tpu.kernels.route2 import (ROW_WINDOW,
                                        mul_pane_g)
 from spblas_tpu.kernels.route2_kernel import CB, _mul_chunk_body
 from spblas_tpu.kernels.route_plan import LANES, SLOTS, SUBS
-from spblas_tpu.types import on_tpu as _on_tpu
+from spblas_tpu.types import on_tpu as _on_tpu, no_x64
 
 # per-chunk scalar prefetch: ab/bb/yb/fl = 16 B + event streams ~2 B —
 # keep one dispatch well under the ~1 MB SMEM
@@ -357,6 +357,7 @@ def _paned_mul_kernel(ab_ref, bb_ref, yb_ref, fl_ref, eva_ref, evb_ref,
             group(b_buf.at[1])
 
 
+@no_x64
 def _paned_mul_dispatch(panel: MulPanedPanel, A2, B2, *, g_a: int,
                         g_b: int, pane_rows: int, interpret: bool):
     nc = int(panel.t1.shape[0])

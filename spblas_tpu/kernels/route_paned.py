@@ -41,7 +41,7 @@ from spblas_tpu.kernels.route2 import (B_DIST, B_SUBW, MAX_G,
                                        pick_window_g)
 from spblas_tpu.kernels.route2_kernel import CB, _chunk_body
 from spblas_tpu.kernels.route_plan import LANES, SLOTS, SUBS
-from spblas_tpu.types import on_tpu as _on_tpu
+from spblas_tpu.types import on_tpu as _on_tpu, no_x64
 
 # SMEM holds the per-chunk scalar prefetch (sb/yb/fl = 12 B/chunk plus
 # ~1.5 B/chunk of group events) — cap one dispatch well under the ~1 MB
@@ -524,6 +524,7 @@ def _paned_kernel(sb_ref, yb_ref, fl_ref, eva_ref, evb_ref, evw_ref,
             group(x_buf.at[1])
 
 
+@no_x64
 def _paned_dispatch(panel: PanedPanel, x2, *, g: int, pane_rows: int,
                     interpret: bool, ww: int = 1):
     nc = int(panel.tile.shape[0])

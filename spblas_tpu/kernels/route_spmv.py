@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spblas_tpu.kernels.route_plan import LANES, SUBS, RoutePlan
-from spblas_tpu.types import on_tpu as _on_tpu
+from spblas_tpu.types import on_tpu as _on_tpu, no_x64
 
 
 CB = 8          # chunks per grid step (amortizes grid/DMA overhead)
@@ -123,6 +123,7 @@ def _route_kernel(sb_ref, yb_ref, t1_hbm, t3_hbm, val_hbm, x_ref, y_ref,
         y_ref[pl.ds(yb, SUBS), :] = y_ref[pl.ds(yb, SUBS), :] + upd
 
 
+@no_x64
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def route_spmv(plan: RoutePlan, x: jax.Array,
                interpret: bool | None = None) -> jax.Array:

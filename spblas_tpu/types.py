@@ -105,3 +105,29 @@ def on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:
         return False
+
+
+def no_x64(fn):
+    """Trace a Pallas dispatch with ``jax_enable_x64`` forced OFF.
+
+    The fast kernels are f32-only (the plan choosers dtype-gate them),
+    but a user running under ``jax_enable_x64`` still TRACES them with
+    x64 semantics, where the Python-int constants in BlockSpec index
+    maps canonicalize to i64 and Mosaic rejects the lowered map
+    (``'func.return'(i64, i64)`` legalization failure — found by the
+    round-5 spmv_f64 bench section, whose f32 comparison leg runs with
+    x64 globally on).  Every kernel input is already a concrete
+    f32/i32 array, so trace-time re-canonicalization only affects
+    Python scalars; wrapping the dispatch is equivalent to tracing in
+    the default-x32 world the kernels were written for.
+    """
+    import functools
+
+    import jax
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.enable_x64(False):
+            return fn(*args, **kwargs)
+
+    return wrapped

@@ -141,3 +141,101 @@ def test_f64_add_transpose_scaled(x64):
     y = spmv(scaled(2.5, a), x)
     assert y.dtype == jnp.float64
     assert_close(y, 2.5 * (dense_from_csr(a) @ x))
+
+
+# ------------------------------------------------------------------ #
+# x64-mode tracing of the f32 Pallas kernels (round 5)
+# ------------------------------------------------------------------ #
+# Mosaic rejects i64 anywhere the TPU kernels put a scalar: weak
+# Python-int roll shifts become i64 ('tpu.dynamic_rotate' operand must
+# be i32) and BlockSpec index-map int constants become i64 constants
+# whose func.return fails to legalize.  Both were found by the round-5
+# spmv_f64 bench section, whose f32 comparison leg runs with x64
+# globally on.  Fix: kernels pin static shifts to np.int32, and every
+# Pallas dispatch traces under types.no_x64.  The tests assert the
+# strong invariant: tracing a dispatch with x64 ON yields NO i64 aval
+# anywhere in the jaxpr.
+
+
+def _all_dtypes(jaxpr, out):
+    """Collect aval dtypes of every var in every eqn, recursing through
+    call/pallas/scan subjaxprs."""
+    for eqn in jaxpr.eqns:
+        for v in list(eqn.invars) + list(eqn.outvars):
+            if hasattr(v.aval, "dtype"):
+                out.append(v.aval.dtype)
+        for p in eqn.params.values():
+            inner = getattr(p, "jaxpr", p)
+            if hasattr(inner, "eqns"):
+                _all_dtypes(inner, out)
+    return out
+
+
+def test_dia_pallas_no_i64_under_x64(x64):
+    from spblas_tpu.kernels.dia import build_dia_plan, _dia_spmv_pallas
+
+    # tridiagonal => off+pad_lo = 0,1,2: nonzero r takes the roll path
+    a = gen.generate_banded_csr(512, 512, 3, seed=0)
+    plan = build_dia_plan(a)
+    assert any((off + 1) % 128 for off in plan.offsets)
+    x = jnp.ones((512,), jnp.float32)
+    jaxpr = jax.make_jaxpr(lambda v: _dia_spmv_pallas(plan, v))(x)
+    dts = _all_dtypes(jaxpr.jaxpr, [])
+    assert dts and not any(d == jnp.int64 for d in dts)
+
+    # numerics unchanged under x64 (interpret mode on CPU; the kernel
+    # itself is f32, so f32 tolerances apply even with x64 on)
+    y = _dia_spmv_pallas(plan, x)
+    np.testing.assert_allclose(np.asarray(y, np.float64),
+                               dense_from_csr(a) @ np.ones(512),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _find_pallas_eqns(jaxpr, out):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "pallas_call":
+            out.append(eqn)
+        for p in eqn.params.values():
+            inner = getattr(p, "jaxpr", p)
+            if hasattr(inner, "eqns"):
+                _find_pallas_eqns(inner, out)
+    return out
+
+
+def _assert_pallas_i32(jaxpr):
+    """Every pallas_call in the traced program: index maps return only
+    i32, and the kernel jaxpr holds no i64 aval (Mosaic's contract)."""
+    eqns = _find_pallas_eqns(jaxpr, [])
+    assert eqns, "expected at least one pallas_call"
+    for e in eqns:
+        for bm in e.params["grid_mapping"].block_mappings:
+            outs = [v.aval.dtype for v in bm.index_map_jaxpr.jaxpr.outvars]
+            assert all(d == jnp.int32 for d in outs), outs
+        kdts = _all_dtypes(e.params["jaxpr"], [])
+        assert not any(d == jnp.int64 for d in kdts)
+
+
+def test_band_route_pallas_no_i64_under_x64(x64):
+    """Same invariant over the band + ROUTE dispatches, which carry
+    Python-int BlockSpec index-map constants (the func.return class);
+    their XLA glue outside the kernel may legally use i64 under x64,
+    so the check scopes to what Mosaic actually compiles."""
+    from spblas_tpu.kernels.banded import build_band_plan, band_spmv
+    from spblas_tpu.kernels.route_plan import build_route_plan
+    from spblas_tpu.kernels.route_spmv import route_spmv
+
+    a = gen.generate_banded_csr(2048, 2048, 9, seed=1)
+    bplan = build_band_plan(a)
+    x = jnp.ones((2048,), jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda v: band_spmv(bplan, v, interpret=True))(x)
+    _assert_pallas_i32(jaxpr.jaxpr)
+
+    g = gen.generate_csr(4096, 4096, 40_000, seed=2)
+    rplan = build_route_plan(
+        np.asarray(g.rowptr, np.int64), np.asarray(g.colind, np.int64),
+        np.asarray(g.values), g.shape, int(g.nnz))
+    xr = jnp.ones((4096,), jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda v: route_spmv(rplan, v, interpret=True))(xr)
+    _assert_pallas_i32(jaxpr.jaxpr)
