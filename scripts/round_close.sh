@@ -10,8 +10,8 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== full test suite (faked 8-device CPU mesh) =="
-timeout 3600 python -m pytest tests/ -q
+echo "== full test suite (faked 8-device CPU mesh, 4 xdist workers) =="
+timeout 3600 python -m pytest tests/ -q -n 4
 
 echo "== driver entry (dryrun + single-chip compile check) =="
 timeout 1200 python __graft_entry__.py
